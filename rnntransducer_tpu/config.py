@@ -1,0 +1,238 @@
+"""Typed configuration tree for the TPU-native RNN-Transducer framework.
+
+Replaces the reference's 3-layer config surface (JSON model/data config at
+``config/config.json``, simple_parsing dataclasses at
+``utils/lightningmodule_args.py:5-27`` / ``utils/inference_args.py:5-13``, and
+the pytorch-lightning Trainer argparse merged at ``train.py:54``) with a single
+JSON-loadable dataclass tree.  The JSON schema is a superset of the reference's
+``config/config.json`` so reference configs load unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+def _filter_kwargs(cls, d: dict) -> dict:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
+@dataclass(frozen=True)
+class TransNetConfig:
+    """Audio encoder ("transcription network").
+
+    Mirrors reference ``config/config.json:3-11`` /
+    ``networks/encoder.py:54-76``.
+    """
+
+    input_size: int = 80
+    hidden_size: int = 1024
+    output_size: int = 512
+    num_layers: int = 8
+    rnn_type: str = "gru"  # lstm | gru | rnn
+    dropout: float = 0.2
+    bidirectional: bool = True
+
+
+@dataclass(frozen=True)
+class PredNetConfig:
+    """Prediction network. Mirrors ``config/config.json:12-19`` /
+    ``networks/decoder.py:57-80``."""
+
+    embedding_size: int = 72  # == vocab size
+    hidden_size: int = 1024
+    output_size: int = 512
+    num_layers: int = 2
+    rnn_type: str = "lstm"
+    dropout: float = 0.2
+    pad_token_id: int = 0
+
+
+@dataclass(frozen=True)
+class JointNetConfig:
+    """Joint network. Mirrors ``config/config.json:20-22`` /
+    ``networks/transducer.py:27-39``."""
+
+    num_classes: int = 72
+    # "concat" (reference behavior, networks/transducer.py:64-67) or "add".
+    combine: str = "concat"
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    transnet: TransNetConfig = field(default_factory=TransNetConfig)
+    prednet: PredNetConfig = field(default_factory=PredNetConfig)
+    jointnet: JointNetConfig = field(default_factory=JointNetConfig)
+
+    @staticmethod
+    def from_dict(d: dict) -> "ModelConfig":
+        return ModelConfig(
+            transnet=TransNetConfig(**_filter_kwargs(TransNetConfig, d.get("transnet", {}))),
+            prednet=PredNetConfig(**_filter_kwargs(PredNetConfig, d.get("prednet", {}))),
+            jointnet=JointNetConfig(**_filter_kwargs(JointNetConfig, d.get("jointnet", {}))),
+        )
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """Frontend config. Mirrors ``config/config.json:25-37`` and the
+    log-mel pipeline at ``datamodule.py:48-90``."""
+
+    window_stride_sec: float = 0.01
+    window_size_sec: float = 0.025
+    sample_rate: int = 16000
+    window: str = "hann"  # reference loads "hamming" but never applies it;
+    # torchaudio MelSpectrogram default (hann) is what actually ran
+    # (datamodule.py:61-63). We make the window explicit and default to hann.
+    normalize: bool = True
+    spec_augment: bool = True
+    n_mels: int = 80
+    time_mask_para: int = 40
+    freq_mask_para: int = 20
+    time_mask_cnt: int = 1
+    freq_mask_cnt: int = 1
+    pad_token_id: int = 0
+
+    @property
+    def win_length(self) -> int:
+        import math
+
+        return int(math.ceil(self.sample_rate * self.window_size_sec))
+
+    @property
+    def n_fft(self) -> int:
+        return self.win_length
+
+    @property
+    def hop_length(self) -> int:
+        return int(self.sample_rate * self.window_stride_sec)
+
+
+@dataclass(frozen=True)
+class TextConfig:
+    pad_token_id: int = 0
+    bos_token_id: int = 2
+    eos_token_id: int = 3
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    text: TextConfig = field(default_factory=TextConfig)
+    # Length bucketing: audio frame-count bucket boundaries; batches are padded
+    # to the bucket upper edge so each bucket compiles exactly once.
+    audio_buckets: tuple = (256, 512, 1024, 2048)
+    label_buckets: tuple = (32, 64, 128, 256)
+
+    @staticmethod
+    def from_dict(d: dict) -> "DataConfig":
+        kw: dict[str, Any] = {}
+        if "audio" in d:
+            kw["audio"] = AudioConfig(**_filter_kwargs(AudioConfig, d["audio"]))
+        if "text" in d:
+            kw["text"] = TextConfig(**_filter_kwargs(TextConfig, d["text"]))
+        if "audio_buckets" in d:
+            kw["audio_buckets"] = tuple(d["audio_buckets"])
+        if "label_buckets" in d:
+            kw["label_buckets"] = tuple(d["label_buckets"])
+        return DataConfig(**kw)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training recipe. Mirrors reference ``model.py:110-126`` (AdamW +
+    OneCycleLR per-step), ``scripts/run_train.sh:17-32`` (fp16, grad-accum 16),
+    ``utils/lightningmodule_args.py:5-27``."""
+
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    warmup_ratio: float = 0.2  # OneCycle pct_start
+    final_div_factor: float = 1e4
+    div_factor: float = 25.0  # OneCycle initial_lr = max_lr / div_factor
+    max_steps: int = 100_000
+    accumulate_grad_batches: int = 1
+    per_device_train_batch_size: int = 8
+    per_device_eval_batch_size: int = 8
+    precision: str = "bf16"  # "bf16" | "fp32"  (reference: fp16|fp32)
+    seed: int = 42
+    log_every_steps: int = 50
+    val_every_steps: int = 1000
+    checkpoint_dir: str = "checkpoints"
+    save_top_k: int = 3  # top-k by val_cer (train.py:31-37)
+    grad_clip_norm: Optional[float] = None
+    # decode during validation
+    greedy_max_symbols: int = 3  # reference max_iters=3 (model.py:76)
+
+
+@dataclass(frozen=True)
+class InferenceConfig:
+    """Mirrors ``utils/inference_args.py:5-13`` + recognize_beams defaults
+    (networks/transducer.py:216-228)."""
+
+    beam_width: int = 5
+    improved: bool = True
+    state_beam: float = 4.6
+    expand_beam: float = 2.3
+    lm_path: Optional[str] = None
+    lm_weight: float = 1.0
+    hotwords: tuple = ()
+    hotword_weight: float = 10.0
+    streaming_chunk_frames: int = 64
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    inference: InferenceConfig = field(default_factory=InferenceConfig)
+    vocab_path: Optional[str] = None
+
+    @staticmethod
+    def from_dict(d: dict) -> "Config":
+        return Config(
+            model=ModelConfig.from_dict(d.get("model", {})),
+            data=DataConfig.from_dict(d.get("data", {})),
+            train=TrainConfig(**_filter_kwargs(TrainConfig, d.get("train", {}))),
+            inference=InferenceConfig(**_filter_kwargs(InferenceConfig, d.get("inference", {}))),
+            vocab_path=d.get("vocab_path"),
+        )
+
+    @staticmethod
+    def from_json(path: str) -> "Config":
+        with open(path) as f:
+            return Config.from_dict(json.load(f))
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+
+def tiny_config() -> Config:
+    """North-star config 1: tiny RNN-T (2x320 LSTM encoder, 1-layer prednet,
+    72-grapheme vocab)."""
+    return Config(
+        model=ModelConfig(
+            transnet=TransNetConfig(
+                input_size=80, hidden_size=320, output_size=320, num_layers=2,
+                rnn_type="lstm", dropout=0.0, bidirectional=True,
+            ),
+            prednet=PredNetConfig(
+                embedding_size=72, hidden_size=320, output_size=320,
+                num_layers=1, rnn_type="lstm", dropout=0.0,
+            ),
+            jointnet=JointNetConfig(num_classes=72),
+        )
+    )
+
+
+def base_config() -> Config:
+    """The reference's trained model config (config/config.json)."""
+    return Config()

@@ -1,0 +1,228 @@
+"""Scanned RNN cells (LSTM / GRU / vanilla RNN) — the TPU-native replacement
+for the reference's cuDNN kernels (``networks/encoder.py:48-52,67-75``,
+``networks/decoder.py:51-55,71-79``).
+
+Design (vs the reference's sort -> pack_padded -> cuDNN -> pad_packed -> unsort
+dance at ``networks/encoder.py:93-102``):
+
+* Static shapes + boolean masks.  A padded timestep does not update the carry
+  and emits zeros, which is exactly pack_padded/pad_packed semantics — and the
+  carry after the scan is the state at t = length-1, for free.
+* The input projection ``x @ W_ih`` for ALL timesteps is one large batched
+  matmul hoisted out of the scan (MXU-friendly); the scan body only does the
+  (B, H) x (H, G*H) recurrent matmul + elementwise gates.
+* Bidirectional = forward scan + forward scan over length-aware flipped
+  input (``utils.masking.flip_sequences``), flipped back and concatenated.
+* Gate order/equations match torch.nn.LSTM/GRU/RNN exactly (i,f,g,o / r,z,n)
+  including the separate b_ih / b_hh biases (GRU's b_hn sits inside the
+  r*(...) term, so the biases cannot be folded), so parity is testable
+  against torch CPU golden values.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from rnntransducer_tpu.utils.masking import flip_sequences, length_mask
+
+GATES = {"lstm": 4, "gru": 3, "rnn": 1}
+
+
+class RNNState(NamedTuple):
+    """Stacked recurrent state: h (and c for LSTM) of shape
+    (num_layers, num_directions, B, H).  ``c`` is None for GRU/RNN."""
+
+    h: jnp.ndarray
+    c: Optional[jnp.ndarray] = None
+
+
+def _uniform_init(scale: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+    return init
+
+
+def _lstm_step(h, c, xw, hw):
+    """xw/hw: pre-activation input/recurrent projections, (B, 4H)."""
+    i, f, g, o = jnp.split(xw + hw, 4, axis=-1)
+    i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+    g = jnp.tanh(g)
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def _gru_step(h, xw, hw):
+    """xw: x@W_ih + b_ih (B, 3H); hw: h@W_hh + b_hh (B, 3H)."""
+    xr, xz, xn = jnp.split(xw, 3, axis=-1)
+    hr, hz, hn = jnp.split(hw, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+class RNNLayer(nn.Module):
+    """One direction of one recurrent layer, scanned over time."""
+
+    input_size: int
+    hidden_size: int
+    rnn_type: str = "lstm"
+    unroll: int = 1
+
+    def setup(self):
+        g = GATES[self.rnn_type]
+        scale = 1.0 / (self.hidden_size ** 0.5)
+        ini = _uniform_init(scale)
+        self.w_ih = self.param("w_ih", ini, (self.input_size, g * self.hidden_size))
+        self.w_hh = self.param("w_hh", ini, (self.hidden_size, g * self.hidden_size))
+        self.b_ih = self.param("b_ih", ini, (g * self.hidden_size,))
+        self.b_hh = self.param("b_hh", ini, (g * self.hidden_size,))
+
+    def _cell(self, carry, xw_t, mask_t):
+        """carry: (h, c); xw_t: (B, G*H) input pre-activation; mask_t: (B, 1)."""
+        h, c = carry
+        hw = h @ self.w_hh + self.b_hh
+        if self.rnn_type == "lstm":
+            h_new, c_new = _lstm_step(h, c, xw_t, hw)
+            c = jnp.where(mask_t, c_new, c)
+        elif self.rnn_type == "gru":
+            h_new = _gru_step(h, xw_t, hw)
+        else:
+            h_new = jnp.tanh(xw_t + hw)
+        h = jnp.where(mask_t, h_new, h)
+        out = jnp.where(mask_t, h_new, jnp.zeros_like(h_new))
+        return (h, c), out
+
+    def init_state(self, batch: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        h = jnp.zeros((batch, self.hidden_size), dtype)
+        c = jnp.zeros((batch, self.hidden_size), dtype)  # unused for gru/rnn
+        return h, c
+
+    def __call__(self, x, mask, initial_state=None):
+        """x: (B, T, input_size); mask: (B, T) bool.
+        Returns (outputs (B, T, H), final (h, c))."""
+        B, T = x.shape[0], x.shape[1]
+        if initial_state is None:
+            initial_state = self.init_state(B, x.dtype)
+        # Hoisted input projection: one big MXU matmul over (B*T, in).
+        xw = x @ self.w_ih + self.b_ih  # (B, T, G*H)
+        xw_t = jnp.swapaxes(xw, 0, 1)  # (T, B, G*H)
+        mask_t = jnp.swapaxes(mask, 0, 1)[..., None]  # (T, B, 1)
+
+        def body(carry, inp):
+            xw_i, m_i = inp
+            return self._cell(carry, xw_i, m_i)
+
+        final, outs = lax.scan(body, initial_state, (xw_t, mask_t), unroll=self.unroll)
+        return jnp.swapaxes(outs, 0, 1), final
+
+    def step(self, x_t, state):
+        """Single timestep (decode path). x_t: (B, input_size)."""
+        xw = x_t @ self.w_ih + self.b_ih
+        ones = jnp.ones((x_t.shape[0], 1), dtype=bool)
+        (h, c), out = self._cell(state, xw, ones)
+        return out, (h, c)
+
+
+class StackedRNN(nn.Module):
+    """Multi-layer (optionally bidirectional) RNN with inter-layer dropout,
+    equivalent in capability to torch.nn.{LSTM,GRU,RNN}(batch_first=True)."""
+
+    input_size: int
+    hidden_size: int
+    num_layers: int
+    rnn_type: str = "lstm"
+    dropout: float = 0.0
+    bidirectional: bool = False
+    unroll: int = 1
+
+    def setup(self):
+        fwd, bwd = [], []
+        for layer in range(self.num_layers):
+            in_size = self.input_size if layer == 0 else (
+                2 * self.hidden_size if self.bidirectional else self.hidden_size
+            )
+            fwd.append(RNNLayer(in_size, self.hidden_size, self.rnn_type,
+                                self.unroll, name=f"fwd_{layer}"))
+            if self.bidirectional:
+                bwd.append(RNNLayer(in_size, self.hidden_size, self.rnn_type,
+                                    self.unroll, name=f"bwd_{layer}"))
+        self.fwd_layers = fwd
+        self.bwd_layers = bwd
+        # Inter-layer dropout (torch applies it to every layer's output except
+        # the last, encoder.py:73). Must be constructed here, not in __call__.
+        self.drop = nn.Dropout(self.dropout) if self.dropout > 0.0 else None
+
+    @property
+    def output_size(self) -> int:
+        return (2 if self.bidirectional else 1) * self.hidden_size
+
+    def _pack_state(self, finals):
+        """List (layers) of per-dir (h, c) tuples -> RNNState."""
+        h = jnp.stack([jnp.stack([f[d][0] for d in range(len(finals[0]))])
+                       for f in finals])  # (L, D, B, H)
+        if self.rnn_type == "lstm":
+            c = jnp.stack([jnp.stack([f[d][1] for d in range(len(finals[0]))])
+                           for f in finals])
+            return RNNState(h, c)
+        return RNNState(h, None)
+
+    def _layer_state(self, state: Optional[RNNState], layer: int, direction: int,
+                     batch: int, dtype):
+        if state is None:
+            z = jnp.zeros((batch, self.hidden_size), dtype)
+            return (z, z)
+        h = state.h[layer, direction]
+        c = state.c[layer, direction] if state.c is not None else jnp.zeros_like(h)
+        return (h, c)
+
+    def __call__(self, x, lengths=None, initial_state: Optional[RNNState] = None,
+                 deterministic: bool = True):
+        """x: (B, T, F); lengths: (B,) or None (= all T).
+        Returns (outputs (B, T, D*H), RNNState)."""
+        B, T = x.shape[0], x.shape[1]
+        if lengths is None:
+            lengths = jnp.full((B,), T, jnp.int32)
+        mask = length_mask(lengths, T)
+        out = x
+        finals = []
+        for layer in range(self.num_layers):
+            dirs = []
+            f_out, f_fin = self.fwd_layers[layer](
+                out, mask, self._layer_state(initial_state, layer, 0, B, x.dtype))
+            dirs.append(f_fin)
+            if self.bidirectional:
+                rev = flip_sequences(out, lengths)
+                b_out, b_fin = self.bwd_layers[layer](
+                    rev, mask, self._layer_state(initial_state, layer, 1, B, x.dtype))
+                b_out = flip_sequences(b_out, lengths)
+                out = jnp.concatenate([f_out, b_out], axis=-1)
+                dirs.append(b_fin)
+            else:
+                out = f_out
+            finals.append(tuple(dirs))
+            if self.drop is not None and layer < self.num_layers - 1:
+                out = self.drop(out, deterministic=deterministic)
+        return out, self._pack_state(finals)
+
+    def step(self, x_t, state: Optional[RNNState]):
+        """Single-step stateful mode (unidirectional only) — the decode-path
+        equivalent of the reference's prev_hidden_state threading
+        (``networks/decoder.py:121-123``). x_t: (B, input_size)."""
+        if self.bidirectional:
+            raise ValueError("step() requires a unidirectional RNN")
+        B = x_t.shape[0]
+        out = x_t
+        finals = []
+        for layer in range(self.num_layers):
+            s = self._layer_state(state, layer, 0, B, x_t.dtype)
+            out, fin = self.fwd_layers[layer].step(out, s)
+            finals.append((fin,))
+        return out, self._pack_state(finals)

@@ -1,0 +1,66 @@
+"""RNN-Transducer model: encoder + prediction net + joint.
+
+Capability-equivalent to the reference's ``JointNet`` wrapper
+(``networks/transducer.py:27-93``), which combines ``AudioTransNet``,
+``TextPredNet`` and the joint projection into the training forward that emits
+the (B, T, U+1, V) logits lattice.  Decoding lives in
+``rnntransducer_tpu.decode`` (scan-based greedy, host/device beam) rather than
+as methods here — the decode loops are framework features, not model layers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rnntransducer_tpu.config import ModelConfig
+from rnntransducer_tpu.models.cells import RNNState
+from rnntransducer_tpu.models.encoder import AudioEncoder
+from rnntransducer_tpu.models.joint import JointNetwork
+from rnntransducer_tpu.models.prednet import PredictionNet
+
+
+class RNNTransducer(nn.Module):
+    cfg: ModelConfig
+    unroll: int = 1
+
+    def setup(self):
+        self.encoder = AudioEncoder(self.cfg.transnet, self.unroll)
+        self.prednet = PredictionNet(self.cfg.prednet, self.unroll)
+        self.joint = JointNetwork(self.cfg.jointnet)
+
+    def __call__(self, audio, audio_lengths, text, text_lengths,
+                 deterministic: bool = True):
+        """Training/validation forward (``networks/transducer.py:73-93``).
+
+        audio: (B, T, n_mels); text: (B, U+1) blank-prepended labels.
+        Returns (B, T, U+1, V) logits.
+        """
+        enc, _ = self.encoder(audio, audio_lengths, deterministic=deterministic)
+        dec, _ = self.prednet(text, text_lengths, deterministic=deterministic)
+        return self.joint(enc, dec)
+
+    # -- decode-path building blocks (bound via nn.apply with method=...) ---
+    def encode(self, audio, audio_lengths=None, initial_state: Optional[RNNState] = None,
+               deterministic: bool = True) -> Tuple[jnp.ndarray, RNNState]:
+        return self.encoder(audio, audio_lengths, initial_state, deterministic)
+
+    def predict(self, text, text_lengths=None, initial_state: Optional[RNNState] = None,
+                deterministic: bool = True) -> Tuple[jnp.ndarray, RNNState]:
+        return self.prednet(text, text_lengths, initial_state, deterministic)
+
+    def predict_step(self, token, state: Optional[RNNState]):
+        return self.prednet.step(token, state)
+
+    def joint_step(self, enc_t, dec_u):
+        """Pointwise joint for decode: enc_t (B, De), dec_u (B, Dd) ->
+        (B, V) logits."""
+        return self.joint(enc_t, dec_u)
+
+    def init_variables(self, rng, max_t: int = 8, max_u: int = 4):
+        audio = jnp.zeros((1, max_t, self.cfg.transnet.input_size), jnp.float32)
+        text = jnp.zeros((1, max_u), jnp.int32)
+        return self.init(rng, audio, jnp.array([max_t]), text, jnp.array([max_u]))

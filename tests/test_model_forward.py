@@ -1,0 +1,55 @@
+"""Forward-pass shape/behavior tests for the combined transducer model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import rnntransducer_tpu as rt
+from rnntransducer_tpu.models import RNNTransducer
+
+
+def _tiny_model():
+    cfg = rt.tiny_config()
+    return RNNTransducer(cfg.model), cfg
+
+
+def test_lattice_shape_and_finite():
+    model, cfg = _tiny_model()
+    rng = jax.random.PRNGKey(0)
+    B, T, U1 = 2, 12, 5
+    audio = jax.random.normal(rng, (B, T, 80))
+    text = jnp.zeros((B, U1), jnp.int32)
+    v = model.init(rng, audio, jnp.array([T, 7]), text, jnp.array([U1, 3]))
+    out = model.apply(v, audio, jnp.array([T, 7]), text, jnp.array([U1, 3]))
+    assert out.shape == (B, T, U1, cfg.model.jointnet.num_classes)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_dropout_config_trains():
+    """Regression: dropout>0 configs used to crash (Dropout built outside
+    setup). The full base config (8L bi-GRU, dropout 0.2) must run in both
+    eval and train mode."""
+    cfg = rt.base_config()
+    model = RNNTransducer(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    audio = jax.random.normal(rng, (1, 10, 80))
+    text = jnp.zeros((1, 4), jnp.int32)
+    v = model.init(rng, audio, jnp.array([10]), text, jnp.array([4]))
+    o_eval = model.apply(v, audio, jnp.array([10]), text, jnp.array([4]))
+    o_train = model.apply(v, audio, jnp.array([10]), text, jnp.array([4]),
+                          deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert bool(jnp.isfinite(o_eval).all()) and bool(jnp.isfinite(o_train).all())
+    assert float(jnp.abs(o_eval - o_train).max()) > 1e-4
+
+
+def test_pad_embedding_is_zero():
+    model, cfg = _tiny_model()
+    rng = jax.random.PRNGKey(0)
+    text = jnp.zeros((1, 3), jnp.int32)
+    audio = jnp.zeros((1, 4, 80))
+    v = model.init(rng, audio, jnp.array([4]), text, jnp.array([3]))
+    # pad token embeds to exactly zero (networks/decoder.py:69 padding_idx)
+    emb_fn = lambda tok: model.apply(v, tok, None, method=model.predict_step)
+    out_pad, _ = emb_fn(jnp.array([cfg.model.prednet.pad_token_id]))
+    out_tok, _ = emb_fn(jnp.array([5]))
+    assert float(jnp.abs(out_pad - out_tok).max()) > 1e-6  # different paths
