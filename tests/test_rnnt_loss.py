@@ -1,0 +1,126 @@
+"""RNN-T loss: JAX implementation vs NumPy oracle, plus finite differences.
+
+Parity target: 1e-5 on loss and gradients (BASELINE.md north star)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rnntransducer_tpu.ops import rnnt_loss
+from rnntransducer_tpu.ops import rnnt_numpy
+
+
+def _rand_case(rng, B, T, U, V, full=False):
+    logits = rng.randn(B, T, U + 1, V).astype(np.float32)
+    labels = rng.randint(1, V, size=(B, U)).astype(np.int32)
+    if full:
+        t_len = np.full((B,), T, np.int32)
+        u_len = np.full((B,), U, np.int32)
+    else:
+        t_len = rng.randint(max(1, T // 2), T + 1, size=(B,)).astype(np.int32)
+        u_len = rng.randint(1, U + 1, size=(B,)).astype(np.int32)
+        # RNN-T requires T >= 1; also keep U <= something emittable
+        u_len = np.minimum(u_len, t_len * 3)
+    return logits, labels, t_len, u_len
+
+
+@pytest.mark.parametrize("shape,full", [
+    ((2, 5, 3, 7), True),
+    ((3, 8, 4, 11), False),
+    ((1, 1, 0, 5), True),        # degenerate: empty label sequence
+    ((2, 12, 6, 72), False),     # realistic vocab
+])
+def test_loss_matches_oracle(shape, full):
+    B, T, U, V = shape
+    rng = np.random.RandomState(0)
+    logits, labels, t_len, u_len = _rand_case(rng, B, T, U, V, full)
+    want_losses, _ = rnnt_numpy.rnnt_loss(logits, labels, t_len, u_len,
+                                          reduction="none")
+    got = rnnt_loss(jnp.asarray(logits), jnp.asarray(labels),
+                    jnp.asarray(t_len), jnp.asarray(u_len), reduction="none")
+    np.testing.assert_allclose(np.asarray(got), want_losses, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 5, 3, 7), (2, 9, 4, 12)])
+def test_grad_matches_oracle(shape):
+    B, T, U, V = shape
+    rng = np.random.RandomState(1)
+    logits, labels, t_len, u_len = _rand_case(rng, B, T, U, V)
+    _, want_grad = rnnt_numpy.rnnt_loss(logits, labels, t_len, u_len,
+                                        reduction="mean")
+    f = lambda lg: rnnt_loss(lg, jnp.asarray(labels), jnp.asarray(t_len),
+                             jnp.asarray(u_len), reduction="mean")
+    got_grad = jax.grad(f)(jnp.asarray(logits))
+    np.testing.assert_allclose(np.asarray(got_grad), want_grad,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grad_finite_differences():
+    """Independent check of the analytic gradient (not via the oracle's own
+    occupancy formula): central finite differences on a tiny lattice."""
+    B, T, U, V = 1, 3, 2, 4
+    rng = np.random.RandomState(2)
+    logits, labels, t_len, u_len = _rand_case(rng, B, T, U, V, full=True)
+    f = lambda lg: rnnt_loss(lg, jnp.asarray(labels), jnp.asarray(t_len),
+                             jnp.asarray(u_len), reduction="sum")
+    g = np.asarray(jax.grad(f)(jnp.asarray(logits)))
+    eps = 1e-3
+    for idx in [(0, 0, 0, 0), (0, 1, 1, labels[0, 1]), (0, 2, 2, 0), (0, 2, 1, 3)]:
+        lp = logits.copy(); lp[idx] += eps
+        lm = logits.copy(); lm[idx] -= eps
+        fd = (float(f(jnp.asarray(lp))) - float(f(jnp.asarray(lm)))) / (2 * eps)
+        assert abs(fd - g[idx]) < 5e-3, (idx, fd, g[idx])
+
+
+def test_padded_positions_get_zero_grad():
+    B, T, U, V = 2, 6, 3, 5
+    rng = np.random.RandomState(3)
+    logits, labels, t_len, u_len = _rand_case(rng, B, T, U, V)
+    t_len[:] = [4, 6]; u_len[:] = [2, 3]
+    f = lambda lg: rnnt_loss(lg, jnp.asarray(labels), jnp.asarray(t_len),
+                             jnp.asarray(u_len), reduction="sum")
+    g = np.asarray(jax.grad(f)(jnp.asarray(logits)))
+    assert np.abs(g[0, 4:]).max() == 0.0
+    assert np.abs(g[0, :, 3:]).max() == 0.0
+    # and padding the lattice must not change the loss
+    big = np.zeros((B, T + 5, U + 3 + 1, V), np.float32)
+    big[:, :T, :U + 1] = logits
+    l1 = rnnt_loss(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(t_len),
+                   jnp.asarray(u_len), reduction="none")
+    l2 = rnnt_loss(jnp.asarray(big), jnp.asarray(np.pad(labels, ((0, 0), (0, 3)))),
+                   jnp.asarray(t_len), jnp.asarray(u_len), reduction="none")
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_logits_supported():
+    """One implementation covers both reference backends (fp32 warp + fp16
+    torchaudio): bf16 in, finite loss and grads out."""
+    B, T, U, V = 2, 8, 4, 12
+    rng = np.random.RandomState(4)
+    logits, labels, t_len, u_len = _rand_case(rng, B, T, U, V)
+    lg = jnp.asarray(logits, jnp.bfloat16)
+    f = lambda x: rnnt_loss(x, jnp.asarray(labels), jnp.asarray(t_len),
+                            jnp.asarray(u_len))
+    loss, grad = jax.value_and_grad(f)(lg)
+    assert np.isfinite(float(loss))
+    assert grad.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(grad.astype(jnp.float32)).all())
+    # close to the fp32 result at bf16 resolution
+    loss32 = f(jnp.asarray(logits))
+    assert abs(float(loss) - float(loss32)) / abs(float(loss32)) < 0.05
+
+
+def test_reductions():
+    B, T, U, V = 3, 5, 2, 6
+    rng = np.random.RandomState(5)
+    logits, labels, t_len, u_len = _rand_case(rng, B, T, U, V, full=True)
+    args = (jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(t_len),
+            jnp.asarray(u_len))
+    none = np.asarray(rnnt_loss(*args, reduction="none"))
+    assert none.shape == (B,)
+    np.testing.assert_allclose(float(rnnt_loss(*args, reduction="mean")),
+                               none.mean(), rtol=1e-6)
+    np.testing.assert_allclose(float(rnnt_loss(*args, reduction="sum")),
+                               none.sum(), rtol=1e-6)
