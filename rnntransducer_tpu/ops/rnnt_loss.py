@@ -99,11 +99,26 @@ def _shift_up(x, axis, fill=NEG):
     return jnp.pad(x[tuple(sl)], pad, constant_values=fill)
 
 
-def _alpha_beta(bl, lb, t_len, u_len):
+def _pick_sweep(backend: str):
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from rnntransducer_tpu.ops.rnnt_pallas import sweep_pallas
+        return sweep_pallas
+    if backend == "pallas_interpret":
+        from rnntransducer_tpu.ops.rnnt_pallas import sweep_pallas
+        return partial(sweep_pallas, interpret=True)
+    if backend == "xla":
+        return _sweep
+    raise ValueError(f"unknown rnnt_loss backend: {backend}")
+
+
+def _alpha_beta(bl, lb, t_len, u_len, backend: str = "xla"):
     """Returns (alpha, beta, logZ) for the compacted lattice.
     bl/lb: (B, T, U+1) float32; beta includes the final-blank emission."""
     B, T, U1 = bl.shape
-    alpha = _sweep(bl, lb)
+    sweep = _pick_sweep(backend)
+    alpha = sweep(bl, lb)
 
     bidx = jnp.arange(B)
     t_last = jnp.clip(t_len.astype(jnp.int32) - 1, 0, T - 1)
@@ -120,28 +135,28 @@ def _alpha_beta(bl, lb, t_len, u_len):
     # destination cell's original emission: shift flipped bl by one along t
     be_rev = _shift_up(blf, axis=1)
     le_rev = _shift_up(lbf, axis=2)
-    beta_excl_f = _sweep(be_rev, le_rev)
+    beta_excl_f = sweep(be_rev, le_rev)
     beta = _flip2d(beta_excl_f, t_len, u1_len) + final_bl[:, None, None]
     return alpha, beta, logZ
 
 
-def _core_fwd_impl(bl, lb, t_len, u_len):
-    alpha, beta, logZ = _alpha_beta(bl, lb, t_len, u_len)
+def _core_fwd_impl(backend, bl, lb, t_len, u_len):
+    alpha, beta, logZ = _alpha_beta(bl, lb, t_len, u_len, backend)
     return -logZ, (alpha, beta, logZ)
 
 
-@jax.custom_vjp
-def _rnnt_core(bl, lb, t_len, u_len):
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _rnnt_core(backend, bl, lb, t_len, u_len):
     """Per-sample negative log-likelihood (B,) from compacted log-probs."""
-    return _core_fwd_impl(bl, lb, t_len, u_len)[0]
+    return _core_fwd_impl(backend, bl, lb, t_len, u_len)[0]
 
 
-def _core_fwd(bl, lb, t_len, u_len):
-    loss, (alpha, beta, logZ) = _core_fwd_impl(bl, lb, t_len, u_len)
+def _core_fwd(backend, bl, lb, t_len, u_len):
+    loss, (alpha, beta, logZ) = _core_fwd_impl(backend, bl, lb, t_len, u_len)
     return loss, (bl, lb, t_len, u_len, alpha, beta, logZ)
 
 
-def _core_bwd(res, g):
+def _core_bwd(backend, res, g):
     bl, lb, t_len, u_len, alpha, beta, logZ = res
     B, T, U1 = bl.shape
     ti = jax.lax.broadcasted_iota(jnp.int32, (B, T, U1), 1)
@@ -186,9 +201,9 @@ def compact_lattice(logits, labels, blank: int = 0):
     return bl, lb
 
 
-@partial(jax.jit, static_argnames=("blank", "reduction"))
+@partial(jax.jit, static_argnames=("blank", "reduction", "backend"))
 def rnnt_loss(logits, labels, logit_lengths, label_lengths, blank: int = 0,
-              reduction: str = "mean"):
+              reduction: str = "mean", backend: str = "auto"):
     """Drop-in equivalent of warp-transducer / torchaudio RNNTLoss
     (called at reference ``model.py:57,74``).
 
@@ -199,7 +214,7 @@ def rnnt_loss(logits, labels, logit_lengths, label_lengths, blank: int = 0,
     both here, SURVEY.md §2.2 N1/N2).
     """
     bl, lb = compact_lattice(logits, labels, blank)
-    losses = _rnnt_core(bl, lb, logit_lengths, label_lengths)
+    losses = _rnnt_core(backend, bl, lb, logit_lengths, label_lengths)
     if reduction == "mean":
         return losses.mean()
     if reduction == "sum":
