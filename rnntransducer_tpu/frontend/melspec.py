@@ -1,0 +1,129 @@
+"""On-device log-mel frontend.
+
+Capability-equivalent of the reference's offline CPU pipeline
+(``datamodule.py:48-90``: per-utterance mean-var norm -> torchaudio
+MelSpectrogram(sr=16000, win=400, n_fft=400, hop=160, n_mels=80) -> log1p) and
+the inline inference frontend (``inference.py:32-51``) — but computed inside
+the jitted step on TPU, so augmentation can be re-randomized every epoch
+instead of baked into the saved dataset (SURVEY.md §3.2 note).
+
+Numerics match what the reference actually executed: torchaudio defaults are
+a periodic Hann window (the config's "hamming" is loaded but never applied,
+``datamodule.py:61-63``), center=True reflect padding, power-2 spectrum, HTK
+mel scale, no filterbank norm, f_min=0, f_max=sr/2.  Golden tests anchor the
+STFT against torch.stft and the filterbank against the published HTK formula.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnntransducer_tpu.config import AudioConfig
+
+
+def hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(n_freqs: int, n_mels: int, sample_rate: int,
+                   f_min: float = 0.0, f_max: Optional[float] = None) -> np.ndarray:
+    """(n_freqs, n_mels) triangular HTK-scale filterbank, norm=None
+    (torchaudio MelScale defaults)."""
+    f_max = f_max if f_max is not None else sample_rate / 2.0
+    all_freqs = np.linspace(0, sample_rate // 2, n_freqs)
+    m_pts = np.linspace(hz_to_mel(f_min), hz_to_mel(f_max), n_mels + 2)
+    f_pts = mel_to_hz(m_pts)
+    f_diff = f_pts[1:] - f_pts[:-1]                      # (n_mels+1,)
+    slopes = f_pts[None, :] - all_freqs[:, None]         # (n_freqs, n_mels+2)
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    return fb.astype(np.float32)
+
+
+def hann_window(win_length: int, periodic: bool = True) -> np.ndarray:
+    n = win_length if periodic else win_length - 1
+    t = np.arange(win_length, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * t / n)).astype(np.float32)
+
+
+def hamming_window(win_length: int, periodic: bool = True) -> np.ndarray:
+    n = win_length if periodic else win_length - 1
+    t = np.arange(win_length, dtype=np.float64)
+    return (0.54 - 0.46 * np.cos(2.0 * np.pi * t / n)).astype(np.float32)
+
+
+WINDOWS = {"hann": hann_window, "hamming": hamming_window}
+
+
+def num_frames(num_samples: int, hop_length: int) -> int:
+    """center=True STFT frame count."""
+    return num_samples // hop_length + 1
+
+
+def mean_var_normalize(wav, wav_lengths=None, eps: float = 1e-7):
+    """Per-utterance (x - mean) / sqrt(var + eps) over the valid samples
+    (``datamodule.py:87-90``, ``inference.py:33``). wav: (B, S)."""
+    if wav_lengths is None:
+        mean = wav.mean(axis=-1, keepdims=True)
+        var = wav.var(axis=-1, keepdims=True)
+        return (wav - mean) / jnp.sqrt(var + eps)
+    S = wav.shape[-1]
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (wav.shape[0], S), 1)
+            < wav_lengths[:, None].astype(jnp.int32))
+    n = jnp.maximum(wav_lengths.astype(jnp.float32), 1.0)[:, None]
+    wavm = jnp.where(mask, wav, 0.0)
+    mean = wavm.sum(-1, keepdims=True) / n
+    var = (jnp.where(mask, (wav - mean), 0.0) ** 2).sum(-1, keepdims=True) / n
+    out = (wav - mean) / jnp.sqrt(var + eps)
+    return jnp.where(mask, out, 0.0)
+
+
+def stft_power(wav, n_fft: int, hop_length: int, window: jnp.ndarray):
+    """Power spectrogram matching torch.stft(center=True, pad_mode='reflect',
+    onesided, power=2). wav: (B, S) -> (B, frames, n_fft//2+1)."""
+    pad = n_fft // 2
+    x = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+    n_frm = num_frames(wav.shape[-1], hop_length)
+    idx = (jnp.arange(n_frm)[:, None] * hop_length + jnp.arange(n_fft)[None, :])
+    frames = x[:, idx] * window[None, None, :]
+    spec = jnp.fft.rfft(frames, axis=-1)
+    return (spec.real ** 2 + spec.imag ** 2).astype(jnp.float32)
+
+
+class LogMelFrontend:
+    """Precomputes window + filterbank once; __call__ is jit-friendly.
+
+    Output: (B, frames, n_mels) log1p mel features + frame lengths, i.e. the
+    (seq, mel) layout the reference materializes at ``datamodule.py:154-160``.
+    """
+
+    def __init__(self, cfg: AudioConfig):
+        self.cfg = cfg
+        self.window = jnp.asarray(WINDOWS[cfg.window](cfg.win_length))
+        self.fb = jnp.asarray(mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels,
+                                             cfg.sample_rate))
+
+    @partial(jax.jit, static_argnums=(0,))
+    def __call__(self, wav, wav_lengths=None):
+        """wav: (B, S) float32 PCM at cfg.sample_rate."""
+        if self.cfg.normalize:
+            wav = mean_var_normalize(wav, wav_lengths)
+        power = stft_power(wav, self.cfg.n_fft, self.cfg.hop_length, self.window)
+        mel = jnp.einsum("btf,fm->btm", power, self.fb,
+                         preferred_element_type=jnp.float32)
+        feats = jnp.log1p(mel)
+        if wav_lengths is None:
+            lengths = jnp.full((wav.shape[0],), feats.shape[1], jnp.int32)
+        else:
+            lengths = wav_lengths.astype(jnp.int32) // self.cfg.hop_length + 1
+        return feats, lengths

@@ -1,0 +1,121 @@
+"""Frontend golden tests: JAX STFT vs torch.stft, HTK mel filterbank values,
+full log-mel pipeline vs a torch-built oracle (replicating torchaudio
+MelSpectrogram defaults with torch core ops), SpecAugment semantics."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from rnntransducer_tpu.config import AudioConfig
+from rnntransducer_tpu.frontend import (
+    LogMelFrontend, hann_window, mean_var_normalize, mel_filterbank,
+    num_frames, spec_augment, stft_power,
+)
+
+
+def _torch_logmel(wav_np, cfg: AudioConfig):
+    """Oracle: torchaudio MelSpectrogram defaults via torch core ops."""
+    wav = torch.from_numpy(wav_np)
+    win = torch.hann_window(cfg.win_length)
+    spec = torch.stft(wav, n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                      win_length=cfg.win_length, window=win, center=True,
+                      pad_mode="reflect", return_complex=True, onesided=True)
+    power = spec.abs() ** 2                                # (B, F, frames)
+    fb = torch.from_numpy(mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels,
+                                         cfg.sample_rate))
+    mel = torch.einsum("bft,fm->bmt", power, fb)
+    return torch.log1p(mel).transpose(1, 2).numpy()       # (B, frames, mels)
+
+
+def test_stft_matches_torch():
+    cfg = AudioConfig()
+    rng = np.random.RandomState(0)
+    wav = rng.randn(2, 16000).astype(np.float32)
+    win = hann_window(cfg.win_length)
+    got = np.asarray(stft_power(jnp.asarray(wav), cfg.n_fft, cfg.hop_length,
+                                jnp.asarray(win)))
+    tspec = torch.stft(torch.from_numpy(wav), n_fft=cfg.n_fft,
+                       hop_length=cfg.hop_length, win_length=cfg.win_length,
+                       window=torch.from_numpy(win), center=True,
+                       pad_mode="reflect", return_complex=True)
+    want = (tspec.abs() ** 2).transpose(1, 2).numpy()
+    assert got.shape == want.shape == (2, num_frames(16000, 160), 201)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_hann_window_matches_torch():
+    np.testing.assert_allclose(hann_window(400),
+                               torch.hann_window(400).numpy(), atol=1e-6)
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(201, 80, 16000)
+    assert fb.shape == (201, 80)
+    assert fb.min() >= 0.0
+    # every filter has support (narrow low-freq triangles under-sample the
+    # unit analytic peak — matching torchaudio norm=None behavior)
+    assert np.all(fb.max(axis=0) > 0.0)
+    # HTK anchor: mel(1000 Hz) = 999.99 mel
+    from rnntransducer_tpu.frontend.melspec import hz_to_mel, mel_to_hz
+    np.testing.assert_allclose(hz_to_mel(1000.0), 999.9855, atol=1e-3)
+    np.testing.assert_allclose(mel_to_hz(hz_to_mel(437.0)), 437.0, atol=1e-6)
+
+
+def test_full_logmel_pipeline_matches_oracle():
+    cfg = AudioConfig(normalize=False)
+    rng = np.random.RandomState(1)
+    wav = (rng.randn(2, 8000) * 0.1).astype(np.float32)
+    fe = LogMelFrontend(cfg)
+    feats, lengths = fe(jnp.asarray(wav))
+    want = _torch_logmel(wav, cfg)
+    assert feats.shape == want.shape
+    np.testing.assert_allclose(np.asarray(feats), want, rtol=1e-4, atol=1e-4)
+    assert int(lengths[0]) == 8000 // 160 + 1
+
+
+def test_mean_var_normalize_masked():
+    rng = np.random.RandomState(2)
+    wav = rng.randn(2, 100).astype(np.float32) * 3 + 1
+    out = mean_var_normalize(jnp.asarray(wav), jnp.array([100, 60]))
+    o = np.asarray(out)
+    # valid region has ~zero mean / unit var
+    np.testing.assert_allclose(o[0].mean(), 0.0, atol=1e-5)
+    np.testing.assert_allclose(o[0].var(), 1.0, atol=1e-3)
+    np.testing.assert_allclose(o[1, :60].mean(), 0.0, atol=1e-5)
+    np.testing.assert_allclose(o[1, :60].var(), 1.0, atol=1e-3)
+    assert np.all(o[1, 60:] == 0.0)
+    # matches the reference's exact formula on full-length rows
+    want = (wav[0] - wav[0].mean()) / np.sqrt(wav[0].var() + 1e-7)
+    np.testing.assert_allclose(o[0], want, atol=1e-5)
+
+
+def test_frontend_with_lengths_zeroes_consistently():
+    cfg = AudioConfig()
+    fe = LogMelFrontend(cfg)
+    rng = np.random.RandomState(3)
+    wav = rng.randn(2, 4800).astype(np.float32)
+    feats, lengths = fe(jnp.asarray(wav), jnp.array([4800, 3200]))
+    assert int(lengths[0]) == 31 and int(lengths[1]) == 21
+    assert bool(jnp.isfinite(feats).all())
+
+
+def test_spec_augment():
+    rng = np.random.RandomState(4)
+    feats = jnp.asarray(rng.rand(4, 100, 80).astype(np.float32) + 1.0)
+    out = spec_augment(jax.random.PRNGKey(0), feats)
+    o = np.asarray(out)
+    assert o.shape == feats.shape
+    # masked values are exactly zero; each utterance has some masking
+    for b in range(4):
+        zero_frac = (o[b] == 0).mean()
+        assert 0.0 <= zero_frac < 0.6
+    # masks differ across utterances (per-sample keys)
+    assert not np.array_equal(o[0] == 0, o[1] == 0)
+    # masks differ across keys
+    out2 = spec_augment(jax.random.PRNGKey(1), feats)
+    assert not np.array_equal(np.asarray(out2), o)
+    # deterministic given the key
+    out3 = spec_augment(jax.random.PRNGKey(0), feats)
+    np.testing.assert_array_equal(np.asarray(out3), o)
