@@ -1,0 +1,113 @@
+"""Batched scan greedy decode vs a per-utterance Python oracle implementing
+the reference algorithm (networks/transducer.py:95-145) step by step."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import rnntransducer_tpu as rt
+from rnntransducer_tpu.decode import greedy_decode
+from rnntransducer_tpu.models import RNNTransducer
+
+
+def _make_model(seed=0):
+    cfg = rt.Config(model=rt.config.ModelConfig(
+        transnet=rt.config.TransNetConfig(input_size=8, hidden_size=16,
+                                          output_size=12, num_layers=1,
+                                          rnn_type="lstm", dropout=0.0,
+                                          bidirectional=True),
+        prednet=rt.config.PredNetConfig(embedding_size=11, hidden_size=16,
+                                        output_size=12, num_layers=1,
+                                        rnn_type="lstm", dropout=0.0),
+        jointnet=rt.config.JointNetConfig(num_classes=11),
+    ))
+    model = RNNTransducer(cfg.model)
+    rng = jax.random.PRNGKey(seed)
+    audio = jnp.zeros((1, 4, 8))
+    text = jnp.zeros((1, 3), jnp.int32)
+    variables = model.init(rng, audio, jnp.array([4]), text, jnp.array([3]))
+    return model, variables
+
+
+def _oracle_greedy(model, variables, feats, lengths, blank=0, max_iters=3):
+    """Reference recognize_greedy, per utterance, against our modules."""
+    enc, _ = model.apply(variables, feats, lengths, method=model.encode)
+    enc = np.asarray(enc)
+    results = []
+    for b in range(feats.shape[0]):
+        pred_tokens = [blank]
+        state = None
+        dec_out, state = model.apply(variables, jnp.array([blank]), state,
+                                     method=model.predict_step)
+        for t in range(int(lengths[b])):
+            u = 0
+            while u < max_iters:
+                logits = model.apply(variables, jnp.asarray(enc[b, t:t + 1]),
+                                     dec_out, method=model.joint_step)
+                tok = int(jnp.argmax(logits[0]))
+                if tok != blank:
+                    if pred_tokens[-1] != tok:
+                        pred_tokens.append(tok)
+                    dec_out, state = model.apply(variables, jnp.array([tok]),
+                                                 state, method=model.predict_step)
+                    u += 1
+                else:
+                    break
+        results.append(pred_tokens[1:])
+    return results
+
+
+def test_scan_matches_oracle():
+    model, variables = _make_model()
+    rng = np.random.RandomState(0)
+    B, T = 3, 12
+    feats = jnp.asarray(rng.randn(B, T, 8).astype(np.float32))
+    lengths = jnp.array([12, 7, 10], jnp.int32)
+    want = _oracle_greedy(model, variables, feats, lengths)
+    toks, lens = greedy_decode(model, variables, feats, lengths,
+                               max_output_len=64)
+    toks, lens = np.asarray(toks), np.asarray(lens)
+    for b in range(B):
+        got = list(toks[b, :lens[b]])
+        assert got == want[b], (b, got, want[b])
+
+
+def test_nonzero_output_on_random_model():
+    """Sanity: a random model should emit at least some tokens on some input
+    (not a vacuous all-blank comparison)."""
+    for seed in range(4):
+        model, variables = _make_model(seed)
+        rng = np.random.RandomState(seed)
+        feats = jnp.asarray(rng.randn(2, 16, 8).astype(np.float32) * 2)
+        toks, lens = greedy_decode(model, variables, feats,
+                                   jnp.array([16, 16]), max_output_len=64)
+        if int(np.asarray(lens).sum()) > 0:
+            return
+    raise AssertionError("no model emitted any token in 4 seeds")
+
+
+def test_respects_lengths():
+    model, variables = _make_model()
+    rng = np.random.RandomState(1)
+    feats = np.zeros((2, 16, 8), np.float32)
+    base = rng.randn(10, 8).astype(np.float32)
+    feats[0, :10] = base
+    feats[1, :10] = base
+    feats[1, 10:] = rng.randn(6, 8)  # garbage past the valid length
+    toks, lens = greedy_decode(model, variables, jnp.asarray(feats),
+                               jnp.array([10, 10]), max_output_len=64)
+    toks, lens = np.asarray(toks), np.asarray(lens)
+    # Note: a bidirectional encoder sees padding via the backward scan mask,
+    # so identical valid prefixes + equal lengths must decode identically.
+    assert lens[0] == lens[1]
+    assert list(toks[0]) == list(toks[1])
+
+
+def test_max_output_len_cap():
+    model, variables = _make_model()
+    rng = np.random.RandomState(2)
+    feats = jnp.asarray(rng.randn(1, 20, 8).astype(np.float32) * 3)
+    toks, lens = greedy_decode(model, variables, feats, jnp.array([20]),
+                               max_output_len=4)
+    assert int(lens[0]) <= 4
