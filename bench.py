@@ -1,0 +1,87 @@
+"""Benchmark: training throughput (utterances/sec/chip) including the RNN-T
+loss, on the flagship config — the BASELINE.md headline metric.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference publishes no throughput numbers (README Result
+section is empty; BASELINE.md). Its author reports <50% utilization on an
+RTX 3090 at batch=1/device with the 8-layer bi-GRU config (README.md:66).
+We use an estimated 8 utterances/sec for that setup as the comparison point
+(cuDNN bi-GRU over ~5s utterances + warp-transducer at batch 1); vs_baseline
+is measured_value / 8.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_UTT_PER_SEC = 8.0
+
+# Flagship step shape: ~5.1 s utterances (T=512 frames @10 ms hop), U=48
+# graphemes, batch 8 per chip — the reference's model config from
+# config/config.json with bf16 + Pallas RNN-T loss.
+B, T, U = 8, 512, 48
+WARMUP, ITERS = 3, 20
+
+
+def main():
+    import rnntransducer_tpu as rt
+    from rnntransducer_tpu.config import TrainConfig
+    import dataclasses
+    from rnntransducer_tpu.train import TrainState, make_optimizer, train_step
+
+    cfg = rt.base_config()
+    cfg = dataclasses.replace(cfg, train=TrainConfig(
+        precision="bf16", accumulate_grad_batches=1, max_steps=1000))
+
+    rng = np.random.RandomState(0)
+    V = cfg.model.jointnet.num_classes
+    targets = rng.randint(1, V, size=(B, U)).astype(np.int32)
+    text_in = np.concatenate([np.zeros((B, 1), np.int32), targets], axis=1)
+    batch = {
+        "feats": jnp.asarray(rng.randn(B, T, 80).astype(np.float32)),
+        "feat_lengths": jnp.full((B,), T, jnp.int32),
+        "text_in": jnp.asarray(text_in),
+        "text_lengths": jnp.full((B,), U + 1, jnp.int32),
+        "targets": jnp.asarray(targets),
+        "target_lengths": jnp.full((B,), U, jnp.int32),
+    }
+
+    tx = make_optimizer(cfg.train)
+    state = TrainState.create(cfg)
+
+    for _ in range(WARMUP):
+        state, metrics = train_step(cfg, tx, state, batch)
+    float(metrics["loss"])  # value fetch = reliable sync (block_until_ready
+    # returns early through the axon TPU tunnel)
+
+    def timed(iters):
+        nonlocal state
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(iters):
+            state, m = train_step(cfg, tx, state, batch)
+        float(m["loss"])
+        return time.perf_counter() - t0
+
+    # slope between two run lengths cancels fixed dispatch/sync overhead
+    d_small = timed(ITERS // 4)
+    d_big = timed(ITERS)
+    dt_per_step = (d_big - d_small) / (ITERS - ITERS // 4)
+    utt_per_sec = B / dt_per_step
+    print(json.dumps({
+        "metric": "train_utterances_per_sec_per_chip",
+        "value": round(utt_per_sec, 2),
+        "unit": "utt/s/chip (B=8, T=512 frames, U=48, bf16, incl. RNN-T loss fwd+bwd)",
+        "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

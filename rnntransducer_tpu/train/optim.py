@@ -1,0 +1,32 @@
+"""Optimizer + LR schedule.
+
+Capability-equivalent of the reference's ``configure_optimizers``
+(``model.py:110-126``): AdamW with a per-step OneCycleLR schedule
+(max_lr=learning_rate, pct_start=warmup_ratio, final_div_factor), built on
+optax (whose cosine_onecycle_schedule matches torch.optim.lr_scheduler.
+OneCycleLR's default cosine annealing strategy).
+"""
+
+from __future__ import annotations
+
+import optax
+
+from rnntransducer_tpu.config import TrainConfig
+
+
+def onecycle_schedule(cfg: TrainConfig) -> optax.Schedule:
+    return optax.cosine_onecycle_schedule(
+        transition_steps=cfg.max_steps,
+        peak_value=cfg.learning_rate,
+        pct_start=cfg.warmup_ratio,
+        div_factor=cfg.div_factor,
+        final_div_factor=cfg.final_div_factor,
+    )
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = onecycle_schedule(cfg)
+    tx = optax.adamw(learning_rate=schedule, weight_decay=cfg.weight_decay)
+    if cfg.grad_clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    return tx

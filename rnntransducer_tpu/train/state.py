@@ -1,0 +1,157 @@
+"""Train state + the jitted training/eval steps.
+
+Capability-equivalent of the reference's LightningModule training machinery
+(``model.py:52-60`` training_step, ``model.py:62-79`` validation_step) plus
+the Lightning flags it leans on (``--precision=16``,
+``--accumulate_grad_batches=16`` at ``scripts/run_train.sh:22,32``):
+
+* bf16 mixed precision: params are stored fp32, cast to bf16 for the forward
+  pass; the RNN-T loss upcasts to fp32 internally (replacing the reference's
+  fp16/backend coupling at ``model.py:28-39``);
+* gradient accumulation as a scanned microbatch loop;
+* optional on-device frontend: the step can consume raw waveforms and run
+  log-mel + SpecAugment inside the compiled step (north star), or consume
+  precomputed features (reference-parity path);
+* data parallelism comes from sharding the batch's leading axis over the
+  mesh's ``data`` axis — XLA inserts the gradient psum (no DDP wrapper, no
+  sync_dist flags, SURVEY.md §2.2 N4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from rnntransducer_tpu.config import Config
+from rnntransducer_tpu.frontend import LogMelFrontend, spec_augment
+from rnntransducer_tpu.models import RNNTransducer
+from rnntransducer_tpu.ops import rnnt_loss
+from rnntransducer_tpu.train.optim import make_optimizer, onecycle_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: optax.OptState
+    rng: jnp.ndarray
+
+    @classmethod
+    def create(cls, cfg: Config, rng=None) -> "TrainState":
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
+        model = build_model(cfg)
+        init_rng, state_rng = jax.random.split(rng)
+        variables = model.init_variables(init_rng)
+        tx = make_optimizer(cfg.train)
+        return cls(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                   opt_state=tx.init(variables["params"]), rng=state_rng)
+
+
+def build_model(cfg: Config) -> RNNTransducer:
+    return RNNTransducer(cfg.model)
+
+
+def _cast(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree)
+
+
+def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
+            deterministic: bool, loss_backend: str = "auto"):
+    """batch keys: either precomputed 'feats' (B,T,M) + 'feat_lengths', or raw
+    'wav' (B,S) + 'wav_lengths'; plus 'text_in' (B,U+1), 'text_lengths',
+    'targets' (B,U), 'target_lengths'."""
+    compute_dtype = jnp.bfloat16 if cfg.train.precision == "bf16" else jnp.float32
+    aug_rng, drop_rng = jax.random.split(rng)
+
+    if "feats" in batch:
+        feats, feat_lengths = batch["feats"], batch["feat_lengths"]
+    else:
+        frontend = LogMelFrontend(cfg.data.audio)
+        feats, feat_lengths = frontend(batch["wav"], batch["wav_lengths"])
+    if not deterministic and cfg.data.audio.spec_augment:
+        feats = spec_augment(
+            aug_rng, feats, feat_lengths,
+            freq_para=cfg.data.audio.freq_mask_para,
+            time_para=cfg.data.audio.time_mask_para,
+            freq_cnt=cfg.data.audio.freq_mask_cnt,
+            time_cnt=cfg.data.audio.time_mask_cnt)
+
+    p = _cast(params, compute_dtype)
+    logits = RNNTransducer(cfg.model).apply(
+        {"params": p}, feats.astype(compute_dtype), feat_lengths,
+        batch["text_in"], batch["text_lengths"],
+        deterministic=deterministic,
+        rngs=None if deterministic else {"dropout": drop_rng})
+    loss = rnnt_loss(logits, batch["targets"], feat_lengths,
+                     batch["target_lengths"], blank=cfg.data.text.pad_token_id,
+                     reduction="mean", backend=loss_backend)
+    return loss
+
+
+@partial(jax.jit, static_argnames=("cfg", "tx", "loss_backend"),
+         donate_argnames=("state",))
+def train_step(cfg: Config, tx, state: TrainState, batch,
+               loss_backend: str = "auto"):
+    """One optimizer step with cfg.train.accumulate_grad_batches microbatches.
+
+    The batch leading axis is (accum * per_device_batch * n_data_shards); it
+    is reshaped to (accum, -1, ...) and scanned, averaging grads — equivalent
+    to Lightning's accumulate_grad_batches (scripts/run_train.sh:22).
+    """
+    model = build_model(cfg)
+    accum = cfg.train.accumulate_grad_batches
+    step_rng = jax.random.fold_in(state.rng, state.step)
+
+    def micro(batch_i, rng_i):
+        return jax.value_and_grad(
+            lambda p: loss_fn(model, cfg, p, batch_i, rng_i,
+                              deterministic=False, loss_backend=loss_backend)
+        )(state.params)
+
+    if accum <= 1:
+        loss, grads = micro(batch, step_rng)
+    else:
+        mb = jax.tree.map(
+            lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
+            batch)
+        rngs = jax.random.split(step_rng, accum)
+
+        def body(carry, inp):
+            loss_acc, grad_acc = carry
+            b_i, r_i = inp
+            loss_i, grads_i = micro(b_i, r_i)
+            return (loss_acc + loss_i,
+                    jax.tree.map(jnp.add, grad_acc, grads_i)), None
+
+        zero = (jnp.zeros(()),
+                jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                             state.params))
+        (loss, grads), _ = jax.lax.scan(body, zero, (mb, rngs))
+        loss = loss / accum
+        grads = jax.tree.map(lambda g: g / accum, grads)
+
+    grads = _cast(grads, jnp.float32)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(step=state.step + 1, params=new_params,
+                              opt_state=new_opt)
+    metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+    return new_state, metrics
+
+
+@partial(jax.jit, static_argnames=("cfg", "loss_backend"))
+def eval_step(cfg: Config, params, batch, loss_backend: str = "auto"):
+    """Validation loss (decode + WER/CER run separately on the eval loop)."""
+    model = build_model(cfg)
+    return loss_fn(model, cfg, params, batch, jax.random.PRNGKey(0),
+                   deterministic=True, loss_backend=loss_backend)
+
+
+def learning_rate_at(cfg: Config, step) -> float:
+    return float(onecycle_schedule(cfg.train)(step))

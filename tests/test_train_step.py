@@ -1,0 +1,167 @@
+"""Train step: loss decreases on a synthetic overfit task, grad accumulation
+equivalence, data-parallel sharding over the 8-virtual-device CPU mesh, and
+schedule/metric/checkpoint units."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import rnntransducer_tpu as rt
+from rnntransducer_tpu.config import (
+    Config, JointNetConfig, ModelConfig, PredNetConfig, TrainConfig,
+    TransNetConfig,
+)
+from rnntransducer_tpu.parallel import make_mesh, replicate, shard_batch
+from rnntransducer_tpu.train import (
+    TrainState, char_error_rate, eval_step, make_optimizer, train_step,
+    word_error_rate,
+)
+
+
+def _tiny_cfg(accum=1, batch=8, spec_augment=False):
+    # spec_augment off by default so rng-dependent masking doesn't break
+    # exact-equivalence tests (accum vs big batch, sharded vs unsharded)
+    from rnntransducer_tpu.config import AudioConfig, DataConfig
+    return Config(
+        data=DataConfig(audio=AudioConfig(spec_augment=spec_augment)),
+        model=ModelConfig(
+            transnet=TransNetConfig(input_size=8, hidden_size=16, output_size=12,
+                                    num_layers=1, rnn_type="lstm", dropout=0.0,
+                                    bidirectional=True),
+            prednet=PredNetConfig(embedding_size=16, hidden_size=16,
+                                  output_size=12, num_layers=1,
+                                  rnn_type="lstm", dropout=0.0),
+            jointnet=JointNetConfig(num_classes=16),
+        ),
+        train=TrainConfig(learning_rate=3e-3, max_steps=200, precision="fp32",
+                          accumulate_grad_batches=accum,
+                          per_device_train_batch_size=batch),
+    )
+
+
+def _batch(cfg, B=8, T=12, U=4, seed=0):
+    rng = np.random.RandomState(seed)
+    V = cfg.model.jointnet.num_classes
+    targets = rng.randint(1, V, size=(B, U)).astype(np.int32)
+    text_in = np.concatenate([np.zeros((B, 1), np.int32), targets], axis=1)
+    return {
+        "feats": jnp.asarray(rng.randn(B, T, 8).astype(np.float32)),
+        "feat_lengths": jnp.asarray(rng.randint(T // 2, T + 1, (B,)), jnp.int32),
+        "text_in": jnp.asarray(text_in),
+        "text_lengths": jnp.full((B,), U + 1, jnp.int32),
+        "targets": jnp.asarray(targets),
+        "target_lengths": jnp.full((B,), U, jnp.int32),
+    }
+
+
+def test_loss_decreases():
+    cfg = _tiny_cfg()
+    object.__setattr__(cfg.train, "max_steps", 80)
+    tx = make_optimizer(cfg.train)
+    state = TrainState.create(cfg)
+    batch = _batch(cfg)
+    first = None
+    for i in range(60):
+        state, metrics = train_step(cfg, tx, state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first * 0.6, (first, last)
+    assert int(state.step) == 60
+
+
+def test_grad_accum_matches_big_batch():
+    """accum=4 over a batch of 8 must match accum=1 on the same data (same
+    grads averaged), modulo dropout rng (disabled here)."""
+    cfg1 = _tiny_cfg(accum=1)
+    cfg4 = _tiny_cfg(accum=4)
+    tx1, tx4 = make_optimizer(cfg1.train), make_optimizer(cfg4.train)
+    s1 = TrainState.create(cfg1)
+    s4 = TrainState.create(cfg4)  # same seed -> same init
+    batch = _batch(cfg1)
+    s1b, m1 = train_step(cfg1, tx1, s1, batch)
+    s4b, m4 = train_step(cfg4, tx4, s4, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]), rtol=1e-5)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     s1b.params, s4b.params)
+    assert max(jax.tree.leaves(d)) < 1e-5
+
+
+def test_data_parallel_8_devices_matches_single():
+    """Sharding the batch across the 8-device CPU mesh must produce the same
+    loss/params as unsharded execution (XLA inserts the psums)."""
+    assert len(jax.devices()) == 8
+    cfg = _tiny_cfg()
+    tx = make_optimizer(cfg.train)
+    batch = _batch(cfg, B=16)
+
+    state_a = TrainState.create(cfg)
+    sa, ma = train_step(cfg, tx, state_a, batch)
+
+    mesh = make_mesh()
+    state_b = replicate(mesh, TrainState.create(cfg))
+    sharded = shard_batch(mesh, batch)
+    sb, mb = train_step(cfg, tx, state_b, sharded)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-5)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), sa.params, sb.params)
+    assert max(jax.tree.leaves(d)) < 1e-5
+
+
+def test_eval_step_and_bf16():
+    cfg = _tiny_cfg()
+    object.__setattr__(cfg.train, "precision", "bf16")
+    state = TrainState.create(cfg)
+    batch = _batch(cfg)
+    loss = eval_step(cfg, state.params, batch)
+    assert np.isfinite(float(loss))
+
+
+def test_onecycle_schedule_shape():
+    from rnntransducer_tpu.train import onecycle_schedule
+    cfg = _tiny_cfg().train
+    s = onecycle_schedule(cfg)
+    lr0 = float(s(0))
+    peak = float(s(int(cfg.max_steps * cfg.warmup_ratio)))
+    end = float(s(cfg.max_steps))
+    np.testing.assert_allclose(lr0, cfg.learning_rate / cfg.div_factor, rtol=1e-5)
+    np.testing.assert_allclose(peak, cfg.learning_rate, rtol=1e-3)
+    assert end < lr0 / 10  # final_div_factor crush
+
+
+def test_wer_cer():
+    preds = ["a b c", "x y"]
+    refs = ["a b d", "x y"]
+    assert word_error_rate(preds, refs) == pytest.approx(1 / 5)
+    assert char_error_rate(["abc"], ["abd"]) == pytest.approx(1 / 3)
+    assert word_error_rate([""], ["a b"]) == pytest.approx(1.0)
+    assert char_error_rate(["abc"], ["abc"]) == 0.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from rnntransducer_tpu.train import CheckpointManager
+    cfg = _tiny_cfg()
+    tx = make_optimizer(cfg.train)
+    state = TrainState.create(cfg)
+    batch = _batch(cfg)
+    state, _ = train_step(cfg, tx, state, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_top_k=2)
+    mgr.save(1, state, metrics={"val_cer": 0.5}, config=cfg)
+    state2, _ = train_step(cfg, tx, state, batch)
+    mgr.save(2, state2, metrics={"val_cer": 0.3})
+    mgr.save(3, state2.replace(step=state2.step + 1), metrics={"val_cer": 0.9})
+    assert mgr.best_step() == 2
+
+    template = TrainState.create(cfg)
+    restored = mgr.restore(template, step=2)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     restored.params, state2.params)
+    assert max(jax.tree.leaves(d)) == 0.0
+    # saved config loads back
+    from rnntransducer_tpu.train import load_config
+    cfg2 = load_config(str(tmp_path / "ckpt"))
+    assert cfg2.model == cfg.model
+    mgr.close()
