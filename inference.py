@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Inference CLI.
+
+Capability-equivalent of the reference's ``inference.py`` (checkpoint load ->
+inline log-mel frontend -> beam/greedy decode -> text,
+``inference.py:13-66``), with the frontend on-device and decoding batched.
+
+Example:
+  python inference.py --checkpoint_dir ckpts --wav sample.wav
+  python inference.py --checkpoint_dir ckpts --wav sample.wav \
+      --decoder beam --beam_width 5 --lm_path lm.arpa
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint_dir", type=str, required=True)
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step (default: best by val_cer, else latest)")
+    p.add_argument("--wav", type=str, nargs="+", required=True)
+    p.add_argument("--vocab_path", type=str, default=None)
+    p.add_argument("--decoder", type=str, default="beam",
+                   choices=["greedy", "beam"])
+    p.add_argument("--beam_width", type=int, default=5)
+    p.add_argument("--improved", action="store_true", default=True)
+    p.add_argument("--no-improved", dest="improved", action="store_false")
+    p.add_argument("--state_beam", type=float, default=4.6)
+    p.add_argument("--expand_beam", type=float, default=2.3)
+    p.add_argument("--lm_path", type=str, default=None,
+                   help="ARPA n-gram LM for shallow fusion")
+    p.add_argument("--lm_weight", type=float, default=1.0)
+    p.add_argument("--hotwords", type=str, nargs="*", default=None)
+    p.add_argument("--hotword_weight", type=float, default=10.0)
+    p.add_argument("--max_output_len", type=int, default=256)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    from rnntransducer_tpu.decode import greedy_decode
+    from rnntransducer_tpu.frontend import LogMelFrontend
+    from rnntransducer_tpu.tokenizer import GraphemeTokenizer
+    from rnntransducer_tpu.train import (
+        CheckpointManager, TrainState, build_model, load_config,
+    )
+    from rnntransducer_tpu.utils.audio_io import read_wav
+
+    cfg = load_config(args.checkpoint_dir)
+    tok = (GraphemeTokenizer.from_file(args.vocab_path or cfg.vocab_path)
+           if (args.vocab_path or cfg.vocab_path)
+           else GraphemeTokenizer.default(cfg.model.jointnet.num_classes))
+
+    mgr = CheckpointManager(args.checkpoint_dir, save_top_k=cfg.train.save_top_k)
+    step = args.step if args.step is not None else (
+        mgr.best_step() or mgr.latest_step())
+    state = mgr.restore(TrainState.create(cfg), step=step)
+    model = build_model(cfg)
+    variables = {"params": state.params}
+
+    wavs = [read_wav(p, cfg.data.audio.sample_rate) for p in args.wav]
+    S = max(len(w) for w in wavs)
+    batch = np.zeros((len(wavs), S), np.float32)
+    lengths = np.zeros((len(wavs),), np.int32)
+    for i, w in enumerate(wavs):
+        batch[i, :len(w)] = w
+        lengths[i] = len(w)
+
+    frontend = LogMelFrontend(cfg.data.audio)
+    feats, feat_lengths = frontend(jnp.asarray(batch), jnp.asarray(lengths))
+
+    if args.decoder == "greedy":
+        toks, lens = greedy_decode(model, variables, feats, feat_lengths,
+                                   blank_id=tok.blank_token_id,
+                                   max_symbols=cfg.train.greedy_max_symbols,
+                                   max_output_len=args.max_output_len)
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        hyps = [list(toks[i, :lens[i]]) for i in range(len(wavs))]
+    else:
+        from rnntransducer_tpu.decode.beam import BeamSearchDecoder
+        lm = None
+        if args.lm_path:
+            from rnntransducer_tpu.decode.ngram_lm import NGramLM
+            lm = NGramLM.load(args.lm_path, weight=args.lm_weight)
+        decoder = BeamSearchDecoder(
+            model, variables, blank_id=tok.blank_token_id, tokenizer=tok,
+            beam_width=args.beam_width, improved=args.improved,
+            state_beam=args.state_beam, expand_beam=args.expand_beam,
+            lm=lm, hotwords=args.hotwords, hotword_weight=args.hotword_weight)
+        hyps = []
+        for i in range(len(wavs)):
+            nbest = decoder.decode(feats[i:i + 1],
+                                   feat_lengths[i:i + 1])
+            hyps.append(nbest[0])
+
+    for path, hyp in zip(args.wav, hyps):
+        print(f"{path}\t{tok.decode(hyp, group_tokens=False)}")
+
+
+if __name__ == "__main__":
+    main()

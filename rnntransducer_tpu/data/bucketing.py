@@ -1,0 +1,84 @@
+"""Length-bucketed batching.
+
+The reference DEFINES a smart-batching sampler (``datasampler.py:10-99``:
+length-descending indices, pad-to-divisible, rank-strided subsample) but never
+wires it in (``datamodule.py:12-13``); SURVEY.md §2.1 calls for making it a
+first-class feature.  On TPU it also serves compilation: every batch is padded
+to its bucket's upper edge, so each (frames, labels) bucket shape compiles
+exactly once.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def bucket_for(length: int, boundaries: Sequence[int]) -> int:
+    """Index of the smallest boundary >= length (lengths beyond the last
+    boundary are clamped into the last bucket)."""
+    for i, b in enumerate(boundaries):
+        if length <= b:
+            return i
+    return len(boundaries) - 1
+
+
+class LengthBucketSampler:
+    """Yields (bucket_idx, [indices]) batches.
+
+    * groups utterances into frame-length buckets,
+    * batches within a bucket (so padding waste is bounded by bucket width),
+    * shuffles deterministically per epoch (seed + epoch, like the reference's
+      ``DistributedSampler`` contract),
+    * optional rank-strided sharding for multi-host data parallelism
+      (``datasampler.py:96`` semantics: indices[rank::world]),
+    * drop_last pads the final partial batch by wrapping around (reference
+      pads to divisibility, ``datasampler.py:87-93``) or drops it.
+    """
+
+    def __init__(self, lengths: Sequence[int], boundaries: Sequence[int],
+                 batch_size: int, seed: int = 0, shuffle: bool = True,
+                 rank: int = 0, world_size: int = 1, drop_last: bool = False):
+        self.lengths = np.asarray(lengths)
+        self.boundaries = tuple(boundaries)
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.rank = rank
+        self.world_size = world_size
+        self.drop_last = drop_last
+
+    def epoch_batches(self, epoch: int = 0) -> List[Tuple[int, np.ndarray]]:
+        rng = np.random.RandomState(self.seed + epoch)
+        buckets: List[List[int]] = [[] for _ in self.boundaries]
+        order = np.arange(len(self.lengths))
+        if self.shuffle:
+            rng.shuffle(order)
+        order = order[self.rank::self.world_size]
+        for idx in order:
+            buckets[bucket_for(int(self.lengths[idx]), self.boundaries)].append(idx)
+
+        batches: List[Tuple[int, np.ndarray]] = []
+        for b_idx, idxs in enumerate(buckets):
+            idxs = np.asarray(idxs)
+            for s in range(0, len(idxs), self.batch_size):
+                chunk = idxs[s:s + self.batch_size]
+                if len(chunk) < self.batch_size:
+                    if self.drop_last or len(idxs) < self.batch_size:
+                        if self.drop_last:
+                            continue
+                        # tiny bucket: wrap-pad to full batch
+                        reps = int(np.ceil(self.batch_size / len(chunk)))
+                        chunk = np.tile(chunk, reps)[:self.batch_size]
+                    else:
+                        # pad from the bucket's own head (wrap-around)
+                        need = self.batch_size - len(chunk)
+                        chunk = np.concatenate([chunk, idxs[:need]])
+                batches.append((b_idx, chunk))
+        if self.shuffle:
+            rng.shuffle(batches)
+        return batches
+
+    def __iter__(self) -> Iterator[Tuple[int, np.ndarray]]:
+        return iter(self.epoch_batches(0))

@@ -1,0 +1,223 @@
+"""Datasets: sharded Arrow reader + offline preprocessing + synthetic data.
+
+Capability-equivalent of the reference's HF-datasets layer:
+
+* ``load_shards`` — ``utils/dataset_utils.get_concat_dataset``
+  (``dataset_utils.py:40-87``): load every ``root/<split>/<shard_idx>`` dir via
+  ``load_from_disk``, concatenate, replay any filters recorded in the
+  ``postprocess_log.json`` ledger;
+* ``prepare_logmel_dataset`` — ``datamodule.save_raw_to_logmelspect_datasets``
+  (``datamodule.py:92-173``): raw float32 PCM -> mean-var norm -> log-mel ->
+  (seq, mel) layout + length columns -> N shards saved to disk, idempotent
+  (skip if target exists, ``datamodule.py:104-106``) with a cache ledger.
+  SpecAugment is deliberately NOT baked in (it runs on-device per step);
+  ``bake_spec_augment=True`` reproduces the reference's offline behavior for
+  parity experiments;
+* ``SyntheticAudioDataset`` — deterministic random utterances for tests/bench.
+
+HF datasets / pyarrow are host-side IO only; nothing here touches the device.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from rnntransducer_tpu.config import AudioConfig
+from rnntransducer_tpu.frontend.melspec import (
+    WINDOWS, mel_filterbank, num_frames,
+)
+
+
+# ---------------------------------------------------------------- numpy DSP
+def _stft_power_np(wav: np.ndarray, n_fft: int, hop: int,
+                   window: np.ndarray) -> np.ndarray:
+    """(S,) -> (frames, n_fft//2+1); same numerics as frontend.stft_power."""
+    pad = n_fft // 2
+    x = np.pad(wav, (pad, pad), mode="reflect")
+    n_frm = num_frames(len(wav), hop)
+    idx = np.arange(n_frm)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = x[idx] * window[None, :]
+    spec = np.fft.rfft(frames, axis=-1)
+    return (spec.real ** 2 + spec.imag ** 2).astype(np.float32)
+
+
+def logmel_np(wav: np.ndarray, cfg: AudioConfig) -> np.ndarray:
+    """Offline (host) log-mel matching the on-device frontend: (S,) float32 ->
+    (frames, n_mels).  Includes the per-utterance mean-var norm when
+    cfg.normalize (datamodule.py:87-90)."""
+    wav = np.asarray(wav, np.float32)
+    if cfg.normalize:
+        wav = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-7)
+    win = WINDOWS[cfg.window](cfg.win_length)
+    fb = mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate)
+    power = _stft_power_np(wav, cfg.n_fft, cfg.hop_length, win)
+    return np.log1p(power @ fb)
+
+
+def spec_augment_np(feats: np.ndarray, cfg: AudioConfig,
+                    rng: np.random.RandomState) -> np.ndarray:
+    """Offline SpecAugment (reference bake-in parity, datamodule.py:74-85)."""
+    T, M = feats.shape
+    out = feats.copy()
+    for _ in range(cfg.freq_mask_cnt):
+        f = rng.uniform(0, cfg.freq_mask_para)
+        f0 = int(rng.uniform(0, max(M - f, 1)))
+        out[:, f0:f0 + int(f)] = 0.0
+    for _ in range(cfg.time_mask_cnt):
+        t = rng.uniform(0, cfg.time_mask_para)
+        t0 = int(rng.uniform(0, max(T - t, 1)))
+        out[t0:t0 + int(t)] = 0.0
+    return out
+
+
+# ---------------------------------------------------------- ledger helpers
+def _ledger_path(dataset_dir: str) -> str:
+    return os.path.join(dataset_dir, "postprocess_log.json")
+
+
+def write_ledger_entry(dataset_dir: str, task: str, train_type: str,
+                       **extra) -> None:
+    """Cache ledger (dataset_utils.py:98-115 equivalent)."""
+    path = _ledger_path(dataset_dir)
+    log = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            log = json.load(f)
+    log.setdefault(train_type, {})[task] = {"time": time.time(), **extra}
+    os.makedirs(dataset_dir, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(log, f, indent=1)
+
+
+def read_ledger(dataset_dir: str) -> dict:
+    path = _ledger_path(dataset_dir)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+# ------------------------------------------------------------ Arrow shards
+def shard_dirs(root: str, split: str) -> List[str]:
+    """root/<split>/<idx> shard layout (dataset_utils.py:13-23)."""
+    base = os.path.join(root, split)
+    if not os.path.isdir(base):
+        return []
+    idxs = sorted((d for d in os.listdir(base) if d.isdigit()), key=int)
+    return [os.path.join(base, d) for d in idxs]
+
+
+def load_shards(roots: Sequence[str], split: str):
+    """Concatenate every shard of every root (get_concat_dataset)."""
+    from datasets import concatenate_datasets, load_from_disk
+
+    parts = []
+    for root in roots:
+        for d in shard_dirs(root, split):
+            parts.append(load_from_disk(d))
+    if not parts:
+        raise FileNotFoundError(f"no shards for split '{split}' under {roots}")
+    return parts[0] if len(parts) == 1 else concatenate_datasets(parts)
+
+
+def prepare_logmel_dataset(source_roots: Sequence[str], target_root: str,
+                           split: str, audio_cfg: AudioConfig,
+                           num_shards: int = 1, num_proc: int = 1,
+                           bake_spec_augment: bool = False,
+                           seed: int = 0) -> None:
+    """Offline raw->log-mel pipeline (datamodule.py:92-173 equivalent).
+
+    Source rows: {'input_values': raw float32 PCM @ sample_rate,
+    'input_ids': grapheme label ids}.  Output rows: {'input_values':
+    (frames, n_mels) float32, 'input_ids', 'audio_len', 'label_len'}.
+    Idempotent: skips if the target split dir already exists.
+    """
+    target = os.path.join(target_root, split)
+    if os.path.isdir(target):
+        return  # datamodule.py:104-106 resume semantics
+
+    ds = load_shards(source_roots, split)
+
+    def to_logmel(batch, idx):
+        feats = logmel_np(np.asarray(batch["input_values"], np.float32),
+                          audio_cfg)
+        if bake_spec_augment:
+            feats = spec_augment_np(
+                feats, audio_cfg, np.random.RandomState(seed + idx))
+        return {"input_values": feats, "audio_len": feats.shape[0],
+                "label_len": len(batch["input_ids"])}
+
+    ds = ds.map(to_logmel, with_indices=True, num_proc=num_proc or None)
+    write_ledger_entry(target_root, "logmel", split,
+                       baked_spec_augment=bake_spec_augment)
+    for shard_idx in range(num_shards):
+        shard = ds.shard(num_shards=num_shards, index=shard_idx)
+        shard.save_to_disk(os.path.join(target, str(shard_idx)))
+
+
+class ArrowAudioDataset:
+    """Random-access view over preprocessed shards, feeding the bucketing
+    sampler (lengths) and collate (feats/labels)."""
+
+    def __init__(self, roots: Sequence[str], split: str):
+        self.ds = load_shards(roots, split)
+        cols = self.ds.column_names
+        self._len_col = "audio_len" if "audio_len" in cols else None
+
+    def __len__(self):
+        return len(self.ds)
+
+    def lengths(self) -> np.ndarray:
+        if self._len_col:
+            return np.asarray(self.ds[self._len_col])
+        return np.asarray([len(r["input_values"]) for r in self.ds])
+
+    def __getitem__(self, i: int) -> dict:
+        row = self.ds[int(i)]
+        return {"feats": np.asarray(row["input_values"], np.float32),
+                "labels": np.asarray(row["input_ids"], np.int32)}
+
+
+class SyntheticAudioDataset:
+    """Deterministic random utterances (for tests, bench, and smoke training):
+    'speech' is filtered noise; labels are random grapheme ids."""
+
+    def __init__(self, n: int, audio_cfg: AudioConfig, vocab_size: int = 72,
+                 min_sec: float = 1.0, max_sec: float = 8.0,
+                 min_labels: int = 4, max_labels: int = 48, seed: int = 0,
+                 as_waveform: bool = False):
+        self.n = n
+        self.cfg = audio_cfg
+        self.vocab_size = vocab_size
+        self.min_sec, self.max_sec = min_sec, max_sec
+        self.min_labels, self.max_labels = min_labels, max_labels
+        self.seed = seed
+        self.as_waveform = as_waveform
+        rng = np.random.RandomState(seed)
+        sr = audio_cfg.sample_rate
+        self._samples = rng.randint(int(min_sec * sr), int(max_sec * sr), n)
+        self._n_labels = rng.randint(min_labels, max_labels + 1, n)
+
+    def __len__(self):
+        return self.n
+
+    def lengths(self) -> np.ndarray:
+        return np.asarray([num_frames(int(s), self.cfg.hop_length)
+                           for s in self._samples])
+
+    def __getitem__(self, i: int) -> dict:
+        rng = np.random.RandomState(self.seed + 1000 + int(i))
+        s = int(self._samples[i])
+        wav = rng.randn(s).astype(np.float32)
+        # crude comb filter so the spectrum has structure
+        wav[1:] += 0.8 * wav[:-1]
+        labels = rng.randint(1, self.vocab_size, int(self._n_labels[i])) \
+                    .astype(np.int32)
+        if self.as_waveform:
+            return {"wav": wav, "labels": labels}
+        return {"feats": logmel_np(wav, self.cfg), "labels": labels}

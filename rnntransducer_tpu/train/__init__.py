@@ -1,4 +1,5 @@
 from rnntransducer_tpu.train.checkpoint import CheckpointManager, load_config
+from rnntransducer_tpu.train.loop import Trainer
 from rnntransducer_tpu.train.metrics import char_error_rate, word_error_rate
 from rnntransducer_tpu.train.optim import make_optimizer, onecycle_schedule
 from rnntransducer_tpu.train.state import (
@@ -6,7 +7,7 @@ from rnntransducer_tpu.train.state import (
 )
 
 __all__ = [
-    "CheckpointManager", "load_config", "char_error_rate", "word_error_rate",
-    "make_optimizer", "onecycle_schedule", "TrainState", "build_model",
-    "eval_step", "learning_rate_at", "train_step",
+    "CheckpointManager", "load_config", "Trainer", "char_error_rate",
+    "word_error_rate", "make_optimizer", "onecycle_schedule", "TrainState",
+    "build_model", "eval_step", "learning_rate_at", "train_step",
 ]

@@ -15,8 +15,13 @@ from rnntransducer_tpu.config import TrainConfig
 
 
 def onecycle_schedule(cfg: TrainConfig) -> optax.Schedule:
+    # optax divides by int(transition_steps * pct_start); if that truncates to
+    # zero (tiny max_steps) every lr is NaN — stretch the schedule so the
+    # warmup phase is at least one step.
+    import math
+    min_steps = int(math.ceil(1.0 / max(cfg.warmup_ratio, 1e-6)))
     return optax.cosine_onecycle_schedule(
-        transition_steps=cfg.max_steps,
+        transition_steps=max(cfg.max_steps, min_steps),
         peak_value=cfg.learning_rate,
         pct_start=cfg.warmup_ratio,
         div_factor=cfg.div_factor,

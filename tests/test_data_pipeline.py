@@ -1,0 +1,153 @@
+"""Data pipeline: bucketing, collate invariants, Arrow shard round-trip,
+offline log-mel parity with the on-device frontend, prefetcher."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from rnntransducer_tpu.config import AudioConfig
+from rnntransducer_tpu.data import (
+    ArrowAudioDataset, DevicePrefetcher, LengthBucketSampler,
+    SyntheticAudioDataset, bucket_for, collate, collate_waveforms, logmel_np,
+    prepare_logmel_dataset, read_ledger,
+)
+from rnntransducer_tpu.frontend import LogMelFrontend
+
+
+def test_bucket_for():
+    assert bucket_for(10, (16, 32, 64)) == 0
+    assert bucket_for(16, (16, 32, 64)) == 0
+    assert bucket_for(17, (16, 32, 64)) == 1
+    assert bucket_for(999, (16, 32, 64)) == 2  # clamp into last
+
+
+def test_sampler_covers_all_and_batches_within_bucket():
+    rng = np.random.RandomState(0)
+    lengths = rng.randint(5, 100, 103)
+    s = LengthBucketSampler(lengths, boundaries=(32, 64, 100), batch_size=8,
+                            seed=1)
+    batches = s.epoch_batches(0)
+    seen = []
+    for b_idx, idxs in batches:
+        assert len(idxs) == 8
+        for i in idxs:
+            assert bucket_for(int(lengths[i]), (32, 64, 100)) == b_idx
+        seen.extend(idxs)
+    assert set(seen) == set(range(103))  # full coverage (wrap-pad allowed)
+    # deterministic per epoch, different across epochs
+    assert [tuple(i) for _, i in s.epoch_batches(0)] == \
+           [tuple(i) for _, i in batches]
+    assert [tuple(i) for _, i in s.epoch_batches(1)] != \
+           [tuple(i) for _, i in batches]
+
+
+def test_sampler_rank_sharding_partitions():
+    lengths = np.random.RandomState(1).randint(5, 100, 64)
+    all_ranks = []
+    for rank in range(4):
+        s = LengthBucketSampler(lengths, (100,), batch_size=4, seed=0,
+                                rank=rank, world_size=4, drop_last=True)
+        for _, idxs in s.epoch_batches(0):
+            all_ranks.extend(idxs)
+    # rank-strided subsets are disjoint (datasampler.py:96 semantics)
+    assert len(all_ranks) == len(set(all_ranks))
+
+
+def test_collate_invariants():
+    items = [
+        {"feats": np.ones((10, 4), np.float32), "labels": np.array([1, 2, 3])},
+        {"feats": np.full((6, 4), 2.0, np.float32), "labels": np.array([4])},
+    ]
+    out = collate(items, max_frames=12, max_labels=5, pad_id=0)
+    assert out["feats"].shape == (2, 12, 4)
+    assert list(out["feat_lengths"]) == [10, 6]
+    # text_in = blank-prepended targets (dataloader.py:27-36)
+    assert list(out["text_in"][0][:5]) == [0, 1, 2, 3, 0]
+    assert list(out["targets"][0][:4]) == [1, 2, 3, 0]
+    # text_len == target_len + 1 (dataloader.py:40)
+    assert list(out["text_lengths"]) == [4, 2]
+    assert out["feats"][1, 6:].sum() == 0.0
+
+
+def test_collate_waveforms():
+    items = [{"wav": np.ones(100, np.float32), "labels": np.array([1, 2])}]
+    out = collate_waveforms(items, max_samples=160, max_labels=4)
+    assert out["wav"].shape == (1, 160)
+    assert int(out["wav_lengths"][0]) == 100
+    assert list(out["text_in"][0][:3]) == [0, 1, 2]
+
+
+def test_offline_logmel_matches_frontend():
+    cfg = AudioConfig()
+    wav = np.random.RandomState(0).randn(4800).astype(np.float32)
+    offline = logmel_np(wav, cfg)
+    fe = LogMelFrontend(cfg)
+    online, lengths = fe(jnp.asarray(wav[None]), jnp.array([4800]))
+    assert offline.shape == (int(lengths[0]), cfg.n_mels)
+    np.testing.assert_allclose(offline, np.asarray(online[0]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_arrow_shard_roundtrip(tmp_path):
+    from datasets import Dataset
+
+    cfg = AudioConfig()
+    rng = np.random.RandomState(0)
+    rows = {
+        "input_values": [rng.randn(rng.randint(1600, 4800)).astype(np.float32)
+                         for _ in range(10)],
+        "input_ids": [rng.randint(1, 72, rng.randint(2, 8)).tolist()
+                      for _ in range(10)],
+    }
+    src = tmp_path / "raw"
+    Dataset.from_dict(rows).save_to_disk(str(src / "dev" / "0"))
+
+    tgt = tmp_path / "logmel"
+    prepare_logmel_dataset([str(src)], str(tgt), "dev", cfg, num_shards=2)
+    # idempotent resume: second call is a no-op
+    prepare_logmel_dataset([str(src)], str(tgt), "dev", cfg, num_shards=2)
+
+    ds = ArrowAudioDataset([str(tgt)], "dev")
+    assert len(ds) == 10
+    lens = ds.lengths()
+    item = ds[0]
+    assert item["feats"].shape == (lens[0], cfg.n_mels)
+    want = logmel_np(np.asarray(rows["input_values"][0]), cfg)
+    np.testing.assert_allclose(item["feats"], want, rtol=1e-5, atol=1e-5)
+    assert list(item["labels"]) == rows["input_ids"][0]
+    ledger = read_ledger(str(tgt))
+    assert "logmel" in ledger["dev"]
+
+
+def test_synthetic_dataset_and_prefetcher():
+    cfg = AudioConfig()
+    ds = SyntheticAudioDataset(8, cfg, min_sec=0.3, max_sec=0.6, seed=0)
+    lens = ds.lengths()
+    assert len(ds) == 8 and len(lens) == 8
+    item = ds[3]
+    assert item["feats"].shape[0] == lens[3]
+    # determinism
+    np.testing.assert_array_equal(ds[3]["feats"], item["feats"])
+
+    sampler = LengthBucketSampler(lens, (64, 128), batch_size=4, seed=0)
+    def host_iter():
+        for b_idx, idxs in sampler.epoch_batches(0):
+            yield collate([ds[i] for i in idxs], max_frames=(64, 128)[b_idx],
+                          max_labels=48)
+    got = list(DevicePrefetcher(host_iter(), size=2))
+    assert len(got) == len(sampler.epoch_batches(0))
+    assert all(hasattr(b["feats"], "devices") for b in got)
+
+
+def test_prefetcher_propagates_errors():
+    def bad_iter():
+        yield {"x": np.zeros(2)}
+        raise RuntimeError("boom")
+    it = DevicePrefetcher(bad_iter(), size=2)
+    next(it)
+    try:
+        next(it)
+    except RuntimeError as e:
+        assert "boom" in str(e)
+    else:
+        raise AssertionError("error not propagated")

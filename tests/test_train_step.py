@@ -165,3 +165,11 @@ def test_checkpoint_roundtrip(tmp_path):
     cfg2 = load_config(str(tmp_path / "ckpt"))
     assert cfg2.model == cfg.model
     mgr.close()
+
+
+def test_onecycle_no_nan_at_tiny_max_steps():
+    """Regression: max_steps*warmup_ratio < 1 used to yield NaN lr."""
+    from rnntransducer_tpu.train import onecycle_schedule
+    s = onecycle_schedule(TrainConfig(max_steps=4, warmup_ratio=0.2))
+    vals = [float(s(i)) for i in range(5)]
+    assert all(np.isfinite(v) for v in vals), vals

@@ -1,0 +1,67 @@
+"""End-to-end trainer smoke: synthetic data -> fit -> validate -> checkpoint
+-> resume, all on the CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+
+import rnntransducer_tpu as rt
+from rnntransducer_tpu.config import (
+    AudioConfig, Config, DataConfig, JointNetConfig, ModelConfig,
+    PredNetConfig, TrainConfig, TransNetConfig,
+)
+from rnntransducer_tpu.data import SyntheticAudioDataset
+from rnntransducer_tpu.train import Trainer
+
+
+def _cfg(tmp_path, max_steps=4):
+    return Config(
+        data=DataConfig(audio=AudioConfig(spec_augment=True),
+                        audio_buckets=(64, 128), label_buckets=(16, 24)),
+        model=ModelConfig(
+            transnet=TransNetConfig(input_size=80, hidden_size=16,
+                                    output_size=12, num_layers=1,
+                                    rnn_type="gru", dropout=0.0,
+                                    bidirectional=True),
+            prednet=PredNetConfig(embedding_size=72, hidden_size=16,
+                                  output_size=12, num_layers=1,
+                                  rnn_type="lstm", dropout=0.0),
+            jointnet=JointNetConfig(num_classes=72),
+        ),
+        train=TrainConfig(max_steps=max_steps, per_device_train_batch_size=1,
+                          per_device_eval_batch_size=2, precision="fp32",
+                          log_every_steps=1, val_every_steps=100,
+                          checkpoint_dir=str(tmp_path / "ckpt"),
+                          learning_rate=1e-3),
+    )
+
+
+def _ds(n=12, seed=0):
+    return SyntheticAudioDataset(n, AudioConfig(), min_sec=0.3, max_sec=1.2,
+                                 min_labels=3, max_labels=10, seed=seed)
+
+
+def test_fit_validate_checkpoint_resume(tmp_path):
+    cfg = _cfg(tmp_path)
+    trainer = Trainer(cfg, _ds(12), val_dataset=_ds(4, seed=9))
+    state = trainer.fit()
+    assert int(state.step) == 4
+    assert trainer.ckpt.latest_step() == 4
+    val = trainer.validate(max_batches=1)
+    assert np.isfinite(val["val_loss"])
+    assert 0.0 <= val["val_cer"] <= 2.0
+
+    # metrics.jsonl written
+    import json, os
+    path = os.path.join(cfg.train.checkpoint_dir, "metrics.jsonl")
+    lines = [json.loads(l) for l in open(path)]
+    assert any(r.get("split") == "train" for r in lines)
+    assert any(r.get("split") == "val" for r in lines)
+
+    # resume continues from step 4
+    cfg2 = _cfg(tmp_path, max_steps=6)
+    trainer2 = Trainer(cfg2, _ds(12), val_dataset=None)
+    state2 = trainer2.fit(resume=True)
+    assert int(state2.step) == 6
+    trainer.ckpt.close()
+    trainer2.ckpt.close()

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Capability-equivalent of the reference's ``train.py`` + ``scripts/run_train.sh``
+(argparse over a JSON model/data config, ``train.py:14-58``) — but one process
+drives every chip in the slice via the data mesh, so there is no torchrun rank
+spawn, no 30-day DDP timeout workaround (``train.py:41-45``), and
+preprocessing runs (idempotently) before the mesh is touched.
+
+Examples:
+  # smoke-train on synthetic data (any backend, incl. CPU)
+  python train.py --synthetic 64 --max_steps 20 --checkpoint_dir /tmp/ckpt
+
+  # preprocess raw HF-dataset shards into log-mel shards, then train
+  python train.py --config configs/base.json \
+      --hf_data_dirs /data/raw --pl_data_dir /data/logmel \
+      --checkpoint_dir ckpts --max_steps 100000
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from rnntransducer_tpu.config import Config, TrainConfig
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON config (reference config/config.json schema)")
+    p.add_argument("--vocab_path", type=str, default=None)
+    # data (mirrors utils/lightningmodule_args.py surface)
+    p.add_argument("--hf_data_dirs", type=str, nargs="*", default=None,
+                   help="raw HF-dataset roots to preprocess")
+    p.add_argument("--pl_data_dir", type=str, default=None,
+                   help="preprocessed log-mel shard root")
+    p.add_argument("--num_shards", type=int, default=20)
+    p.add_argument("--num_proc", type=int, default=None)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic utterances instead of real data")
+    # train overrides
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--weight_decay", type=float, default=None)
+    p.add_argument("--warmup_ratio", type=float, default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--per_device_train_batch_size", type=int, default=None)
+    p.add_argument("--per_device_eval_batch_size", type=int, default=None)
+    p.add_argument("--accumulate_grad_batches", type=int, default=None)
+    p.add_argument("--precision", type=str, default=None,
+                   choices=["bf16", "fp32"])
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--val_every_steps", type=int, default=None)
+    p.add_argument("--log_every_steps", type=int, default=None)
+    p.add_argument("--checkpoint_dir", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--loss_backend", type=str, default="auto",
+                   choices=["auto", "pallas", "xla", "pallas_interpret"])
+    return p.parse_args()
+
+
+def build_config(args) -> Config:
+    cfg = Config.from_json(args.config) if args.config else Config()
+    overrides = {k: getattr(args, k) for k in (
+        "learning_rate", "weight_decay", "warmup_ratio", "max_steps",
+        "per_device_train_batch_size", "per_device_eval_batch_size",
+        "accumulate_grad_batches", "precision", "seed", "val_every_steps",
+        "log_every_steps", "checkpoint_dir") if getattr(args, k) is not None}
+    train = dataclasses.replace(cfg.train, **overrides)
+    return dataclasses.replace(cfg, train=train,
+                               vocab_path=args.vocab_path or cfg.vocab_path)
+
+
+def main():
+    args = parse_args()
+    cfg = build_config(args)
+
+    from rnntransducer_tpu.data import (
+        ArrowAudioDataset, SyntheticAudioDataset, prepare_logmel_dataset,
+    )
+    from rnntransducer_tpu.train import Trainer
+
+    if args.synthetic:
+        train_ds = SyntheticAudioDataset(
+            args.synthetic, cfg.data.audio,
+            vocab_size=cfg.model.jointnet.num_classes, seed=cfg.train.seed)
+        val_ds = SyntheticAudioDataset(
+            max(args.synthetic // 8, 2), cfg.data.audio,
+            vocab_size=cfg.model.jointnet.num_classes,
+            seed=cfg.train.seed + 1)
+    else:
+        assert args.pl_data_dir, "--pl_data_dir (or --synthetic N) required"
+        if args.hf_data_dirs:
+            # offline preprocessing, idempotent (datamodule.prepare_data
+            # equivalent); no rank-0 barrier needed — single driver process
+            for split in ("train", "dev", "eval_clean", "eval_other"):
+                try:
+                    prepare_logmel_dataset(
+                        args.hf_data_dirs, args.pl_data_dir, split,
+                        cfg.data.audio, num_shards=(
+                            args.num_shards if split == "train" else 1),
+                        num_proc=args.num_proc or 1)
+                except FileNotFoundError:
+                    print(f"[prepare] no source for split '{split}', skipping")
+        train_ds = ArrowAudioDataset([args.pl_data_dir], "train")
+        val_ds = ArrowAudioDataset([args.pl_data_dir], "dev")
+
+    trainer = Trainer(cfg, train_ds, val_dataset=val_ds,
+                      loss_backend=args.loss_backend)
+    state = trainer.fit(resume=args.resume)
+    print(f"done at step {int(state.step)}; checkpoints in "
+          f"{cfg.train.checkpoint_dir}")
+
+
+if __name__ == "__main__":
+    main()
