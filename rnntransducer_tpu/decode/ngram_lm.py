@@ -1,0 +1,138 @@
+"""Python binding for the native C++ n-gram LM (native/ngram_lm.cpp) —
+capability-equivalent of the reference's KenLM-via-pyctcdecode stack
+(``networks/transducer.py:22-24``, ``inference.py:29``).
+
+Scoring semantics mirror pyctcdecode.LanguageModel:
+
+* ``score(state, word, is_last_word)``: backoff n-gram log-prob, converted
+  from ARPA log10 to natural log, scaled by ``alpha`` (lm weight) plus a
+  constant ``beta`` word-insertion bonus; OOV words take a fixed penalty;
+  ``is_last_word`` also scores ``</s>``;
+* ``score_partial_token(tok)``: 0 if any vocab word starts with ``tok``,
+  otherwise a length-scaled unknown penalty (pyctcdecode's char-trie check).
+
+State is the tuple of the last (order-1) word ids — cheap, hashable, and
+explicit (KenLM hides this in an opaque state object).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import math
+import os
+import subprocess
+from typing import Optional, Tuple
+
+_LOG10 = math.log(10.0)
+UNK_PENALTY = -10.0        # pyctcdecode UNK_SCORE_OFFSET
+AVG_TOKEN_LEN = 6          # pyctcdecode AVG_TOKEN_LEN
+DEFAULT_ALPHA = 0.5
+DEFAULT_BETA = 1.5
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+
+
+def _load_lib() -> ctypes.CDLL:
+    so = os.path.join(_NATIVE_DIR, "libngram_lm.so")
+    if not os.path.exists(so):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(so)
+    lib.ngram_load.restype = ctypes.c_void_p
+    lib.ngram_load.argtypes = [ctypes.c_char_p]
+    lib.ngram_free.argtypes = [ctypes.c_void_p]
+    lib.ngram_order.restype = ctypes.c_int
+    lib.ngram_order.argtypes = [ctypes.c_void_p]
+    lib.ngram_vocab_size.restype = ctypes.c_int
+    lib.ngram_vocab_size.argtypes = [ctypes.c_void_p]
+    lib.ngram_word_id.restype = ctypes.c_int
+    lib.ngram_word_id.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.ngram_score.restype = ctypes.c_float
+    lib.ngram_score.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_int32),
+                                ctypes.c_int, ctypes.c_int32]
+    lib.ngram_has_prefix.restype = ctypes.c_int
+    lib.ngram_has_prefix.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    return lib
+
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _lib_handle() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        _lib = _load_lib()
+    return _lib
+
+
+LMState = Tuple[int, ...]  # last (order-1) word ids
+
+
+class NGramLM:
+    """ARPA n-gram LM with KenLM-style shallow-fusion scoring."""
+
+    def __init__(self, handle: int, alpha: float = DEFAULT_ALPHA,
+                 beta: float = DEFAULT_BETA):
+        self._h = handle
+        self._lib = _lib_handle()
+        self.order = self._lib.ngram_order(self._h)
+        self.alpha = alpha
+        self.beta = beta
+        self._bos = self.word_id("<s>")
+        self._eos = self.word_id("</s>")
+
+    @classmethod
+    def load(cls, arpa_path: str, weight: float = DEFAULT_ALPHA,
+             beta: float = DEFAULT_BETA) -> "NGramLM":
+        h = _lib_handle().ngram_load(arpa_path.encode())
+        if not h:
+            raise FileNotFoundError(f"cannot load ARPA LM: {arpa_path}")
+        return cls(h, alpha=weight, beta=beta)
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._lib is not None:
+            self._lib.ngram_free(self._h)
+            self._h = None
+
+    # -- low level -----------------------------------------------------
+    def word_id(self, word: str) -> int:
+        return self._lib.ngram_word_id(self._h, word.encode())
+
+    def raw_score(self, context_ids: Tuple[int, ...], word_id: int) -> float:
+        """log10 P(word | context) with backoff."""
+        arr = (ctypes.c_int32 * len(context_ids))(*context_ids)
+        return self._lib.ngram_score(self._h, arr, len(context_ids), word_id)
+
+    def has_prefix(self, prefix: str) -> bool:
+        return bool(self._lib.ngram_has_prefix(self._h, prefix.encode()))
+
+    # -- pyctcdecode-compatible surface ---------------------------------
+    def get_start_state(self) -> LMState:
+        return (self._bos,) if self._bos >= 0 else ()
+
+    def score(self, prev_state: LMState, word: str,
+              is_last_word: bool = False) -> Tuple[float, LMState]:
+        wid = self.word_id(word)
+        if wid < 0:
+            lm_log10 = UNK_PENALTY / _LOG10  # fixed OOV penalty (natural -10)
+            new_state = prev_state
+        else:
+            lm_log10 = self.raw_score(prev_state or (), wid)
+            new_state = (tuple(prev_state or ()) + (wid,))[-(self.order - 1):]
+        score = self.alpha * lm_log10 * _LOG10 + self.beta
+        if is_last_word and self._eos >= 0:
+            score += self.alpha * self.raw_score(new_state, self._eos) * _LOG10
+        return score, new_state
+
+    def score_partial_token(self, partial: str) -> float:
+        if not partial:
+            return 0.0
+        if self.has_prefix(partial):
+            unk = 0.0
+        else:
+            unk = UNK_PENALTY
+        if len(partial) > AVG_TOKEN_LEN:
+            unk = unk * len(partial) / AVG_TOKEN_LEN
+        return self.alpha * unk

@@ -1,0 +1,209 @@
+"""Beam search + native n-gram LM + hotwords."""
+
+import math
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import rnntransducer_tpu as rt
+from rnntransducer_tpu.decode.beam import BeamSearchDecoder
+from rnntransducer_tpu.decode import greedy_decode
+from rnntransducer_tpu.decode.hotwords import HotwordScorer
+from rnntransducer_tpu.models import RNNTransducer
+from rnntransducer_tpu.ops import rnnt_loss
+from rnntransducer_tpu.tokenizer import GraphemeTokenizer
+
+
+# ----------------------------------------------------------------- ARPA LM
+ARPA = textwrap.dedent(r"""
+\data\
+ngram 1=7
+ngram 2=4
+
+\1-grams:
+-1.0    <s>    -0.5
+-1.0    </s>
+-0.6    the    -0.3
+-1.2    cat    -0.2
+-1.4    dog    -0.2
+-0.9    sat    -0.4
+-2.0    <unk>
+
+\2-grams:
+-0.3    <s> the
+-0.4    the cat
+-0.9    the dog
+-0.5    cat sat
+
+\end\
+""").strip()
+
+
+@pytest.fixture(scope="module")
+def lm_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("lm") / "test.arpa"
+    p.write_text(ARPA)
+    return str(p)
+
+
+def test_ngram_load_and_score(lm_path):
+    from rnntransducer_tpu.decode.ngram_lm import NGramLM
+    lm = NGramLM.load(lm_path, weight=1.0, beta=0.0)
+    assert lm.order == 2
+    the, cat = lm.word_id("the"), lm.word_id("cat")
+    assert the >= 0 and cat >= 0
+    # exact bigram hit
+    np.testing.assert_allclose(lm.raw_score((the,), cat), -0.4, atol=1e-6)
+    # backoff: P(dog | cat) = backoff(cat) + P(dog) = -0.2 + -1.4
+    dog = lm.word_id("dog")
+    np.testing.assert_allclose(lm.raw_score((cat,), dog), -1.6, atol=1e-5)
+    # unigram
+    np.testing.assert_allclose(lm.raw_score((), the), -0.6, atol=1e-6)
+    # prefix queries (vocab trie equivalent)
+    assert lm.has_prefix("ca") and lm.has_prefix("the")
+    assert not lm.has_prefix("zz")
+
+
+def test_ngram_pyctcdecode_surface(lm_path):
+    from rnntransducer_tpu.decode.ngram_lm import NGramLM
+    lm = NGramLM.load(lm_path, weight=1.0, beta=0.0)
+    s0 = lm.get_start_state()
+    score, s1 = lm.score(s0, "the")
+    # P(the | <s>) = -0.3 (log10) -> natural
+    np.testing.assert_allclose(score, -0.3 * math.log(10), atol=1e-5)
+    score2, s2 = lm.score(s1, "cat")
+    np.testing.assert_allclose(score2, -0.4 * math.log(10), atol=1e-5)
+    # OOV penalty
+    score3, _ = lm.score(s2, "zebra")
+    assert score3 < -5
+    # partial tokens: in-vocab prefix free, garbage penalized
+    assert lm.score_partial_token("ca") == 0.0
+    assert lm.score_partial_token("zz") < 0
+
+
+def test_hotword_scorer():
+    hw = HotwordScorer.build_scorer(["cat", "catfish"], weight=2.0)
+    assert bool(hw)
+    assert "ca" in hw and "catf" in hw and "x" not in hw
+    assert hw.score("the cat sat") == 2.0 * 3
+    assert hw.score("concatenate things") == 0.0  # whole words only
+    assert hw.score_partial_token("ca") > 0
+    assert HotwordScorer.build_scorer(None).score("cat") == 0.0
+
+
+# ----------------------------------------------------------- beam search
+def _make_model(seed=0, V=6):
+    cfg = rt.config.ModelConfig(
+        transnet=rt.config.TransNetConfig(input_size=6, hidden_size=12,
+                                          output_size=8, num_layers=1,
+                                          rnn_type="lstm", dropout=0.0,
+                                          bidirectional=False),
+        prednet=rt.config.PredNetConfig(embedding_size=V, hidden_size=12,
+                                        output_size=8, num_layers=1,
+                                        rnn_type="lstm", dropout=0.0),
+        jointnet=rt.config.JointNetConfig(num_classes=V),
+    )
+    model = RNNTransducer(cfg)
+    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 3, 6)),
+                           jnp.array([3]), jnp.zeros((1, 2), jnp.int32),
+                           jnp.array([2]))
+    return model, variables
+
+
+def _exhaustive_best(model, variables, feats, T, V, max_u=3):
+    """Brute-force: score every label sequence up to max_u via the exact
+    RNN-T marginal (rnnt_loss) and return ranking by normalized log-prob
+    using the reference's normalization (len includes the blank seed)."""
+    import itertools
+    cands = []
+    for u in range(0, max_u + 1):
+        for seq in itertools.product(range(1, V), repeat=u):
+            # beam can't produce consecutive duplicates
+            if any(seq[i] == seq[i + 1] for i in range(len(seq) - 1)):
+                continue
+            cands.append(list(seq))
+    scores = {}
+    for seq in cands:
+        U = len(seq)
+        text_in = jnp.asarray([[0] + seq], jnp.int32)
+        logits = model.apply(variables, feats, jnp.array([T]), text_in,
+                             jnp.array([U + 1]))
+        nll = rnnt_loss(logits, jnp.asarray([seq + [0] * (max_u - U)],
+                                            jnp.int32)[:, :max(U, 1)],
+                        jnp.array([T]), jnp.array([U]), reduction="none")
+        scores[tuple(seq)] = -float(nll[0]) / (U + 1)
+    return sorted(scores.items(), key=lambda kv: -kv[1])
+
+
+def test_beam_finds_high_probability_sequences():
+    """With a wide beam and no pruning, the top beam hypothesis should land
+    in the brute-force top set (beam scores per-expansion, not marginalized,
+    so exact rank-1 agreement isn't guaranteed in theory — require top-3)."""
+    V = 5
+    model, variables = _make_model(seed=3, V=V)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(1, 3, 6).astype(np.float32) * 2)
+
+    decoder = BeamSearchDecoder(model, variables, blank_id=0, tokenizer=None,
+                                beam_width=16, improved=False)
+    nbest = decoder.decode(feats, jnp.array([3]))
+    assert len(nbest) > 0
+    ranked = _exhaustive_best(model, variables, feats, T=3, V=V)
+    scores = dict(ranked)
+    best = ranked[0][1]
+    # beam scores single alignments (no prefix merging, like the reference)
+    # while the exhaustive ranking sums over all alignments, so on a flat
+    # random model the picks can differ: require the chosen sequence's exact
+    # normalized marginal to be near-optimal (sanity, not exact optimality)
+    got = scores[tuple(nbest[0])]
+    assert got >= best - 0.3, (nbest[0], got, ranked[:5])
+
+
+def test_improved_pruning_still_reasonable():
+    V = 5
+    model, variables = _make_model(seed=3, V=V)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(1, 3, 6).astype(np.float32) * 2)
+    full = BeamSearchDecoder(model, variables, blank_id=0, tokenizer=None,
+                             beam_width=16, improved=False)
+    fast = BeamSearchDecoder(model, variables, blank_id=0, tokenizer=None,
+                             beam_width=16, improved=True)
+    a = full.decode(feats, jnp.array([3]))
+    b = fast.decode(feats, jnp.array([3]))
+    assert tuple(b[0]) in {tuple(x) for x in a[:4]}
+
+
+def test_beam_with_lm_and_hotwords_runs(lm_path):
+    from rnntransducer_tpu.decode.ngram_lm import NGramLM
+    V = 6
+    model, variables = _make_model(seed=1, V=V)
+    # tiny vocab aligned with the model's 6 classes: 0=pad/blank, 4=| delim
+    tok = GraphemeTokenizer({"<pad>": 0, "<unk>": 1, "c": 2, "a": 3,
+                             "|": 4, "t": 5})
+    lm = NGramLM.load(lm_path, weight=0.5)
+    rng = np.random.RandomState(2)
+    feats = jnp.asarray(rng.randn(1, 4, 6).astype(np.float32))
+    dec = BeamSearchDecoder(model, variables, blank_id=0, tokenizer=tok,
+                            beam_width=4, improved=True, lm=lm,
+                            hotwords=["cat"], hotword_weight=3.0)
+    nbest = dec.decode(feats, jnp.array([4]))
+    assert isinstance(nbest, list) and len(nbest) >= 1
+    for hyp in nbest:
+        assert all(t != 0 for t in hyp)  # no blanks in output
+
+
+def test_beam_deterministic():
+    V = 5
+    model, variables = _make_model(seed=4, V=V)
+    feats = jnp.asarray(np.random.RandomState(1).randn(1, 5, 6)
+                        .astype(np.float32))
+    dec = BeamSearchDecoder(model, variables, blank_id=0, tokenizer=None,
+                            beam_width=4)
+    a = dec.decode(feats, jnp.array([5]))
+    b = dec.decode(feats, jnp.array([5]))
+    assert a == b
