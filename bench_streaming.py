@@ -1,0 +1,85 @@
+"""Streaming decode benchmark: RTF + p50 first-token latency (BASELINE.md
+north-star config 4). Prints one JSON line.
+
+Run on the real TPU chip: python bench_streaming.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    import rnntransducer_tpu as rt
+    from rnntransducer_tpu.config import AudioConfig
+    from rnntransducer_tpu.decode.streaming import StreamingRecognizer
+    from rnntransducer_tpu.models import RNNTransducer
+
+    # streaming model: unidirectional encoder (base width, 6 layers)
+    cfg = rt.config.ModelConfig(
+        transnet=rt.config.TransNetConfig(input_size=80, hidden_size=1024,
+                                          output_size=512, num_layers=6,
+                                          rnn_type="lstm", dropout=0.0,
+                                          bidirectional=False),
+        prednet=rt.config.PredNetConfig(embedding_size=72, hidden_size=1024,
+                                        output_size=512, num_layers=2,
+                                        rnn_type="lstm", dropout=0.0),
+        jointnet=rt.config.JointNetConfig(num_classes=72),
+    )
+    acfg = AudioConfig(normalize=False)
+    model = RNNTransducer(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80)),
+                           jnp.array([8]), jnp.zeros((1, 2), jnp.int32),
+                           jnp.array([2]))
+
+    sr = acfg.sample_rate
+    chunk_ms = 100
+    chunk = sr * chunk_ms // 1000
+    utt_sec = 10.0
+    n_utts = 5
+    rng = np.random.RandomState(0)
+
+    rtfs, first_tok = [], []
+    for u in range(n_utts + 1):  # first utterance = warmup/compile
+        wav = (rng.randn(int(sr * utt_sec)) * 2).astype(np.float32)
+        rec = StreamingRecognizer(model, variables, acfg, chunk_frames=64,
+                                  normalize="none")
+        t0 = time.perf_counter()
+        tft = None
+        compute = 0.0
+        for s in range(0, len(wav), chunk):
+            c0 = time.perf_counter()
+            toks = rec.feed(wav[s:s + chunk])
+            compute += time.perf_counter() - c0
+            if toks and tft is None:
+                # latency = compute time until first emission (audio arrival
+                # time excluded: feed is instantaneous in this harness)
+                tft = time.perf_counter() - t0
+        c0 = time.perf_counter()
+        rec.flush()
+        compute += time.perf_counter() - c0
+        if u == 0:
+            continue
+        rtfs.append(compute / utt_sec)
+        if tft is not None:
+            first_tok.append(tft)
+
+    rtf = float(np.median(rtfs))
+    p50 = float(np.median(first_tok)) if first_tok else -1.0
+    print(json.dumps({
+        "metric": "streaming_decode_rtf",
+        "value": round(rtf, 4),
+        "unit": f"RTF (6L uni-LSTM 1024, greedy, {chunk_ms}ms chunks; "
+                f"p50 first-token latency {p50:.3f}s)",
+        "vs_baseline": round(1.0 / max(rtf, 1e-9), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

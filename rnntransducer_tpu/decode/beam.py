@@ -33,6 +33,20 @@ from rnntransducer_tpu.models.transducer import RNNTransducer
 
 
 @partial(jax.jit, static_argnames=("model",))
+def _encode(model: RNNTransducer, variables, feats, feat_lengths):
+    enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
+    return enc
+
+
+def _zero_prednet_state(model: RNNTransducer):
+    cfg = model.cfg.prednet
+    h = jnp.zeros((cfg.num_layers, 1, 1, cfg.hidden_size), jnp.float32)
+    c = h if cfg.rnn_type.lower() == "lstm" else None
+    from rnntransducer_tpu.models.cells import RNNState
+    return RNNState(h, c)
+
+
+@partial(jax.jit, static_argnames=("model",))
 def _predict_joint_step(model: RNNTransducer, variables, enc_t, token, state):
     """enc_t: (1, De); token: (1,); state: RNNState. Returns (log_probs (V,),
     new_state)."""
@@ -130,9 +144,7 @@ class BeamSearchDecoder:
         """feats: (1, T, n_mels) — like the reference, real-time inference is
         batch-1 by design (transducer.py:267). Returns n-best token lists."""
         model, variables = self.model, self.variables
-        enc, _ = model.apply(variables, feats, feat_lengths,
-                             method=model.encode)
-        enc = np.asarray(enc[0])
+        enc = np.asarray(_encode(model, variables, feats, feat_lengths)[0])
         T = int(feat_lengths[0])
 
         start_lm_state = self.lm.get_start_state() if self.lm else None
@@ -140,10 +152,7 @@ class BeamSearchDecoder:
         cached_partial: dict = {}
 
         # zero prednet state template (== feeding with None in the reference)
-        _, zero_state = model.apply(variables,
-                                    jnp.array([self.blank_id], jnp.int32),
-                                    None, method=model.predict_step)
-        zero_state = jax.tree.map(jnp.zeros_like, zero_state)
+        zero_state = _zero_prednet_state(model)
 
         B_hyps = [_Hyp(0.0, [self.blank_id], zero_state, 0.0, start_lm_state)]
 

@@ -14,48 +14,68 @@ in one compiled ``lax.scan`` over frames with a static bounded symbol loop:
   frames beyond each utterance's true length are skipped.
 
 Static shapes: outputs land in a fixed (B, max_output_len) buffer + lengths.
+The decode carry (prediction-net state + output buffer) is an explicit value,
+so the same compiled function serves both offline decoding and chunked
+streaming (decode/streaming.py) — the carry IS the streaming API.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
+from rnntransducer_tpu.models.cells import RNNState
 from rnntransducer_tpu.models.transducer import RNNTransducer
 
 
-@partial(jax.jit, static_argnames=("model", "max_symbols", "max_output_len"))
-def greedy_decode(model: RNNTransducer, variables, feats, feat_lengths,
-                  blank_id: int = 0, max_symbols: int = 3,
-                  max_output_len: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """feats: (B, T, n_mels); returns (tokens (B, max_output_len) int32 padded
-    with blank_id, lengths (B,) int32).
+class GreedyCarry(NamedTuple):
+    """Resumable greedy-decode state across frame chunks."""
+    dec_out: jnp.ndarray      # (B, Dd) last prediction-net output
+    state: RNNState           # prediction-net recurrent state
+    last_appended: jnp.ndarray  # (B,) int32
+    tokens: jnp.ndarray       # (B, max_output_len) int32
+    lengths: jnp.ndarray      # (B,) int32 emitted so far
 
-    max_symbols mirrors the reference's ``max_iters=3`` (``model.py:76``).
-    """
-    B = feats.shape[0]
-    enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
-    enc = jnp.swapaxes(enc, 0, 1)  # (T, B, D)
 
-    blank_tokens = jnp.full((B,), blank_id, jnp.int32)
+@partial(jax.jit, static_argnames=("model", "batch", "blank_id",
+                                   "max_output_len"))
+def init_greedy_carry(model: RNNTransducer, variables, batch: int,
+                      blank_id: int = 0,
+                      max_output_len: int = 256) -> GreedyCarry:
+    blank_tokens = jnp.full((batch,), blank_id, jnp.int32)
     dec_out0, state0 = model.apply(variables, blank_tokens, None,
                                    method=model.predict_step)
+    return GreedyCarry(
+        dec_out=dec_out0, state=state0, last_appended=blank_tokens,
+        tokens=jnp.full((batch, max_output_len), blank_id, jnp.int32),
+        lengths=jnp.zeros((batch,), jnp.int32))
 
-    def frame_step(carry, inp):
-        dec_out, state, last_app, out_buf, out_len = carry
-        enc_t, t = inp
-        frame_valid = t < feat_lengths.astype(jnp.int32)
-        emitting = frame_valid  # per-sample: still expanding this frame
+
+@partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols"))
+def greedy_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
+                         carry: GreedyCarry, blank_id: int = 0,
+                         max_symbols: int = 3) -> GreedyCarry:
+    """Consume encoder frames enc (B, T, De) (valid up to enc_lengths) and
+    return the advanced carry. Compiled once per (B, T) shape."""
+    B = enc.shape[0]
+    max_output_len = carry.tokens.shape[1]
+    enc_t = jnp.swapaxes(enc, 0, 1)  # (T, B, D)
+    blank_tokens = jnp.full((B,), blank_id, jnp.int32)
+
+    def frame_step(c: GreedyCarry, inp):
+        enc_i, t = inp
+        dec_out, state, last_app, out_buf, out_len = c
+        frame_valid = t < enc_lengths.astype(jnp.int32)
+        emitting = frame_valid
 
         for _ in range(max_symbols):
-            logits = model.apply(variables, enc_t, dec_out,
+            logits = model.apply(variables, enc_i, dec_out,
                                  method=model.joint_step)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             advance = emitting & (tok != blank_id)
-            # append unless equal to last appended token (dedup)
             do_append = advance & (tok != last_app) & (out_len < max_output_len)
             idx = jnp.minimum(out_len, max_output_len - 1)
             cur = out_buf[jnp.arange(B), idx]
@@ -63,7 +83,6 @@ def greedy_decode(model: RNNTransducer, variables, feats, feat_lengths,
                 jnp.where(do_append, tok, cur))
             out_len = out_len + do_append.astype(jnp.int32)
             last_app = jnp.where(do_append, tok, last_app)
-            # feed every non-blank token back into the prediction net
             feed_tok = jnp.where(advance, tok, blank_tokens)
             new_dec_out, new_state = model.apply(variables, feed_tok, state,
                                                  method=model.predict_step)
@@ -75,11 +94,26 @@ def greedy_decode(model: RNNTransducer, variables, feats, feat_lengths,
                 new_state, state)
             emitting = advance
 
-        return (dec_out, state, last_app, out_buf, out_len), None
+        return GreedyCarry(dec_out, state, last_app, out_buf, out_len), None
 
-    out_buf = jnp.full((B, max_output_len), blank_id, jnp.int32)
-    out_len = jnp.zeros((B,), jnp.int32)
-    init = (dec_out0, state0, blank_tokens, out_buf, out_len)
-    ts = jnp.arange(enc.shape[0], dtype=jnp.int32)
-    (_, _, _, out_buf, out_len), _ = jax.lax.scan(frame_step, init, (enc, ts))
-    return out_buf, out_len
+    ts = jnp.arange(enc.shape[1], dtype=jnp.int32)
+    carry, _ = jax.lax.scan(frame_step, carry, (enc_t, ts))
+    return carry
+
+
+@partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols",
+                                   "max_output_len"))
+def greedy_decode(model: RNNTransducer, variables, feats, feat_lengths,
+                  blank_id: int = 0, max_symbols: int = 3,
+                  max_output_len: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Offline path: encode feats (B, T, n_mels) then run the frame scan.
+    Returns (tokens (B, max_output_len) padded with blank_id, lengths (B,)).
+
+    max_symbols mirrors the reference's ``max_iters=3`` (``model.py:76``).
+    """
+    enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
+    carry = init_greedy_carry(model, variables, feats.shape[0], blank_id,
+                              max_output_len)
+    carry = greedy_decode_frames(model, variables, enc, feat_lengths, carry,
+                                 blank_id, max_symbols)
+    return carry.tokens, carry.lengths

@@ -1,0 +1,204 @@
+"""Streaming recognition: chunked log-mel frontend + carried encoder state +
+resumable greedy decode.
+
+The reference bills RNN-T as streaming-capable (``README.md:2``) but only
+implements the decoder-side state threading (``transducer.py:119,135``,
+``decoder.py:121-123``); the encoder always consumes the whole utterance.
+Here streaming is a first-class path (SURVEY.md §5 long-context plan):
+
+* ``StreamingFrontend`` — incremental STFT/mel with an overlap buffer; frames
+  it emits are bit-identical to the offline frontend (same center/reflect
+  padding, realized at stream start and at ``flush()``);
+* ``StreamingRecognizer`` — feeds audio chunks through the frontend, a
+  unidirectional encoder carrying its ``RNNState`` across chunks, and the
+  resumable greedy carry; every piece is shape-stable so each chunk size
+  compiles once.
+
+Per-utterance mean-var normalization needs the whole utterance by definition;
+streaming offers ``normalize="none"`` (default; match a model trained without
+norm) or ``"running"`` (causal running mean/var, documented divergence from
+the offline ``datamodule.py:87-90`` semantics).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from functools import partial
+
+import jax
+
+from rnntransducer_tpu.config import AudioConfig
+from rnntransducer_tpu.decode.greedy import (
+    GreedyCarry, greedy_decode_frames, init_greedy_carry,
+)
+from rnntransducer_tpu.frontend.melspec import WINDOWS, mel_filterbank
+from rnntransducer_tpu.models.cells import RNNState
+from rnntransducer_tpu.models.transducer import RNNTransducer
+
+
+class StreamingFrontend:
+    """Incremental log-mel. feed(samples) -> (n, n_mels) new frames;
+    flush() -> trailing frames (with the right-side reflect pad)."""
+
+    def __init__(self, cfg: AudioConfig, normalize: str = "none"):
+        assert normalize in ("none", "running")
+        self.cfg = cfg
+        self.normalize = normalize
+        self.window = WINDOWS[cfg.window](cfg.win_length)
+        self.fb = mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels,
+                                 cfg.sample_rate)
+        self.reset()
+
+    def reset(self):
+        self._buf = np.zeros((0,), np.float32)
+        self._buf_start = 0        # absolute sample index of _buf[0]
+        self._next_frame = 0
+        self._total = 0
+        self._sum = 0.0
+        self._sumsq = 0.0
+
+    def _normalize(self, x: np.ndarray) -> np.ndarray:
+        if self.normalize == "none" or self._total == 0:
+            return x
+        mean = self._sum / self._total
+        var = max(self._sumsq / self._total - mean * mean, 0.0)
+        return (x - mean) / np.sqrt(var + 1e-7)
+
+    def _frames_between(self, first: int, last: int) -> np.ndarray:
+        """Materialize frames [first, last) from the buffer, applying the
+        stream-start reflect pad when windows reach before sample 0."""
+        cfg = self.cfg
+        pad = cfg.n_fft // 2
+        out = np.zeros((last - first, cfg.n_fft), np.float32)
+        for j, i in enumerate(range(first, last)):
+            s = i * cfg.hop_length - pad
+            idx = np.arange(s, s + cfg.n_fft)
+            # reflect at stream start (offline pad_mode="reflect" parity)
+            idx = np.where(idx < 0, -idx, idx)
+            # reflect at stream end (only reachable from flush())
+            over = idx - (self._total - 1)
+            idx = np.where(over > 0, self._total - 1 - over, idx)
+            out[j] = self._buf[idx - self._buf_start]
+        spec = np.fft.rfft(self._normalize(out) * self.window[None, :], axis=-1)
+        power = (spec.real ** 2 + spec.imag ** 2).astype(np.float32)
+        return np.log1p(power @ self.fb)
+
+    def feed(self, samples: np.ndarray) -> np.ndarray:
+        samples = np.asarray(samples, np.float32)
+        self._buf = np.concatenate([self._buf, samples])
+        self._total += len(samples)
+        self._sum += float(samples.sum())
+        self._sumsq += float((samples ** 2).sum())
+        cfg = self.cfg
+        pad = cfg.n_fft // 2
+        # frames fully determined without right-side padding:
+        # i*hop - pad + n_fft <= total
+        last = (self._total - cfg.n_fft + pad) // cfg.hop_length + 1
+        last = max(last, self._next_frame)
+        feats = self._frames_between(self._next_frame, last)
+        self._next_frame = last
+        # trim consumed samples; future windows reach back to
+        # next_frame*hop - pad (start-mirror indices stay >= 0 once that's
+        # non-negative, and end-mirror indices stay >= total-1-pad)
+        keep_from = max(0, self._next_frame * cfg.hop_length - pad)
+        if keep_from > self._buf_start:
+            self._buf = self._buf[keep_from - self._buf_start:]
+            self._buf_start = keep_from
+        return feats
+
+    def flush(self) -> np.ndarray:
+        """Emit the final frames exactly as the offline frontend would:
+        total // hop + 1 frames overall."""
+        last = self._total // self.cfg.hop_length + 1
+        feats = self._frames_between(self._next_frame, max(last, self._next_frame))
+        self._next_frame = max(last, self._next_frame)
+        return feats
+
+
+def _zero_encoder_state(model: RNNTransducer, variables,
+                        batch: int = 1) -> RNNState:
+    cfg = model.cfg.transnet
+    d = 2 if cfg.bidirectional else 1
+    h = jnp.zeros((cfg.num_layers, d, batch, cfg.hidden_size), jnp.float32)
+    c = h if cfg.rnn_type.lower() == "lstm" else None
+    return RNNState(h, c)
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _encode_chunk(model: RNNTransducer, variables, chunk, n_valid, state):
+    """Jitted chunked-encoder step (un-jitted apply dispatches op-by-op —
+    catastrophic over a remote-TPU tunnel)."""
+    return model.apply(variables, chunk, n_valid, state, method=model.encode)
+
+
+class StreamingRecognizer:
+    """Chunked streaming ASR session over a unidirectional-encoder model."""
+
+    def __init__(self, model: RNNTransducer, variables, audio_cfg: AudioConfig,
+                 blank_id: int = 0, chunk_frames: int = 64,
+                 max_symbols: int = 3, max_output_len: int = 512,
+                 normalize: str = "none"):
+        if model.cfg.transnet.bidirectional:
+            raise ValueError(
+                "streaming requires a unidirectional encoder "
+                "(transnet.bidirectional=false)")
+        self.model = model
+        self.variables = variables
+        self.blank_id = blank_id
+        self.chunk_frames = chunk_frames
+        self.max_symbols = max_symbols
+        self.frontend = StreamingFrontend(audio_cfg, normalize)
+        self._feat_buf = np.zeros((0, audio_cfg.n_mels), np.float32)
+        self._enc_state: Optional[RNNState] = None
+        self._carry: GreedyCarry = init_greedy_carry(
+            model, variables, 1, blank_id, max_output_len)
+        self._emitted = 0
+
+    # ------------------------------------------------------------------
+    def _run_chunks(self, final: bool) -> List[int]:
+        new_tokens: List[int] = []
+        while len(self._feat_buf) >= self.chunk_frames or (
+                final and len(self._feat_buf) > 0):
+            chunk = self._feat_buf[:self.chunk_frames]
+            self._feat_buf = self._feat_buf[self.chunk_frames:]
+            n_valid = len(chunk)
+            if n_valid < self.chunk_frames:  # final partial chunk: pad
+                chunk = np.pad(chunk, ((0, self.chunk_frames - n_valid), (0, 0)))
+            if self._enc_state is None:
+                self._enc_state = _zero_encoder_state(self.model,
+                                                      self.variables)
+            enc, self._enc_state = _encode_chunk(
+                self.model, self.variables, jnp.asarray(chunk[None]),
+                jnp.array([n_valid], jnp.int32), self._enc_state)
+            self._carry = greedy_decode_frames(
+                self.model, self.variables, enc, jnp.array([n_valid]),
+                self._carry, self.blank_id, self.max_symbols)
+            total = int(self._carry.lengths[0])
+            toks = np.asarray(self._carry.tokens[0, self._emitted:total])
+            new_tokens.extend(int(t) for t in toks)
+            self._emitted = total
+        return new_tokens
+
+    def feed(self, samples: np.ndarray) -> List[int]:
+        """Feed PCM samples; returns newly emitted token ids."""
+        feats = self.frontend.feed(samples)
+        if len(feats):
+            self._feat_buf = np.concatenate([self._feat_buf, feats])
+        return self._run_chunks(final=False)
+
+    def flush(self) -> List[int]:
+        """End of stream: drain remaining frames (incl. right reflect pad)."""
+        feats = self.frontend.flush()
+        if len(feats):
+            self._feat_buf = np.concatenate([self._feat_buf, feats])
+        return self._run_chunks(final=True)
+
+    @property
+    def tokens(self) -> List[int]:
+        return [int(t) for t in
+                np.asarray(self._carry.tokens[0, :int(self._carry.lengths[0])])]

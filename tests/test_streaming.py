@@ -1,0 +1,102 @@
+"""Streaming: chunked frontend == offline frontend bit-for-bit; streaming
+recognizer == offline greedy decode; chunk-size invariance."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import rnntransducer_tpu as rt
+from rnntransducer_tpu.config import AudioConfig
+from rnntransducer_tpu.decode import greedy_decode
+from rnntransducer_tpu.decode.streaming import StreamingFrontend, StreamingRecognizer
+from rnntransducer_tpu.frontend import LogMelFrontend
+from rnntransducer_tpu.models import RNNTransducer
+
+
+@pytest.mark.parametrize("chunk", [160, 450, 1600, 7000])
+def test_streaming_frontend_matches_offline(chunk):
+    cfg = AudioConfig(normalize=False)
+    rng = np.random.RandomState(0)
+    wav = rng.randn(7350).astype(np.float32)
+
+    offline, lengths = LogMelFrontend(cfg)(jnp.asarray(wav[None]))
+    offline = np.asarray(offline[0])
+
+    sf = StreamingFrontend(cfg, normalize="none")
+    frames = []
+    for s in range(0, len(wav), chunk):
+        frames.append(sf.feed(wav[s:s + chunk]))
+    frames.append(sf.flush())
+    got = np.concatenate([f for f in frames if len(f)])
+    assert got.shape == offline.shape == (int(lengths[0]), cfg.n_mels)
+    np.testing.assert_allclose(got, offline, rtol=1e-4, atol=1e-4)
+
+
+def _uni_model(seed=0):
+    cfg = rt.config.ModelConfig(
+        transnet=rt.config.TransNetConfig(input_size=80, hidden_size=16,
+                                          output_size=12, num_layers=2,
+                                          rnn_type="lstm", dropout=0.0,
+                                          bidirectional=False),
+        prednet=rt.config.PredNetConfig(embedding_size=32, hidden_size=16,
+                                        output_size=12, num_layers=1,
+                                        rnn_type="lstm", dropout=0.0),
+        jointnet=rt.config.JointNetConfig(num_classes=32),
+    )
+    model = RNNTransducer(cfg)
+    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 4, 80)),
+                           jnp.array([4]), jnp.zeros((1, 2), jnp.int32),
+                           jnp.array([2]))
+    return model, variables
+
+
+@pytest.mark.parametrize("chunk_frames", [8, 16, 64])
+def test_streaming_recognizer_matches_offline_greedy(chunk_frames):
+    model, variables = _uni_model(seed=2)
+    acfg = AudioConfig(normalize=False)
+    rng = np.random.RandomState(1)
+    wav = (rng.randn(16000) * 2).astype(np.float32)
+
+    feats, lengths = LogMelFrontend(acfg)(jnp.asarray(wav[None]))
+    toks, lens = greedy_decode(model, variables, feats, lengths,
+                               max_output_len=512)
+    want = list(np.asarray(toks)[0, :int(lens[0])])
+
+    rec = StreamingRecognizer(model, variables, acfg,
+                              chunk_frames=chunk_frames, normalize="none")
+    out = []
+    for s in range(0, len(wav), 1600):  # 100 ms chunks
+        out.extend(rec.feed(wav[s:s + 1600]))
+    out.extend(rec.flush())
+    assert out == want, (chunk_frames, out[:20], want[:20])
+    assert rec.tokens == want
+
+
+def test_streaming_rejects_bidirectional():
+    cfg = rt.tiny_config()
+    model = RNNTransducer(cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 80)),
+                           jnp.array([4]), jnp.zeros((1, 2), jnp.int32),
+                           jnp.array([2]))
+    with pytest.raises(ValueError):
+        StreamingRecognizer(model, variables, AudioConfig())
+
+
+def test_streaming_incremental_emission():
+    """Tokens should arrive incrementally (first tokens before stream end)."""
+    model, variables = _uni_model(seed=5)
+    acfg = AudioConfig(normalize=False)
+    wav = (np.random.RandomState(3).randn(32000) * 2).astype(np.float32)
+    rec = StreamingRecognizer(model, variables, acfg, chunk_frames=16,
+                              normalize="none")
+    emitted_early = 0
+    for s in range(0, len(wav) // 2, 1600):
+        emitted_early += len(rec.feed(wav[s:s + 1600]))
+    total = emitted_early
+    for s in range(len(wav) // 2, len(wav), 1600):
+        total += len(rec.feed(wav[s:s + 1600]))
+    total += len(rec.flush())
+    if total > 2:
+        assert emitted_early > 0  # streaming, not batch-at-flush
