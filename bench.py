@@ -21,12 +21,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 BASELINE_UTT_PER_SEC = 8.0
 
 # Flagship step shape: ~5.1 s utterances (T=512 frames @10 ms hop), U=48
-# graphemes, batch 8 per chip — the reference's model config from
-# config/config.json with bf16 + Pallas RNN-T loss.
-B, T, U = 8, 512, 48
+# graphemes, batch 64 per chip — the reference's model config from
+# config/config.json with bf16, fused chunked joint+loss (Pallas sweep).
+B, T, U = 64, 512, 48
 WARMUP, ITERS = 3, 20
 
 
@@ -78,7 +81,7 @@ def main():
     print(json.dumps({
         "metric": "train_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 2),
-        "unit": "utt/s/chip (B=8, T=512 frames, U=48, bf16, incl. RNN-T loss fwd+bwd)",
+        "unit": "utt/s/chip (B=64, T=512 frames, U=48, bf16, incl. RNN-T loss fwd+bwd)",
         "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 2),
     }))
 

@@ -36,6 +36,11 @@ class TransNetConfig:
     rnn_type: str = "gru"  # lstm | gru | rnn
     dropout: float = 0.2
     bidirectional: bool = True
+    # rematerialize each RNN layer in the backward pass (HBM vs recompute)
+    remat: bool = False
+    # compile one uniform layer body (scan over layers 1..L-1) instead of L
+    # separate scans — order-of-magnitude faster XLA compiles for deep stacks
+    scan_layers: bool = True
 
 
 @dataclass(frozen=True)
@@ -60,6 +65,9 @@ class JointNetConfig:
     num_classes: int = 72
     # "concat" (reference behavior, networks/transducer.py:64-67) or "add".
     combine: str = "concat"
+    # rematerialize the joint in the backward pass: the (B,T,U,De+Dd) GELU
+    # activation otherwise dominates training HBM (SURVEY.md hard-part 3)
+    remat: bool = True
 
 
 @dataclass(frozen=True)
@@ -164,6 +172,10 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     save_top_k: int = 3  # top-k by val_cer (train.py:31-37)
     grad_clip_norm: Optional[float] = None
+    # fused joint+loss: compute the joint lattice in T-chunks of this many
+    # frames so the full (B,T,U,V) logits never materialize (0 = disabled).
+    # Numerically identical to the unfused path; controls peak HBM.
+    joint_chunk_frames: int = 64
     # decode during validation
     greedy_max_symbols: int = 3  # reference max_iters=3 (model.py:76)
 

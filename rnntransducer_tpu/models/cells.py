@@ -131,6 +131,41 @@ class RNNLayer(nn.Module):
         return out, (h, c)
 
 
+class _ScanLayer(nn.Module):
+    """One uniform (bi)layer for scan-over-layers mode.  Applies dropout to
+    its INPUT (== torch's dropout-on-every-output-but-the-last when stacked
+    above layer 0), then the forward (and flipped backward) masked scan."""
+
+    hidden_size: int
+    rnn_type: str
+    bidirectional: bool
+    dropout: float
+    unroll: int
+
+    @nn.compact
+    def __call__(self, seq, layer_state, mask, lengths, deterministic):
+        """seq: (B, T, D); layer_state: (h (D_dirs,B,H), c (D_dirs,B,H))."""
+        if self.dropout > 0.0:
+            seq = nn.Dropout(self.dropout)(seq, deterministic=deterministic)
+        h_in, c_in = layer_state
+        fwd = RNNLayer(seq.shape[-1], self.hidden_size, self.rnn_type,
+                       self.unroll, name="fwd")
+        f_out, (fh, fc) = fwd(seq, mask, (h_in[0], c_in[0]))
+        if self.bidirectional:
+            bwd = RNNLayer(seq.shape[-1], self.hidden_size, self.rnn_type,
+                           self.unroll, name="bwd")
+            rev = flip_sequences(seq, lengths)
+            b_out, (bh, bc) = bwd(rev, mask, (h_in[1], c_in[1]))
+            b_out = flip_sequences(b_out, lengths)
+            out = jnp.concatenate([f_out, b_out], axis=-1)
+            h_out = jnp.stack([fh, bh])
+            c_out = jnp.stack([fc, bc])
+        else:
+            out = f_out
+            h_out, c_out = fh[None], fc[None]
+        return out, (h_out, c_out)
+
+
 class StackedRNN(nn.Module):
     """Multi-layer (optionally bidirectional) RNN with inter-layer dropout,
     equivalent in capability to torch.nn.{LSTM,GRU,RNN}(batch_first=True)."""
@@ -142,20 +177,49 @@ class StackedRNN(nn.Module):
     dropout: float = 0.0
     bidirectional: bool = False
     unroll: int = 1
+    # rematerialize each layer in the backward pass: per-layer scan outputs
+    # dominate training HBM for deep stacks; remat bounds the live set to one
+    # layer at a time for ~2x layer-forward recompute
+    remat: bool = False
+    # scan-over-layers: compile ONE uniform layer body (layers 1..L-1 share
+    # shapes) instead of L separate scans — order-of-magnitude faster XLA
+    # compiles for deep stacks; param tree gains a leading (L-1) axis under
+    # "stack". step() (single-token decode) requires scan_layers=False.
+    scan_layers: bool = False
 
     def setup(self):
-        fwd, bwd = [], []
-        for layer in range(self.num_layers):
-            in_size = self.input_size if layer == 0 else (
-                2 * self.hidden_size if self.bidirectional else self.hidden_size
-            )
-            fwd.append(RNNLayer(in_size, self.hidden_size, self.rnn_type,
-                                self.unroll, name=f"fwd_{layer}"))
-            if self.bidirectional:
-                bwd.append(RNNLayer(in_size, self.hidden_size, self.rnn_type,
-                                    self.unroll, name=f"bwd_{layer}"))
-        self.fwd_layers = fwd
-        self.bwd_layers = bwd
+        layer_cls = nn.remat(RNNLayer) if self.remat else RNNLayer
+        if self.scan_layers and self.num_layers > 1:
+            self.fwd_layers = [layer_cls(
+                self.input_size, self.hidden_size, self.rnn_type, self.unroll,
+                name="fwd_0")]
+            self.bwd_layers = [layer_cls(
+                self.input_size, self.hidden_size, self.rnn_type, self.unroll,
+                name="bwd_0")] if self.bidirectional else []
+            target = nn.remat(_ScanLayer) if self.remat else _ScanLayer
+            self.stack = nn.scan(
+                target,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+                out_axes=0,
+                length=self.num_layers - 1,
+            )(self.hidden_size, self.rnn_type, self.bidirectional,
+              self.dropout, self.unroll, name="stack")
+        else:
+            fwd, bwd = [], []
+            for layer in range(self.num_layers):
+                in_size = self.input_size if layer == 0 else (
+                    2 * self.hidden_size if self.bidirectional
+                    else self.hidden_size)
+                fwd.append(layer_cls(in_size, self.hidden_size, self.rnn_type,
+                                     self.unroll, name=f"fwd_{layer}"))
+                if self.bidirectional:
+                    bwd.append(layer_cls(in_size, self.hidden_size,
+                                         self.rnn_type, self.unroll,
+                                         name=f"bwd_{layer}"))
+            self.fwd_layers = fwd
+            self.bwd_layers = bwd
         # Inter-layer dropout (torch applies it to every layer's output except
         # the last, encoder.py:73). Must be constructed here, not in __call__.
         self.drop = nn.Dropout(self.dropout) if self.dropout > 0.0 else None
@@ -191,6 +255,10 @@ class StackedRNN(nn.Module):
         if lengths is None:
             lengths = jnp.full((B,), T, jnp.int32)
         mask = length_mask(lengths, T)
+
+        if self.scan_layers and self.num_layers > 1:
+            return self._call_scan(x, mask, lengths, initial_state,
+                                   deterministic)
         out = x
         finals = []
         for layer in range(self.num_layers):
@@ -212,12 +280,47 @@ class StackedRNN(nn.Module):
                 out = self.drop(out, deterministic=deterministic)
         return out, self._pack_state(finals)
 
+    def _call_scan(self, x, mask, lengths, initial_state, deterministic):
+        """scan-over-layers forward: explicit layer 0, scanned layers 1..L-1."""
+        B = x.shape[0]
+        D = 2 if self.bidirectional else 1
+        H = self.hidden_size
+        f_out, f_fin = self.fwd_layers[0](
+            x, mask, self._layer_state(initial_state, 0, 0, B, x.dtype))
+        if self.bidirectional:
+            rev = flip_sequences(x, lengths)
+            b_out, b_fin = self.bwd_layers[0](
+                rev, mask, self._layer_state(initial_state, 0, 1, B, x.dtype))
+            b_out = flip_sequences(b_out, lengths)
+            out = jnp.concatenate([f_out, b_out], axis=-1)
+            h0 = jnp.stack([f_fin[0], b_fin[0]])[None]   # (1, D, B, H)
+            c0 = jnp.stack([f_fin[1], b_fin[1]])[None]
+        else:
+            out = f_out
+            h0, c0 = f_fin[0][None, None], f_fin[1][None, None]
+
+        if initial_state is None:
+            h_in = jnp.zeros((self.num_layers - 1, D, B, H), x.dtype)
+            c_in = h_in
+        else:
+            h_in = initial_state.h[1:]
+            c_in = (initial_state.c[1:] if initial_state.c is not None
+                    else jnp.zeros_like(h_in))
+        out, (h_rest, c_rest) = self.stack(out, (h_in, c_in), mask, lengths,
+                                           deterministic)
+        h = jnp.concatenate([h0, h_rest], axis=0)
+        if self.rnn_type == "lstm":
+            return out, RNNState(h, jnp.concatenate([c0, c_rest], axis=0))
+        return out, RNNState(h, None)
+
     def step(self, x_t, state: Optional[RNNState]):
         """Single-step stateful mode (unidirectional only) — the decode-path
         equivalent of the reference's prev_hidden_state threading
         (``networks/decoder.py:121-123``). x_t: (B, input_size)."""
         if self.bidirectional:
             raise ValueError("step() requires a unidirectional RNN")
+        if self.scan_layers and self.num_layers > 1:
+            raise ValueError("step() requires scan_layers=False")
         B = x_t.shape[0]
         out = x_t
         finals = []

@@ -33,6 +33,8 @@ class AudioEncoder(nn.Module):
             dropout=self.cfg.dropout,
             bidirectional=self.cfg.bidirectional,
             unroll=self.unroll,
+            remat=self.cfg.remat,
+            scan_layers=self.cfg.scan_layers,
         )
         # reference: out_proj = Linear(2H if bidir else H, output_size)
         # (networks/encoder.py:76,103)

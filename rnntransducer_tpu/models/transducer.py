@@ -30,7 +30,12 @@ class RNNTransducer(nn.Module):
     def setup(self):
         self.encoder = AudioEncoder(self.cfg.transnet, self.unroll)
         self.prednet = PredictionNet(self.cfg.prednet, self.unroll)
-        self.joint = JointNetwork(self.cfg.jointnet)
+        # remat: recompute the broadcast/concat/GELU lattice in the backward
+        # pass instead of storing (B,T,U,De+Dd) activations — trades one extra
+        # joint matmul for the dominant HBM allocation at training time
+        joint_cls = nn.remat(JointNetwork) if self.cfg.jointnet.remat \
+            else JointNetwork
+        self.joint = joint_cls(self.cfg.jointnet)
 
     def __call__(self, audio, audio_lengths, text, text_lengths,
                  deterministic: bool = True):

@@ -220,3 +220,49 @@ def rnnt_loss(logits, labels, logit_lengths, label_lengths, blank: int = 0,
     if reduction == "sum":
         return losses.sum()
     return losses
+
+
+def rnnt_loss_fused(joint_fn, enc, dec, labels, enc_lengths, label_lengths,
+                    blank: int = 0, reduction: str = "mean",
+                    backend: str = "auto", chunk_frames: int = 64):
+    """Memory-lean fused path: never materializes the full (B, T, U+1, V)
+    logits lattice (SURVEY.md hard-part 3 — the reference materializes it at
+    ``networks/transducer.py:58-62`` and pays for it in HBM).
+
+    The joint + log-softmax + label-gather run per T-chunk under
+    ``jax.checkpoint`` inside a sequential ``lax.map``: forward emits only the
+    compacted (B, T, U+1) blank/label log-probs; backward rebuilds one chunk
+    of the lattice at a time, accumulating the joint/encoder/decoder grads
+    chunk by chunk.  Numerically identical to the unfused path (log-softmax is
+    row-wise).
+
+    joint_fn: (enc_chunk (B, Tc, De), dec (B, U+1, Dd)) -> (B, Tc, U+1, V)
+    raw logits (typically a closure over the joint params).
+    """
+    B, T, De = enc.shape
+    U1 = dec.shape[1]
+    Tc = min(chunk_frames, T)
+    nT = -(-T // Tc)
+    if nT * Tc != T:
+        enc = jnp.pad(enc, ((0, 0), (0, nT * Tc - T), (0, 0)))
+    lab = jnp.pad(labels.astype(jnp.int32),
+                  ((0, 0), (0, U1 - labels.shape[1])), constant_values=blank)
+
+    def chunk(enc_chunk):
+        logits = joint_fn(enc_chunk, dec)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        bl_c = lp[..., blank]
+        lb_c = jnp.take_along_axis(lp, lab[:, None, :, None], axis=-1)[..., 0]
+        return bl_c, lb_c
+
+    enc_chunks = jnp.reshape(enc, (B, nT, Tc, De)).transpose(1, 0, 2, 3)
+    bl_c, lb_c = jax.lax.map(jax.checkpoint(chunk), enc_chunks)  # (nT,B,Tc,U1)
+    bl = bl_c.transpose(1, 0, 2, 3).reshape(B, nT * Tc, U1)[:, :T]
+    lb = lb_c.transpose(1, 0, 2, 3).reshape(B, nT * Tc, U1)[:, :T]
+
+    losses = _rnnt_core(backend, bl, lb, enc_lengths, label_lengths)
+    if reduction == "mean":
+        return losses.mean()
+    if reduction == "sum":
+        return losses.sum()
+    return losses

@@ -31,6 +31,7 @@ from rnntransducer_tpu.config import Config
 from rnntransducer_tpu.frontend import LogMelFrontend, spec_augment
 from rnntransducer_tpu.models import RNNTransducer
 from rnntransducer_tpu.ops import rnnt_loss
+from rnntransducer_tpu.ops.rnnt_loss import rnnt_loss_fused
 from rnntransducer_tpu.train.optim import make_optimizer, onecycle_schedule
 
 
@@ -83,14 +84,34 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
             time_cnt=cfg.data.audio.time_mask_cnt)
 
     p = _cast(params, compute_dtype)
-    logits = RNNTransducer(cfg.model).apply(
-        {"params": p}, feats.astype(compute_dtype), feat_lengths,
-        batch["text_in"], batch["text_lengths"],
-        deterministic=deterministic,
-        rngs=None if deterministic else {"dropout": drop_rng})
-    loss = rnnt_loss(logits, batch["targets"], feat_lengths,
-                     batch["target_lengths"], blank=cfg.data.text.pad_token_id,
-                     reduction="mean", backend=loss_backend)
+    m = RNNTransducer(cfg.model)
+    variables = {"params": p}
+    rngs = None if deterministic else {"dropout": drop_rng}
+    feats = feats.astype(compute_dtype)
+    blank = cfg.data.text.pad_token_id
+
+    if cfg.train.joint_chunk_frames > 0:
+        # fused path: joint computed per T-chunk inside the loss, the full
+        # (B,T,U,V) lattice never materializes (ops.rnnt_loss_fused)
+        enc, _ = m.apply(variables, feats, feat_lengths,
+                         deterministic=deterministic, rngs=rngs,
+                         method=m.encode)
+        dec, _ = m.apply(variables, batch["text_in"], batch["text_lengths"],
+                         deterministic=deterministic, rngs=rngs,
+                         method=m.predict)
+        joint_fn = lambda e, d: m.apply(variables, e, d, method=m.joint_step)
+        loss = rnnt_loss_fused(joint_fn, enc, dec, batch["targets"],
+                               feat_lengths, batch["target_lengths"],
+                               blank=blank, reduction="mean",
+                               backend=loss_backend,
+                               chunk_frames=cfg.train.joint_chunk_frames)
+    else:
+        logits = m.apply(variables, feats, feat_lengths, batch["text_in"],
+                         batch["text_lengths"], deterministic=deterministic,
+                         rngs=rngs)
+        loss = rnnt_loss(logits, batch["targets"], feat_lengths,
+                         batch["target_lengths"], blank=blank,
+                         reduction="mean", backend=loss_backend)
     return loss
 
 

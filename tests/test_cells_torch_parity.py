@@ -117,3 +117,42 @@ def test_step_matches_scan():
     out_step = jnp.stack(outs, axis=1)
     np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_step), atol=1e-6)
     np.testing.assert_allclose(np.asarray(final_scan.h), np.asarray(state.h), atol=1e-6)
+
+
+def test_scan_layers_matches_loop_layers():
+    """scan-over-layers mode must be numerically identical to the per-layer
+    loop given the same weights (params restructured: stacked vs named)."""
+    B, T, F, H, L = 2, 9, 5, 6, 4
+    for bidirectional in (False, True):
+        for rnn_type in ("lstm", "gru"):
+            loop = StackedRNN(input_size=F, hidden_size=H, num_layers=L,
+                              rnn_type=rnn_type, bidirectional=bidirectional,
+                              scan_layers=False)
+            scan = StackedRNN(input_size=F, hidden_size=H, num_layers=L,
+                              rnn_type=rnn_type, bidirectional=bidirectional,
+                              scan_layers=True)
+            x = jnp.asarray(np.random.RandomState(0).randn(B, T, F)
+                            .astype(np.float32))
+            lengths = jnp.array([9, 5], jnp.int32)
+            vs = scan.init(jax.random.PRNGKey(1), x, lengths)
+            # restructure stacked params -> named per-layer params
+            p = dict(vs["params"])
+            stack = p.pop("stack")
+            loop_params = {k: v for k, v in p.items()}  # fwd_0 / bwd_0
+            for i in range(L - 1):
+                loop_params[f"fwd_{i+1}"] = jax.tree.map(
+                    lambda a: a[i], stack["fwd"])
+                if bidirectional:
+                    loop_params[f"bwd_{i+1}"] = jax.tree.map(
+                        lambda a: a[i], stack["bwd"])
+            out_s, st_s = scan.apply(vs, x, lengths)
+            out_l, st_l = loop.apply({"params": loop_params}, x, lengths)
+            np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_l),
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(st_s.h), np.asarray(st_l.h),
+                                       atol=1e-6)
+            # carried initial state round-trips through both layouts
+            out_s2, _ = scan.apply(vs, x, lengths, st_s)
+            out_l2, _ = loop.apply({"params": loop_params}, x, lengths, st_l)
+            np.testing.assert_allclose(np.asarray(out_s2), np.asarray(out_l2),
+                                       atol=1e-6)

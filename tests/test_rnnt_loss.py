@@ -124,3 +124,41 @@ def test_reductions():
                                none.mean(), rtol=1e-6)
     np.testing.assert_allclose(float(rnnt_loss(*args, reduction="sum")),
                                none.sum(), rtol=1e-6)
+
+
+def test_fused_loss_matches_unfused():
+    """rnnt_loss_fused (chunked joint) must equal joint->rnnt_loss exactly,
+    including gradients through the joint closure."""
+    from rnntransducer_tpu.ops.rnnt_loss import rnnt_loss_fused
+
+    B, T, U, V, De, Dd = 2, 13, 4, 9, 6, 5
+    rng = np.random.RandomState(7)
+    enc = jnp.asarray(rng.randn(B, T, De).astype(np.float32))
+    dec = jnp.asarray(rng.randn(B, U + 1, Dd).astype(np.float32))
+    W = jnp.asarray(rng.randn(De + Dd, V).astype(np.float32) * 0.3)
+    labels = jnp.asarray(rng.randint(1, V, (B, U)), jnp.int32)
+    t_len = jnp.array([13, 9], jnp.int32)
+    u_len = jnp.array([4, 2], jnp.int32)
+
+    def joint_fn_w(w):
+        def joint_fn(e, d):
+            Tc, U1 = e.shape[1], d.shape[1]
+            eb = jnp.broadcast_to(e[:, :, None, :], (B, Tc, U1, De))
+            db = jnp.broadcast_to(d[:, None, :, :], (B, Tc, U1, Dd))
+            return jnp.tanh(jnp.concatenate([eb, db], -1)) @ w
+        return joint_fn
+
+    def unfused(w, e, d):
+        logits = joint_fn_w(w)(e, d)
+        return rnnt_loss(logits, labels, t_len, u_len, reduction="mean")
+
+    def fused(w, e, d):
+        return rnnt_loss_fused(joint_fn_w(w), e, d, labels, t_len, u_len,
+                               reduction="mean", chunk_frames=5)  # 13 -> 3 chunks
+
+    l1, g1 = jax.value_and_grad(unfused, argnums=(0, 1, 2))(W, enc, dec)
+    l2, g2 = jax.value_and_grad(fused, argnums=(0, 1, 2))(W, enc, dec)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
