@@ -196,7 +196,10 @@ class StackedRNN(nn.Module):
             self.bwd_layers = [layer_cls(
                 self.input_size, self.hidden_size, self.rnn_type, self.unroll,
                 name="bwd_0")] if self.bidirectional else []
-            target = nn.remat(_ScanLayer) if self.remat else _ScanLayer
+            # deterministic (arg 5 incl. module) must stay a static bool
+            # through remat or Dropout's bool check sees a tracer
+            target = (nn.remat(_ScanLayer, static_argnums=(5,))
+                      if self.remat else _ScanLayer)
             self.stack = nn.scan(
                 target,
                 variable_axes={"params": 0},

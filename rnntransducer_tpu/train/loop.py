@@ -32,13 +32,16 @@ from rnntransducer_tpu.train.state import (
     TrainState, build_model, eval_step, learning_rate_at, train_step,
 )
 from rnntransducer_tpu.utils.logging import MetricsLogger
+from rnntransducer_tpu.utils.profiling import StepTimer, trace
 
 
 class Trainer:
     def __init__(self, cfg: Config, train_dataset, val_dataset=None,
                  tokenizer: Optional[GraphemeTokenizer] = None,
                  log_dir: Optional[str] = None, mesh=None,
-                 loss_backend: str = "auto"):
+                 loss_backend: str = "auto",
+                 profile_dir: Optional[str] = None,
+                 profile_steps: tuple = (10, 15)):
         self.cfg = cfg
         self.train_ds = train_dataset
         self.val_ds = val_dataset
@@ -54,6 +57,11 @@ class Trainer:
         self.tx = make_optimizer(cfg.train)
         self.model = build_model(cfg)
         self.state = replicate(self.mesh, TrainState.create(cfg))
+        # tracing/profiling subsystem (SURVEY.md §5): jax.profiler trace of
+        # steps [profile_steps) written to profile_dir when set
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+        self.timer = StepTimer(warmup=2)
 
     # ------------------------------------------------------------- batching
     def _global_batch(self) -> int:
@@ -91,15 +99,28 @@ class Trainer:
             for batch in batches:
                 if step >= cfg.train.max_steps:
                     break
+                if self.profile_dir and step == self.profile_steps[0]:
+                    import jax.profiler
+                    jax.profiler.start_trace(self.profile_dir)
+                self.timer.start()
                 self.state, metrics = train_step(
                     cfg, self.tx, self.state, batch,
                     loss_backend=self.loss_backend)
                 step = int(self.state.step)
                 if step % cfg.train.log_every_steps == 0 or step == 1:
+                    step_ms = self.timer.stop(sync_value=metrics["loss"]) * 1e3
                     self.logger.log(step, split="train",
                                     loss=float(metrics["loss"]),
                                     grad_norm=float(metrics["grad_norm"]),
-                                    lr=learning_rate_at(cfg, step), epoch=epoch)
+                                    lr=learning_rate_at(cfg, step),
+                                    step_ms=round(step_ms, 1), epoch=epoch)
+                else:
+                    self.timer.stop()
+                if self.profile_dir and step == self.profile_steps[1]:
+                    import jax.profiler
+                    jax.profiler.stop_trace()
+                    self.logger.log(step, event="profile_written",
+                                    dir=self.profile_dir)
                 if self.val_ds is not None and step % cfg.train.val_every_steps == 0:
                     val = self.validate(epoch=epoch)
                     self.ckpt.save(step, self.state, metrics=val, config=cfg)

@@ -156,3 +156,25 @@ def test_scan_layers_matches_loop_layers():
             out_l2, _ = loop.apply({"params": loop_params}, x, lengths, st_l)
             np.testing.assert_allclose(np.asarray(out_s2), np.asarray(out_l2),
                                        atol=1e-6)
+
+
+def test_remat_scan_layers_trains():
+    """Regression: nn.remat over the scanned layer must keep `deterministic`
+    static (Dropout bool check) — and remat must not change values."""
+    B, T, F, H, L = 2, 7, 5, 6, 3
+    kw = dict(input_size=F, hidden_size=H, num_layers=L, rnn_type="lstm",
+              bidirectional=True, dropout=0.1, scan_layers=True)
+    base = StackedRNN(**kw)
+    remat = StackedRNN(**kw, remat=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(B, T, F).astype(np.float32))
+    vs = base.init(jax.random.PRNGKey(0), x)
+    out_a, _ = base.apply(vs, x)
+    out_b, _ = remat.apply(vs, x)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+    # train mode with dropout rng works under remat
+    out_c, _ = remat.apply(vs, x, deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+    assert bool(jnp.isfinite(out_c).all())
+    # and gradients flow
+    g = jax.grad(lambda v: remat.apply(v, x)[0].sum())(vs)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))

@@ -56,6 +56,13 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--loss_backend", type=str, default="auto",
                    choices=["auto", "pallas", "xla", "pallas_interpret"])
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of steps 10-15 here")
+    p.add_argument("--debug_nans", action="store_true")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="multi-host: jax.distributed coordinator host:port")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
 
@@ -74,6 +81,17 @@ def build_config(args) -> Config:
 def main():
     args = parse_args()
     cfg = build_config(args)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    if args.debug_nans:
+        from rnntransducer_tpu.utils.debugging import debug_nans
+        debug_nans(True)
+    from rnntransducer_tpu.parallel.distributed import initialize
+    topo = initialize(args.coordinator_address, args.num_processes,
+                      args.process_id)
+    print(f"[topology] {topo}")
 
     from rnntransducer_tpu.data import (
         ArrowAudioDataset, SyntheticAudioDataset, prepare_logmel_dataset,
@@ -106,7 +124,8 @@ def main():
         val_ds = ArrowAudioDataset([args.pl_data_dir], "dev")
 
     trainer = Trainer(cfg, train_ds, val_dataset=val_ds,
-                      loss_backend=args.loss_backend)
+                      loss_backend=args.loss_backend,
+                      profile_dir=args.profile_dir)
     state = trainer.fit(resume=args.resume)
     print(f"done at step {int(state.step)}; checkpoints in "
           f"{cfg.train.checkpoint_dir}")
