@@ -23,6 +23,12 @@ terms:
 Run: python examples/tbptt_chunked_experiment.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import numpy as np
 
 import jax

@@ -132,13 +132,31 @@ class Trainer:
         self.ckpt.save(step, self.state, metrics=val, config=cfg)
         return self.state
 
-    # ------------------------------------------------------------ validate
+    # ------------------------------------------------------------ evaluate
+    def test(self, datasets: dict, max_batches: Optional[int] = None) -> dict:
+        """Evaluate named test sets (the reference's eval_clean/eval_other
+        test_dataloader pair, datamodule.py:222-243). Returns
+        {name: {loss, wer, cer}} and logs each."""
+        results = {}
+        for name, ds in datasets.items():
+            out = self._evaluate(ds, max_batches)
+            results[name] = out
+            self.logger.log(int(self.state.step), split=f"test/{name}", **out)
+        return results
+
     def validate(self, epoch: int = 0, max_batches: Optional[int] = None) -> dict:
+        out = self._evaluate(self.val_ds, max_batches)
+        out = {"val_loss": out["loss"], "val_wer": out["wer"],
+               "val_cer": out["cer"]}
+        self.logger.log(int(self.state.step), split="val", **out)
+        return out
+
+    def _evaluate(self, dataset, max_batches: Optional[int] = None) -> dict:
         cfg = self.cfg
         losses, preds, refs = [], [], []
         n = 0
         for batch in self._host_batches(
-                self.val_ds, epoch=0,
+                dataset, epoch=0,
                 batch_size=cfg.train.per_device_eval_batch_size * self.n_devices,
                 shuffle=False):
             batch_dev = jax.tree.map(jax.device_put, batch)
@@ -160,10 +178,8 @@ class Trainer:
             n += 1
             if max_batches is not None and n >= max_batches:
                 break
-        out = {
-            "val_loss": float(np.mean(losses)) if losses else float("nan"),
-            "val_wer": word_error_rate(preds, refs),
-            "val_cer": char_error_rate(preds, refs),
+        return {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "wer": word_error_rate(preds, refs),
+            "cer": char_error_rate(preds, refs),
         }
-        self.logger.log(int(self.state.step), split="val", **out)
-        return out

@@ -56,6 +56,9 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--loss_backend", type=str, default="auto",
                    choices=["auto", "pallas", "xla", "pallas_interpret"])
+    p.add_argument("--eval_only", action="store_true",
+                   help="restore the best checkpoint and evaluate "
+                        "eval_clean/eval_other instead of training")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of steps 10-15 here")
     p.add_argument("--debug_nans", action="store_true")
@@ -126,6 +129,23 @@ def main():
     trainer = Trainer(cfg, train_ds, val_dataset=val_ds,
                       loss_backend=args.loss_backend,
                       profile_dir=args.profile_dir)
+    if args.eval_only:
+        step = trainer.ckpt.best_step() or trainer.ckpt.latest_step()
+        trainer.state = trainer.ckpt.restore(trainer.state, step=step)
+        tests = {}
+        if args.synthetic:
+            tests["synthetic"] = val_ds
+        else:
+            for split in ("eval_clean", "eval_other"):
+                try:
+                    tests[split] = ArrowAudioDataset([args.pl_data_dir], split)
+                except FileNotFoundError:
+                    print(f"[eval] no shards for '{split}', skipping")
+        results = trainer.test(tests)
+        for name, r in results.items():
+            print(f"{name}: loss={r['loss']:.4f} wer={r['wer']:.4f} "
+                  f"cer={r['cer']:.4f}")
+        return
     state = trainer.fit(resume=args.resume)
     print(f"done at step {int(state.step)}; checkpoints in "
           f"{cfg.train.checkpoint_dir}")
