@@ -28,7 +28,7 @@ def parse_args():
     p.add_argument("--wav", type=str, nargs="+", required=True)
     p.add_argument("--vocab_path", type=str, default=None)
     p.add_argument("--decoder", type=str, default="beam",
-                   choices=["greedy", "beam"])
+                   choices=["greedy", "beam", "beam_batched"])
     p.add_argument("--beam_width", type=int, default=5)
     p.add_argument("--improved", action="store_true", default=True)
     p.add_argument("--no-improved", dest="improved", action="store_false")
@@ -84,6 +84,15 @@ def main():
                                    max_output_len=args.max_output_len)
         toks, lens = np.asarray(toks), np.asarray(lens)
         hyps = [list(toks[i, :lens[i]]) for i in range(len(wavs))]
+    elif args.decoder == "beam_batched":
+        from rnntransducer_tpu.decode import batched_beam_decode
+        toks, lens, _ = batched_beam_decode(
+            model, variables, feats, feat_lengths,
+            blank_id=tok.blank_token_id, beam_width=args.beam_width,
+            max_symbols=cfg.train.greedy_max_symbols,
+            max_output_len=args.max_output_len)
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        hyps = [list(toks[i, 0, :lens[i, 0]]) for i in range(len(wavs))]
     else:
         from rnntransducer_tpu.decode.beam import BeamSearchDecoder
         lm = None

@@ -1,4 +1,5 @@
 from rnntransducer_tpu.decode.beam import BeamSearchDecoder
+from rnntransducer_tpu.decode.beam_batched import batched_beam_decode
 from rnntransducer_tpu.decode.greedy import (
     GreedyCarry, greedy_decode, greedy_decode_frames, init_greedy_carry,
 )
@@ -6,7 +7,7 @@ from rnntransducer_tpu.decode.hotwords import HotwordScorer
 from rnntransducer_tpu.decode.streaming import StreamingFrontend, StreamingRecognizer
 
 __all__ = [
-    "BeamSearchDecoder", "GreedyCarry", "greedy_decode",
+    "BeamSearchDecoder", "batched_beam_decode", "GreedyCarry", "greedy_decode",
     "greedy_decode_frames", "init_greedy_carry", "HotwordScorer",
     "StreamingFrontend", "StreamingRecognizer",
 ]

@@ -1,0 +1,106 @@
+"""Device-side batched beam search: K=1 == greedy, batch-row independence,
+near-optimality vs exhaustive marginal, determinism."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import rnntransducer_tpu as rt
+from rnntransducer_tpu.decode import greedy_decode
+from rnntransducer_tpu.decode.beam_batched import batched_beam_decode
+from rnntransducer_tpu.models import RNNTransducer
+
+
+def _make_model(seed=0, V=8, n_mels=6, uni=True):
+    cfg = rt.config.ModelConfig(
+        transnet=rt.config.TransNetConfig(input_size=n_mels, hidden_size=12,
+                                          output_size=8, num_layers=1,
+                                          rnn_type="lstm", dropout=0.0,
+                                          bidirectional=not uni),
+        prednet=rt.config.PredNetConfig(embedding_size=V, hidden_size=12,
+                                        output_size=8, num_layers=2,
+                                        rnn_type="lstm", dropout=0.0),
+        jointnet=rt.config.JointNetConfig(num_classes=V),
+    )
+    model = RNNTransducer(cfg)
+    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 3, n_mels)),
+                           jnp.array([3]), jnp.zeros((1, 2), jnp.int32),
+                           jnp.array([2]))
+    return model, variables
+
+
+def test_beam1_equals_greedy():
+    model, variables = _make_model(seed=3)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(3, 10, 6).astype(np.float32) * 2)
+    lengths = jnp.array([10, 6, 9], jnp.int32)
+    gt, gl = greedy_decode(model, variables, feats, lengths,
+                           max_symbols=3, max_output_len=32)
+    bt, bl, _ = batched_beam_decode(model, variables, feats, lengths,
+                                    beam_width=1, max_symbols=3,
+                                    max_output_len=32)
+    gt, gl = np.asarray(gt), np.asarray(gl)
+    bt, bl = np.asarray(bt), np.asarray(bl)
+    for b in range(3):
+        assert list(bt[b, 0, :bl[b, 0]]) == list(gt[b, :gl[b]]), b
+
+
+def test_batch_rows_independent():
+    model, variables = _make_model(seed=5)
+    rng = np.random.RandomState(1)
+    f1 = rng.randn(1, 8, 6).astype(np.float32) * 2
+    f2 = rng.randn(1, 8, 6).astype(np.float32) * 2
+    both = jnp.asarray(np.concatenate([f1, f2]))
+    l2 = jnp.array([8, 8], jnp.int32)
+    t_all, l_all, s_all = batched_beam_decode(model, variables, both, l2,
+                                              beam_width=4, max_output_len=16)
+    for i, f in enumerate((f1, f2)):
+        t1, l1, s1 = batched_beam_decode(model, variables, jnp.asarray(f),
+                                         jnp.array([8]), beam_width=4,
+                                         max_output_len=16)
+        np.testing.assert_array_equal(np.asarray(t_all)[i], np.asarray(t1)[0])
+        np.testing.assert_allclose(np.asarray(s_all)[i], np.asarray(s1)[0],
+                                   atol=1e-5)
+
+
+def test_beam_improves_or_matches_greedy_score():
+    """The beam's best raw score must be >= the greedy path's raw score
+    (greedy's path is in the K=1 search space, which K=8 contains)."""
+    model, variables = _make_model(seed=7)
+    rng = np.random.RandomState(2)
+    feats = jnp.asarray(rng.randn(2, 9, 6).astype(np.float32) * 2)
+    lengths = jnp.array([9, 9], jnp.int32)
+    _, _, s1 = batched_beam_decode(model, variables, feats, lengths,
+                                   beam_width=1, length_norm=False)
+    _, _, s8 = batched_beam_decode(model, variables, feats, lengths,
+                                   beam_width=8, length_norm=False)
+    assert float(np.asarray(s8)[:, 0].min() - np.asarray(s1)[:, 0].max()) > -1e-4
+    for b in range(2):
+        assert float(s8[b, 0]) >= float(s1[b, 0]) - 1e-5
+
+
+def test_near_optimal_vs_exhaustive():
+    from tests.test_beam_lm import _exhaustive_best
+    V = 5
+    model, variables = _make_model(seed=3, V=V)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(1, 3, 6).astype(np.float32) * 2)
+    toks, lens, _ = batched_beam_decode(model, variables, feats,
+                                        jnp.array([3]), beam_width=16,
+                                        max_symbols=3, max_output_len=8)
+    got = tuple(np.asarray(toks)[0, 0, :int(lens[0, 0])])
+    ranked = _exhaustive_best(model, variables, feats, T=3, V=V)
+    scores = dict(ranked)
+    assert scores[got] >= ranked[0][1] - 0.3, (got, ranked[:5])
+
+
+def test_deterministic():
+    model, variables = _make_model(seed=9)
+    feats = jnp.asarray(np.random.RandomState(3).randn(2, 7, 6)
+                        .astype(np.float32))
+    lengths = jnp.array([7, 5], jnp.int32)
+    a = batched_beam_decode(model, variables, feats, lengths, beam_width=4)
+    b = batched_beam_decode(model, variables, feats, lengths, beam_width=4)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
