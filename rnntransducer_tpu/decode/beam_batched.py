@@ -17,36 +17,66 @@ per frame, entirely inside one ``lax.scan``:
 * final ranking uses the reference's length normalization
   (score / (len + 1), the +1 being the blank seed, ``transducer.py:360``).
 
-With beam_width=1 this reduces exactly to greedy decoding (tested).
+With beam_width=1 this reduces exactly to greedy decoding (tested).  The beam
+state is an explicit ``BeamCarry``, so the same compiled frame scan serves
+offline decoding and chunked streaming (decode/streaming.py).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
+from rnntransducer_tpu.models.cells import RNNState
 from rnntransducer_tpu.models.transducer import RNNTransducer
 
 NEG = -1e30
 
 
+class BeamCarry(NamedTuple):
+    """Resumable beam state across frame chunks. Shapes: scores/lens/last
+    (B, K); tokens (B, K, L); dec_out (B*K, Dd); state: prednet RNNState
+    over batch B*K."""
+    scores: jnp.ndarray
+    tokens: jnp.ndarray
+    lens: jnp.ndarray
+    last: jnp.ndarray
+    dec_out: jnp.ndarray
+    state: RNNState
+
+
+@partial(jax.jit, static_argnames=("model", "batch", "beam_width", "blank_id",
+                                   "max_output_len"))
+def init_beam_carry(model: RNNTransducer, variables, batch: int,
+                    beam_width: int, blank_id: int = 0,
+                    max_output_len: int = 256) -> BeamCarry:
+    B, K = batch, beam_width
+    blank_flat = jnp.full((B * K,), blank_id, jnp.int32)
+    dec_out0, state0 = model.apply(variables, blank_flat, None,
+                                   method=model.predict_step)
+    return BeamCarry(
+        scores=jnp.full((B, K), NEG).at[:, 0].set(0.0),
+        tokens=jnp.full((B, K, max_output_len), blank_id, jnp.int32),
+        lens=jnp.zeros((B, K), jnp.int32),
+        last=jnp.full((B, K), blank_id, jnp.int32),
+        dec_out=dec_out0,
+        state=state0,
+    )
+
+
 @partial(jax.jit, static_argnames=("model", "blank_id", "beam_width",
-                                   "max_symbols", "max_output_len",
-                                   "length_norm"))
-def batched_beam_decode(model: RNNTransducer, variables, feats, feat_lengths,
-                        blank_id: int = 0, beam_width: int = 4,
-                        max_symbols: int = 3, max_output_len: int = 256,
-                        length_norm: bool = True
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """feats: (B, T, n_mels). Returns (tokens (B, K, max_output_len),
-    lengths (B, K), scores (B, K)), hypotheses sorted best-first."""
-    B = feats.shape[0]
-    K = beam_width
+                                   "max_symbols"))
+def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
+                       carry: BeamCarry, blank_id: int = 0,
+                       beam_width: int = 4, max_symbols: int = 3) -> BeamCarry:
+    """Advance the beam over encoder frames enc (B, T, De), valid up to
+    enc_lengths (B,). Compiled once per (B, T) shape."""
+    B, K = carry.scores.shape
     V = model.cfg.jointnet.num_classes
-    enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
+    max_output_len = carry.tokens.shape[2]
     enc_t = jnp.swapaxes(enc, 0, 1)  # (T, B, De)
 
     def predict(tokens_flat, state):
@@ -54,35 +84,28 @@ def batched_beam_decode(model: RNNTransducer, variables, feats, feat_lengths,
                            method=model.predict_step)
 
     def joint(enc_bk, dec_flat):
-        # pointwise joint on (B*K, De)+(B*K, Dd)
         logits = model.apply(variables, enc_bk, dec_flat,
                              method=model.joint_step)
         return jax.nn.log_softmax(logits, axis=-1)
 
-    blank_flat = jnp.full((B * K,), blank_id, jnp.int32)
-    dec_out0, state0 = predict(blank_flat, None)
-
-    def gather_bk(x, parent, k_axis_from_flat=False):
-        """Gather along the K axis with parent (B, K) int32.
-        x: (B, K, ...) or state-style (..., B*K, H)."""
+    def gather_bk(x, parent):
         return jnp.take_along_axis(
             x, parent.reshape(parent.shape + (1,) * (x.ndim - 2)), axis=1)
 
     def gather_state(state, parent):
-        """state arrays: (L, D, B*K, H) -> reindex the K slot per batch."""
         def g(a):
             L, D, BK, H = a.shape
-            a4 = a.reshape(L, D, B, K, H)
+            a5 = a.reshape(L, D, B, K, H)
             idx = parent.reshape(1, 1, B, K, 1)
-            return jnp.take_along_axis(a4, idx, axis=3).reshape(L, D, BK, H)
+            return jnp.take_along_axis(a5, idx, axis=3).reshape(L, D, BK, H)
         return jax.tree.map(g, state)
 
-    def frame_step(carry, inp):
-        enc_i, t = inp  # enc_i: (B, De)
-        scores, tokens, lens, last, dec_out, state = carry
-        frame_valid = (t < feat_lengths.astype(jnp.int32))  # (B,)
+    def frame_step(c: BeamCarry, inp):
+        enc_i, t = inp
+        scores, tokens, lens, last, dec_out, state = c
+        frame_valid = (t < enc_lengths.astype(jnp.int32))  # (B,)
         done = jnp.zeros((B, K), bool)
-        enc_bk = jnp.repeat(enc_i, K, axis=0)  # (B*K, De)
+        enc_bk = jnp.repeat(enc_i, K, axis=0)
 
         new = (scores, tokens, lens, last, dec_out, state)
         for _ in range(max_symbols):
@@ -118,8 +141,7 @@ def batched_beam_decode(model: RNNTransducer, variables, feats, feat_lengths,
             feed = jnp.where(is_stay, blank_id, tok).reshape(B * K)
             ndo, nst = predict(feed, state_g)
             ndo = ndo.reshape(B, K, -1)
-            m = is_stay[..., None]
-            dec_n = jnp.where(m, dec_g, ndo).reshape(B * K, -1)
+            dec_n = jnp.where(is_stay[..., None], dec_g, ndo).reshape(B * K, -1)
             sel = is_stay.reshape(1, 1, B, K, 1)
 
             def mix(old_a, new_a):
@@ -138,31 +160,48 @@ def batched_beam_decode(model: RNNTransducer, variables, feats, feat_lengths,
         scores = jnp.where(done, scores, scores + logp[..., blank_id])
 
         # skip invalid frames entirely
-        old = carry
         fv = frame_valid
         pick = lambda n, o: jnp.where(
             fv.reshape((B,) + (1,) * (n.ndim - 1)), n, o)
         pick_state = lambda n, o: jax.tree.map(
             lambda na, oa: jnp.where(
                 fv.repeat(K).reshape(1, 1, B * K, 1), na, oa), n, o)
-        carry = (pick(scores, old[0]), pick(tokens, old[1]),
-                 pick(lens, old[2]), pick(last, old[3]),
-                 jnp.where(fv.repeat(K)[:, None], dec_out, old[4]),
-                 pick_state(state, old[5]))
-        return carry, None
+        out = BeamCarry(pick(scores, c.scores), pick(tokens, c.tokens),
+                        pick(lens, c.lens), pick(last, c.last),
+                        jnp.where(fv.repeat(K)[:, None], dec_out, c.dec_out),
+                        pick_state(state, c.state))
+        return out, None
 
-    scores0 = jnp.full((B, K), NEG).at[:, 0].set(0.0)
-    tokens0 = jnp.full((B, K, max_output_len), blank_id, jnp.int32)
-    lens0 = jnp.zeros((B, K), jnp.int32)
-    last0 = jnp.full((B, K), blank_id, jnp.int32)
-    carry = (scores0, tokens0, lens0, last0, dec_out0, state0)
     ts = jnp.arange(enc_t.shape[0], dtype=jnp.int32)
-    (scores, tokens, lens, _, _, _), _ = jax.lax.scan(frame_step, carry,
-                                                      (enc_t, ts))
+    carry, _ = jax.lax.scan(frame_step, carry, (enc_t, ts))
+    return carry
 
+
+def rank_beam(carry: BeamCarry, length_norm: bool = True):
+    """Sort hypotheses best-first: (tokens (B,K,L), lens (B,K), scores)."""
+    scores, tokens, lens = carry.scores, carry.tokens, carry.lens
     rank = scores / (lens + 1) if length_norm else scores
     order = jnp.argsort(-rank, axis=1)
     scores = jnp.take_along_axis(scores, order, axis=1)
     lens = jnp.take_along_axis(lens, order, axis=1)
     tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
     return tokens, lens, scores
+
+
+@partial(jax.jit, static_argnames=("model", "blank_id", "beam_width",
+                                   "max_symbols", "max_output_len",
+                                   "length_norm"))
+def batched_beam_decode(model: RNNTransducer, variables, feats, feat_lengths,
+                        blank_id: int = 0, beam_width: int = 4,
+                        max_symbols: int = 3, max_output_len: int = 256,
+                        length_norm: bool = True
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Offline path: encode feats (B, T, n_mels), run the beam frame scan,
+    rank. Returns (tokens (B, K, max_output_len), lengths (B, K),
+    scores (B, K)) best-first."""
+    enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
+    carry = init_beam_carry(model, variables, feats.shape[0], beam_width,
+                            blank_id, max_output_len)
+    carry = beam_decode_frames(model, variables, enc, feat_lengths, carry,
+                               blank_id, beam_width, max_symbols)
+    return rank_beam(carry, length_norm)

@@ -137,26 +137,42 @@ def _encode_chunk(model: RNNTransducer, variables, chunk, n_valid, state):
 
 
 class StreamingRecognizer:
-    """Chunked streaming ASR session over a unidirectional-encoder model."""
+    """Chunked streaming ASR session over a unidirectional-encoder model.
+
+    decoder="greedy": feed() returns newly emitted token ids (monotone).
+    decoder="beam": feed() returns the CURRENT BEST hypothesis (which may
+    revise earlier output as the beam reorders — standard streaming-beam
+    behavior); flush() returns the final best hypothesis.
+    """
 
     def __init__(self, model: RNNTransducer, variables, audio_cfg: AudioConfig,
                  blank_id: int = 0, chunk_frames: int = 64,
                  max_symbols: int = 3, max_output_len: int = 512,
-                 normalize: str = "none"):
+                 normalize: str = "none", decoder: str = "greedy",
+                 beam_width: int = 4):
         if model.cfg.transnet.bidirectional:
             raise ValueError(
                 "streaming requires a unidirectional encoder "
                 "(transnet.bidirectional=false)")
+        if decoder not in ("greedy", "beam"):
+            raise ValueError(f"unknown streaming decoder: {decoder}")
         self.model = model
         self.variables = variables
         self.blank_id = blank_id
         self.chunk_frames = chunk_frames
         self.max_symbols = max_symbols
+        self.decoder = decoder
+        self.beam_width = beam_width
         self.frontend = StreamingFrontend(audio_cfg, normalize)
         self._feat_buf = np.zeros((0, audio_cfg.n_mels), np.float32)
         self._enc_state: Optional[RNNState] = None
-        self._carry: GreedyCarry = init_greedy_carry(
-            model, variables, 1, blank_id, max_output_len)
+        if decoder == "beam":
+            from rnntransducer_tpu.decode.beam_batched import init_beam_carry
+            self._carry = init_beam_carry(model, variables, 1, beam_width,
+                                          blank_id, max_output_len)
+        else:
+            self._carry = init_greedy_carry(
+                model, variables, 1, blank_id, max_output_len)
         self._emitted = 0
 
     # ------------------------------------------------------------------
@@ -175,13 +191,23 @@ class StreamingRecognizer:
             enc, self._enc_state = _encode_chunk(
                 self.model, self.variables, jnp.asarray(chunk[None]),
                 jnp.array([n_valid], jnp.int32), self._enc_state)
-            self._carry = greedy_decode_frames(
-                self.model, self.variables, enc, jnp.array([n_valid]),
-                self._carry, self.blank_id, self.max_symbols)
-            total = int(self._carry.lengths[0])
-            toks = np.asarray(self._carry.tokens[0, self._emitted:total])
-            new_tokens.extend(int(t) for t in toks)
-            self._emitted = total
+            if self.decoder == "beam":
+                from rnntransducer_tpu.decode.beam_batched import (
+                    beam_decode_frames,
+                )
+                self._carry = beam_decode_frames(
+                    self.model, self.variables, enc, jnp.array([n_valid]),
+                    self._carry, self.blank_id, self.beam_width,
+                    self.max_symbols)
+                new_tokens = self.tokens  # current best (may revise)
+            else:
+                self._carry = greedy_decode_frames(
+                    self.model, self.variables, enc, jnp.array([n_valid]),
+                    self._carry, self.blank_id, self.max_symbols)
+                total = int(self._carry.lengths[0])
+                toks = np.asarray(self._carry.tokens[0, self._emitted:total])
+                new_tokens.extend(int(t) for t in toks)
+                self._emitted = total
         return new_tokens
 
     def feed(self, samples: np.ndarray) -> List[int]:
@@ -200,5 +226,9 @@ class StreamingRecognizer:
 
     @property
     def tokens(self) -> List[int]:
+        if self.decoder == "beam":
+            from rnntransducer_tpu.decode.beam_batched import rank_beam
+            toks, lens, _ = rank_beam(self._carry)
+            return [int(t) for t in np.asarray(toks[0, 0, :int(lens[0, 0])])]
         return [int(t) for t in
                 np.asarray(self._carry.tokens[0, :int(self._carry.lengths[0])])]

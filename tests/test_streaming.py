@@ -100,3 +100,27 @@ def test_streaming_incremental_emission():
     total += len(rec.flush())
     if total > 2:
         assert emitted_early > 0  # streaming, not batch-at-flush
+
+
+@pytest.mark.parametrize("chunk_frames", [16, 64])
+def test_streaming_beam_matches_offline_beam(chunk_frames):
+    """Chunked beam with carried BeamCarry == offline batched beam."""
+    from rnntransducer_tpu.decode.beam_batched import batched_beam_decode
+
+    model, variables = _uni_model(seed=4)
+    acfg = AudioConfig(normalize=False)
+    rng = np.random.RandomState(2)
+    wav = (rng.randn(12800) * 2).astype(np.float32)
+
+    feats, lengths = LogMelFrontend(acfg)(jnp.asarray(wav[None]))
+    toks, lens, _ = batched_beam_decode(model, variables, feats, lengths,
+                                        beam_width=4, max_output_len=512)
+    want = list(np.asarray(toks)[0, 0, :int(lens[0, 0])])
+
+    rec = StreamingRecognizer(model, variables, acfg, decoder="beam",
+                              beam_width=4, chunk_frames=chunk_frames,
+                              normalize="none")
+    for s in range(0, len(wav), 1600):
+        rec.feed(wav[s:s + 1600])
+    final = rec.flush()
+    assert final == want, (chunk_frames, final[:20], want[:20])
