@@ -119,3 +119,22 @@ def test_spec_augment():
     # deterministic given the key
     out3 = spec_augment(jax.random.PRNGKey(0), feats)
     np.testing.assert_array_equal(np.asarray(out3), o)
+
+
+def test_pallas_frontend_matches_xla():
+    """Fused Pallas DFT/mel kernel (interpret mode on CPU) == rfft frontend."""
+    from rnntransducer_tpu.frontend.pallas_frontend import logmel_pallas
+
+    cfg = AudioConfig(normalize=True)
+    rng = np.random.RandomState(5)
+    wav = (rng.randn(2, 7350) * 0.3).astype(np.float32)
+    lengths = np.array([7350, 5000], np.int32)
+
+    want, wl = LogMelFrontend(cfg)(jnp.asarray(wav), jnp.asarray(lengths))
+    for hp in (False, True):
+        got, gl = logmel_pallas(jnp.asarray(wav), cfg, jnp.asarray(lengths),
+                                high_precision=hp)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(np.asarray(gl), np.asarray(wl))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)

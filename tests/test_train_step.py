@@ -173,3 +173,41 @@ def test_onecycle_no_nan_at_tiny_max_steps():
     s = onecycle_schedule(TrainConfig(max_steps=4, warmup_ratio=0.2))
     vals = [float(s(i)) for i in range(5)]
     assert all(np.isfinite(v) for v in vals), vals
+
+
+def test_train_step_from_raw_waveform():
+    """On-device frontend path: train on raw PCM (wav in the batch)."""
+    cfg = _tiny_cfg()
+    from rnntransducer_tpu.config import (AudioConfig, DataConfig, ModelConfig,
+                                          PredNetConfig, JointNetConfig,
+                                          TransNetConfig)
+    cfg = Config(
+        data=DataConfig(audio=AudioConfig(spec_augment=False)),
+        model=ModelConfig(
+            transnet=TransNetConfig(input_size=80, hidden_size=16,
+                                    output_size=12, num_layers=1,
+                                    rnn_type="lstm", dropout=0.0,
+                                    bidirectional=True),
+            prednet=PredNetConfig(embedding_size=16, hidden_size=16,
+                                  output_size=12, num_layers=1,
+                                  rnn_type="lstm", dropout=0.0),
+            jointnet=JointNetConfig(num_classes=16),
+        ),
+        train=TrainConfig(precision="fp32", max_steps=100),
+    )
+    rng = np.random.RandomState(0)
+    B, S, U = 2, 4800, 3
+    targets = rng.randint(1, 16, size=(B, U)).astype(np.int32)
+    text_in = np.concatenate([np.zeros((B, 1), np.int32), targets], axis=1)
+    batch = {
+        "wav": jnp.asarray(rng.randn(B, S).astype(np.float32)),
+        "wav_lengths": jnp.array([S, 3200], jnp.int32),
+        "text_in": jnp.asarray(text_in),
+        "text_lengths": jnp.full((B,), U + 1, jnp.int32),
+        "targets": jnp.asarray(targets),
+        "target_lengths": jnp.full((B,), U, jnp.int32),
+    }
+    tx = make_optimizer(cfg.train)
+    state = TrainState.create(cfg)
+    state, m = train_step(cfg, tx, state, batch)
+    assert np.isfinite(float(m["loss"]))
