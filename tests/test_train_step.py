@@ -211,3 +211,20 @@ def test_train_step_from_raw_waveform():
     state = TrainState.create(cfg)
     state, m = train_step(cfg, tx, state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_long_form_audio_trains():
+    """North-star config 5 shape check: long-form (T=2048) bidirectional
+    training step with remat + fused loss on the CPU mesh (tiny dims)."""
+    import dataclasses
+    cfg = _tiny_cfg()
+    tn = dataclasses.replace(cfg.model.transnet, remat=True, scan_layers=True,
+                             num_layers=3)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, transnet=tn),
+        train=dataclasses.replace(cfg.train, joint_chunk_frames=128))
+    batch = _batch(cfg, B=2, T=2048, U=64)
+    tx = make_optimizer(cfg.train)
+    state = TrainState.create(cfg)
+    state, m = train_step(cfg, tx, state, batch)
+    assert np.isfinite(float(m["loss"]))
