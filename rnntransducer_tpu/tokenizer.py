@@ -116,3 +116,67 @@ class GraphemeTokenizer:
 
     def batch_decode(self, batch: Iterable[Sequence[int]], **kw) -> List[str]:
         return [self.decode(ids, **kw) for ids in batch]
+
+
+# -- Hangul syllable <-> jamo -----------------------------------------------
+# The reference's KsponSpeech prep produced jamo-level labels (README.md:41:
+# 72 graphemes, syllables decomposed). These helpers make encode()/decode()
+# usable on real Korean text: syllables decompose to compatibility jamo for
+# encoding, and jamo sequences re-compose to syllables for display.
+
+_CHO = [0x3131, 0x3132, 0x3134, 0x3137, 0x3138, 0x3139, 0x3141, 0x3142,
+        0x3143, 0x3145, 0x3146, 0x3147, 0x3148, 0x3149, 0x314A, 0x314B,
+        0x314C, 0x314D, 0x314E]  # 19 initials (compat jamo codepoints)
+_JUNG = list(range(0x314F, 0x3164))  # 21 medials
+_JONG = [0, 0x3131, 0x3132, 0x3133, 0x3134, 0x3135, 0x3136, 0x3137, 0x3139,
+         0x313A, 0x313B, 0x313C, 0x313D, 0x313E, 0x313F, 0x3140, 0x3141,
+         0x3142, 0x3144, 0x3145, 0x3146, 0x3147, 0x3148, 0x314A, 0x314B,
+         0x314C, 0x314D, 0x314E]  # 28 finals (0 = none)
+
+
+def decompose_hangul(text: str) -> str:
+    """Hangul syllables -> compatibility jamo; other chars pass through.
+    '간다' -> 'ㄱㅏㄴㄷㅏ'."""
+    out = []
+    for ch in text:
+        code = ord(ch)
+        if 0xAC00 <= code <= 0xD7A3:
+            idx = code - 0xAC00
+            cho, rest = divmod(idx, 21 * 28)
+            jung, jong = divmod(rest, 28)
+            out.append(chr(_CHO[cho]))
+            out.append(chr(_JUNG[jung]))
+            if _JONG[jong]:
+                out.append(chr(_JONG[jong]))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def compose_jamo(text: str) -> str:
+    """Best-effort inverse of decompose_hangul: greedy recombination of
+    compatibility jamo runs into syllables; unmatched jamo pass through."""
+    out = []
+    i = 0
+    n = len(text)
+    cho_set = {chr(c) for c in _CHO}
+    jung_set = {chr(c) for c in _JUNG}
+    jong_map = {chr(c): j for j, c in enumerate(_JONG) if c}
+    while i < n:
+        ch = text[i]
+        if ch in cho_set and i + 1 < n and text[i + 1] in jung_set:
+            cho = _CHO.index(ord(ch))
+            jung = _JUNG.index(ord(text[i + 1]))
+            i += 2
+            jong = 0
+            # a final is consumed only if NOT itself the start of a next
+            # syllable (i.e. not followed by a medial)
+            if i < n and text[i] in jong_map and not (
+                    i + 1 < n and text[i + 1] in jung_set):
+                jong = jong_map[text[i]]
+                i += 1
+            out.append(chr(0xAC00 + (cho * 21 + jung) * 28 + jong))
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)

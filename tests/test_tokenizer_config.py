@@ -110,3 +110,23 @@ def test_flip_sequences_overlong_and_negative_lengths():
     # length > T behaves as full-length flip; negative as length 0
     np.testing.assert_array_equal(np.asarray(out[0, :, 0]), [4, 3, 2, 1, 0])
     np.testing.assert_array_equal(np.asarray(out[1, :, 0]), [5, 6, 7, 8, 9])
+
+
+def test_hangul_decompose_compose_roundtrip():
+    from rnntransducer_tpu.tokenizer import compose_jamo, decompose_hangul
+    for text in ["간다", "안녕하세요", "값", "닭과 삶", "한국어 music 123",
+                 "뷁", "가"]:
+        jamo = decompose_hangul(text)
+        # decomposition produced only jamo/pass-through (no syllables left)
+        assert not any(0xAC00 <= ord(c) <= 0xD7A3 for c in jamo), jamo
+        assert compose_jamo(jamo) == text, (text, jamo, compose_jamo(jamo))
+
+
+def test_hangul_tokenizer_end_to_end():
+    from rnntransducer_tpu.tokenizer import compose_jamo, decompose_hangul
+    tok = GraphemeTokenizer.default(72)
+    text = "안녕하세요 세계"
+    ids = tok.encode(decompose_hangul(text))
+    assert all(i != tok.unk_token_id for i in ids)
+    back = compose_jamo(tok.decode(ids, group_tokens=False))
+    assert back == text
