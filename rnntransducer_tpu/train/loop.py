@@ -68,9 +68,14 @@ class Trainer:
         return (self.cfg.train.per_device_train_batch_size * self.n_devices *
                 self.cfg.train.accumulate_grad_batches)
 
-    def _label_bucket_for(self, audio_bucket_idx: int) -> int:
-        lb = self.cfg.data.label_buckets
-        return lb[min(audio_bucket_idx, len(lb) - 1)]
+    def _label_bucket_for(self, max_label_len: int) -> int:
+        """Smallest configured label bucket covering the batch (labels must
+        never be silently truncated — that would corrupt supervision).
+        Compiled shapes stay bounded: |audio_buckets| x |label_buckets|."""
+        for lb in self.cfg.data.label_buckets:
+            if max_label_len <= lb:
+                return lb
+        return self.cfg.data.label_buckets[-1]
 
     def _host_batches(self, dataset, epoch: int, batch_size: int,
                       shuffle: bool = True):
@@ -78,9 +83,15 @@ class Trainer:
             dataset.lengths(), self.cfg.data.audio_buckets, batch_size,
             seed=self.cfg.train.seed, shuffle=shuffle)
         for b_idx, idxs in sampler.epoch_batches(epoch):
-            yield collate([dataset[i] for i in idxs],
+            items = [dataset[i] for i in idxs]
+            max_u = max(len(it["labels"]) for it in items)
+            label_bucket = self._label_bucket_for(max_u)
+            if max_u > label_bucket:
+                self.logger.log(int(self.state.step), event="label_truncated",
+                                max_label_len=max_u, bucket=label_bucket)
+            yield collate(items,
                           max_frames=self.cfg.data.audio_buckets[b_idx],
-                          max_labels=self._label_bucket_for(b_idx),
+                          max_labels=label_bucket,
                           pad_id=self.cfg.data.text.pad_token_id)
 
     # ----------------------------------------------------------------- fit

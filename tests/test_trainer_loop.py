@@ -65,3 +65,18 @@ def test_fit_validate_checkpoint_resume(tmp_path):
     assert int(state2.step) == 6
     trainer.ckpt.close()
     trainer2.ckpt.close()
+
+
+def test_label_bucket_respects_actual_lengths(tmp_path):
+    """Regression: long transcripts in short-audio buckets must not be
+    silently truncated — the label bucket follows the batch's real max."""
+    cfg = _cfg(tmp_path, max_steps=1)
+    # short audio (one bucket) but long labels (needs the larger label bucket)
+    ds = SyntheticAudioDataset(4, AudioConfig(), min_sec=0.3, max_sec=0.5,
+                               min_labels=20, max_labels=22, seed=3)
+    trainer = Trainer(cfg, ds, val_dataset=None)
+    batch = next(iter(trainer._host_batches(ds, 0, 2)))
+    # label_buckets=(16, 24): 20-22 labels must land in the 24 bucket
+    assert batch["targets"].shape[1] == 24
+    assert int(batch["target_lengths"].max()) >= 20
+    trainer.ckpt.close()
