@@ -63,8 +63,10 @@ class JointNetConfig:
     ``networks/transducer.py:27-39``."""
 
     num_classes: int = 72
-    # "concat" (reference behavior, networks/transducer.py:64-67) or "add".
+    # "concat" (reference behavior, networks/transducer.py:64-67) or "add"
+    # (per-side projections to hidden_size, activation after the sum).
     combine: str = "concat"
+    hidden_size: int = 512  # only used by combine="add"
     # rematerialize the joint in the backward pass: the (B,T,U,De+Dd) GELU
     # activation otherwise dominates training HBM (SURVEY.md hard-part 3)
     remat: bool = True

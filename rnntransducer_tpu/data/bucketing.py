@@ -39,7 +39,8 @@ class LengthBucketSampler:
 
     def __init__(self, lengths: Sequence[int], boundaries: Sequence[int],
                  batch_size: int, seed: int = 0, shuffle: bool = True,
-                 rank: int = 0, world_size: int = 1, drop_last: bool = False):
+                 rank: int = 0, world_size: int = 1, drop_last: bool = False,
+                 max_length: Optional[int] = None):
         self.lengths = np.asarray(lengths)
         self.boundaries = tuple(boundaries)
         self.batch_size = batch_size
@@ -48,37 +49,52 @@ class LengthBucketSampler:
         self.rank = rank
         self.world_size = world_size
         self.drop_last = drop_last
+        # utterances longer than this are dropped (default: the largest
+        # bucket boundary) — frame truncation would corrupt supervision
+        self.max_length = (max_length if max_length is not None
+                           else self.boundaries[-1])
+        self.last_dropped = 0
 
-    def epoch_batches(self, epoch: int = 0) -> List[Tuple[int, np.ndarray]]:
+    def epoch_batches(self, epoch: int = 0) -> List[Tuple[int, np.ndarray, int]]:
+        """Returns (bucket_idx, indices, n_valid) triples; indices beyond
+        n_valid are wrap-padding duplicates (present so every batch has the
+        full static batch size) — evaluation must exclude them."""
         rng = np.random.RandomState(self.seed + epoch)
         buckets: List[List[int]] = [[] for _ in self.boundaries]
         order = np.arange(len(self.lengths))
         if self.shuffle:
             rng.shuffle(order)
         order = order[self.rank::self.world_size]
+        dropped = 0
         for idx in order:
-            buckets[bucket_for(int(self.lengths[idx]), self.boundaries)].append(idx)
+            length = int(self.lengths[idx])
+            if self.max_length is not None and length > self.max_length:
+                dropped += 1  # never silently truncate audio (see collate)
+                continue
+            buckets[bucket_for(length, self.boundaries)].append(idx)
+        self.last_dropped = dropped
 
-        batches: List[Tuple[int, np.ndarray]] = []
+        batches: List[Tuple[int, np.ndarray, int]] = []
         for b_idx, idxs in enumerate(buckets):
             idxs = np.asarray(idxs)
             for s in range(0, len(idxs), self.batch_size):
                 chunk = idxs[s:s + self.batch_size]
-                if len(chunk) < self.batch_size:
-                    if self.drop_last or len(idxs) < self.batch_size:
-                        if self.drop_last:
-                            continue
+                n_valid = len(chunk)
+                if n_valid < self.batch_size:
+                    if self.drop_last:
+                        continue
+                    if len(idxs) < self.batch_size:
                         # tiny bucket: wrap-pad to full batch
-                        reps = int(np.ceil(self.batch_size / len(chunk)))
+                        reps = int(np.ceil(self.batch_size / n_valid))
                         chunk = np.tile(chunk, reps)[:self.batch_size]
                     else:
                         # pad from the bucket's own head (wrap-around)
-                        need = self.batch_size - len(chunk)
+                        need = self.batch_size - n_valid
                         chunk = np.concatenate([chunk, idxs[:need]])
-                batches.append((b_idx, chunk))
+                batches.append((b_idx, chunk, n_valid))
         if self.shuffle:
             rng.shuffle(batches)
         return batches
 
-    def __iter__(self) -> Iterator[Tuple[int, np.ndarray]]:
+    def __iter__(self) -> Iterator[Tuple[int, np.ndarray, int]]:
         return iter(self.epoch_batches(0))

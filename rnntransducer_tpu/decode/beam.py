@@ -87,6 +87,8 @@ class BeamSearchDecoder:
                                                          weight=hotword_weight)
         self.max_expansions = max_expansions_per_frame
         self._use_lm = lm is not None or bool(self.hotword_scorer)
+        if self._use_lm and tokenizer is None:
+            raise ValueError("LM/hotword fusion requires a tokenizer")
 
     def _key(self, hyp: _Hyp) -> float:
         return hyp.lm_score if self._use_lm else hyp.asr_score
@@ -164,7 +166,8 @@ class BeamSearchDecoder:
             while A_hyps:
                 most_prob_A = max(A_hyps, key=self._key)
                 a_best = self._key(most_prob_A)
-                b_best = max((self._key(h) for h in B_hyps), default=-9999.0)
+                b_best = max((self._key(h) for h in B_hyps),
+                             default=float("-inf"))
                 if self.improved and b_best >= self.state_beam + a_best:
                     break  # B is unbeatable (transducer.py:295-298)
                 expansions += 1
@@ -201,7 +204,8 @@ class BeamSearchDecoder:
                 if self._use_lm and new_A:
                     self._score_lm_beams(A_hyps, cached_lm, cached_partial,
                                          is_eos=False)
-                best_next_A = max((self._key(h) for h in A_hyps), default=-9999.0)
+                best_next_A = max((self._key(h) for h in A_hyps),
+                                  default=float("-inf"))
                 best_next_B = max(self._key(h) for h in B_hyps)
                 if len(B_hyps) >= self.beam_width and best_next_B > best_next_A:
                     break

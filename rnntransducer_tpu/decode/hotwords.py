@@ -22,7 +22,9 @@ class HotwordScorer:
         if self.hotwords:
             alts = "|".join(re.escape(w) for w in
                             sorted(self.hotwords, key=len, reverse=True))
-            self._pattern = re.compile(rf"(?:^|\s)({alts})(?:$|\s)")
+            # trailing boundary must be a LOOKAHEAD: a consuming group would
+            # eat the space between adjacent hotwords ("foo bar" -> only foo)
+            self._pattern = re.compile(rf"(?:^|\s)({alts})(?=$|\s)")
         self._shortest = min((len(w) for w in self.hotwords), default=0)
 
     @classmethod

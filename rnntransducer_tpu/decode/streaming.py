@@ -74,6 +74,8 @@ class StreamingFrontend:
         stream-start reflect pad when windows reach before sample 0."""
         cfg = self.cfg
         pad = cfg.n_fft // 2
+        if last <= first or self._total == 0:
+            return np.zeros((0, cfg.n_mels), np.float32)
         out = np.zeros((last - first, cfg.n_fft), np.float32)
         for j, i in enumerate(range(first, last)):
             s = i * cfg.hop_length - pad
@@ -83,6 +85,10 @@ class StreamingFrontend:
             # reflect at stream end (only reachable from flush())
             over = idx - (self._total - 1)
             idx = np.where(over > 0, self._total - 1 - over, idx)
+            # guard very short streams (total < pad): double reflection would
+            # leave the buffer range — clamp instead of wrapping negatively
+            idx = np.clip(idx, self._buf_start,
+                          self._buf_start + len(self._buf) - 1)
             out[j] = self._buf[idx - self._buf_start]
         spec = np.fft.rfft(self._normalize(out) * self.window[None, :], axis=-1)
         power = (spec.real ** 2 + spec.imag ** 2).astype(np.float32)

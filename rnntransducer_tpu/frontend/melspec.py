@@ -88,14 +88,39 @@ def mean_var_normalize(wav, wav_lengths=None, eps: float = 1e-7):
     return jnp.where(mask, out, 0.0)
 
 
-def stft_power(wav, n_fft: int, hop_length: int, window: jnp.ndarray):
+def frame_signal(wav, n_fft: int, hop_length: int, lengths=None):
+    """(B, S) -> (B, frames, n_fft) frames with center/reflect padding.
+
+    With ``lengths``, reflection happens at each utterance's TRUE tail (not
+    the batch zero-padding), so the last valid frames of shorter-than-max
+    utterances match the per-utterance offline/streaming pipelines exactly.
+    Frames beyond an utterance's valid frame count contain mirror garbage and
+    must be masked downstream (they are, via frame lengths)."""
+    B, S = wav.shape
+    pad = n_fft // 2
+    n_frm = num_frames(S, hop_length)
+    if lengths is None:
+        x = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+        idx = (jnp.arange(n_frm)[:, None] * hop_length
+               + jnp.arange(n_fft)[None, :])
+        return x[:, idx]
+    pos = (jnp.arange(n_frm)[:, None] * hop_length
+           + jnp.arange(n_fft)[None, :] - pad)         # signal coords
+    L = jnp.maximum(lengths.astype(jnp.int32), 1)[:, None, None]
+    p = jnp.broadcast_to(pos[None], (B, n_frm, n_fft))
+    p = jnp.abs(p)                                     # reflect at 0
+    over = p - (L - 1)
+    p = jnp.where(over > 0, L - 1 - over, p)           # reflect at L-1
+    p = jnp.clip(p, 0, S - 1)
+    return jnp.take_along_axis(
+        jnp.broadcast_to(wav[:, None, :], (B, n_frm, S)), p, axis=2)
+
+
+def stft_power(wav, n_fft: int, hop_length: int, window: jnp.ndarray,
+               lengths=None):
     """Power spectrogram matching torch.stft(center=True, pad_mode='reflect',
     onesided, power=2). wav: (B, S) -> (B, frames, n_fft//2+1)."""
-    pad = n_fft // 2
-    x = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
-    n_frm = num_frames(wav.shape[-1], hop_length)
-    idx = (jnp.arange(n_frm)[:, None] * hop_length + jnp.arange(n_fft)[None, :])
-    frames = x[:, idx] * window[None, None, :]
+    frames = frame_signal(wav, n_fft, hop_length, lengths) * window[None, None, :]
     spec = jnp.fft.rfft(frames, axis=-1)
     return (spec.real ** 2 + spec.imag ** 2).astype(jnp.float32)
 
@@ -118,7 +143,8 @@ class LogMelFrontend:
         """wav: (B, S) float32 PCM at cfg.sample_rate."""
         if self.cfg.normalize:
             wav = mean_var_normalize(wav, wav_lengths)
-        power = stft_power(wav, self.cfg.n_fft, self.cfg.hop_length, self.window)
+        power = stft_power(wav, self.cfg.n_fft, self.cfg.hop_length,
+                           self.window, wav_lengths)
         mel = jnp.einsum("btf,fm->btm", power, self.fb,
                          preferred_element_type=jnp.float32)
         feats = jnp.log1p(mel)

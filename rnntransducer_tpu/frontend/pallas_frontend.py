@@ -60,9 +60,15 @@ def _dft_mats(n_fft: int, window: str, n_mels: int, sample_rate: int):
     return wc, ws, fb
 
 
-def _frame_signal(wav, n_fft: int, hop: int):
-    """(B, S) -> (B, F, n_fft) frames with center/reflect padding, using
-    shifted views of the hop-reshaped signal (no gather)."""
+def _frame_signal(wav, n_fft: int, hop: int, lengths=None):
+    """(B, S) -> (B, F, n_fft) frames with center/reflect padding.
+
+    Full-length batches use shifted views of the hop-reshaped signal (no
+    gather); with per-sample lengths the shared gather-based framing reflects
+    at each utterance's true tail (melspec.frame_signal)."""
+    if lengths is not None:
+        from rnntransducer_tpu.frontend.melspec import frame_signal
+        return frame_signal(wav, n_fft, hop, lengths)
     B, S = wav.shape
     pad = n_fft // 2
     F = num_frames(S, hop)
@@ -122,7 +128,7 @@ def logmel_pallas(wav, cfg: AudioConfig, wav_lengths=None,
         wav = mean_var_normalize(wav, wav_lengths)
     B, S = wav.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
-    frames = _frame_signal(wav, n_fft, hop)          # (B, F, n_fft)
+    frames = _frame_signal(wav, n_fft, hop, wav_lengths)  # (B, F, n_fft)
     F = frames.shape[1]
     wc, ws, fb = _dft_mats(n_fft, cfg.window, cfg.n_mels, cfg.sample_rate)
     Kp, Mp = wc.shape[1], fb.shape[1]

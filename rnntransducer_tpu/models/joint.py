@@ -5,13 +5,11 @@ Capability-equivalent to the reference's ``JointNet.joint``
 decoder (B,1,U+1,Dd), combine, GELU(tanh), Linear -> num_classes.
 
 The reference deliberately uses **concat** rather than add
-(``networks/transducer.py:64-67``).  Concat-then-dense is algebraically a pair
-of dense projections applied to each side *after* the activation — but the
-reference applies the activation to the concatenated raw features, so the
-fusion trick does not apply verbatim.  We keep reference semantics under
-``combine="concat"`` and offer ``combine="add"`` (activation after sum of
-per-side projections) as the memory-lean variant where the (B,T,U,D) broadcast
-can be avoided by the fused loss path.
+(``networks/transducer.py:64-67``).  We keep reference semantics under
+``combine="concat"`` and offer ``combine="add"`` — the standard additive
+joint: each side gets its own dense projection to ``hidden_size``, the
+activation applies to the SUM, so the broadcast lattice carries hidden_size
+(typically < De+Dd) activations and works for De != Dd.
 """
 
 from __future__ import annotations
@@ -28,22 +26,36 @@ class JointNetwork(nn.Module):
 
     def setup(self):
         self.fc = nn.Dense(self.cfg.num_classes)
+        if self.cfg.combine == "add":
+            self.enc_proj = nn.Dense(self.cfg.hidden_size)
+            self.dec_proj = nn.Dense(self.cfg.hidden_size)
+        elif self.cfg.combine != "concat":
+            raise ValueError(f"unknown combine: {self.cfg.combine}")
 
-    def __call__(self, enc, dec):
-        """enc: (..., T, De) or (..., De); dec: (..., U, Dd) or (..., Dd).
-        When both carry a sequence axis, broadcasts to (..., T, U, De+Dd).
-        Returns logits over num_classes."""
+    @staticmethod
+    def _broadcast(enc, dec):
         if enc.ndim == dec.ndim and enc.ndim >= 3:
             # (B, T, De) x (B, U, Dd) -> (B, T, U, *)
             T, U = enc.shape[-2], dec.shape[-2]
-            enc = jnp.broadcast_to(enc[..., :, None, :], enc.shape[:-2] + (T, U, enc.shape[-1]))
-            dec = jnp.broadcast_to(dec[..., None, :, :], dec.shape[:-2] + (T, U, dec.shape[-1]))
-        if self.cfg.combine == "concat":
-            x = jnp.concatenate([enc, dec], axis=-1)
-        elif self.cfg.combine == "add":
+            enc = jnp.broadcast_to(enc[..., :, None, :],
+                                   enc.shape[:-2] + (T, U, enc.shape[-1]))
+            dec = jnp.broadcast_to(dec[..., None, :, :],
+                                   dec.shape[:-2] + (T, U, dec.shape[-1]))
+        return enc, dec
+
+    def __call__(self, enc, dec):
+        """enc: (..., T, De) or (..., De); dec: (..., U, Dd) or (..., Dd).
+        When both carry a sequence axis, broadcasts over (T, U).
+        Returns logits over num_classes."""
+        if self.cfg.combine == "add":
+            # project per side BEFORE broadcasting (the lattice then carries
+            # hidden_size activations instead of De+Dd)
+            enc, dec = self.enc_proj(enc), self.dec_proj(dec)
+            enc, dec = self._broadcast(enc, dec)
             x = enc + dec
         else:
-            raise ValueError(f"unknown combine: {self.cfg.combine}")
+            enc, dec = self._broadcast(enc, dec)
+            x = jnp.concatenate([enc, dec], axis=-1)
         # GELU(approximate="tanh") — networks/transducer.py:38,68
         x = jax.nn.gelu(x, approximate=True)
         return self.fc(x)

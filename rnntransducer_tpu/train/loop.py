@@ -56,7 +56,7 @@ class Trainer:
                                       save_top_k=cfg.train.save_top_k)
         self.tx = make_optimizer(cfg.train)
         self.model = build_model(cfg)
-        self.state = replicate(self.mesh, TrainState.create(cfg))
+        self.state = replicate(self.mesh, TrainState.create(cfg, tx=self.tx))
         # tracing/profiling subsystem (SURVEY.md §5): jax.profiler trace of
         # steps [profile_steps) written to profile_dir when set
         self.profile_dir = profile_dir
@@ -78,21 +78,27 @@ class Trainer:
         return self.cfg.data.label_buckets[-1]
 
     def _host_batches(self, dataset, epoch: int, batch_size: int,
-                      shuffle: bool = True):
+                      shuffle: bool = True, with_counts: bool = False):
         sampler = LengthBucketSampler(
             dataset.lengths(), self.cfg.data.audio_buckets, batch_size,
             seed=self.cfg.train.seed, shuffle=shuffle)
-        for b_idx, idxs in sampler.epoch_batches(epoch):
+        batches = sampler.epoch_batches(epoch)
+        if sampler.last_dropped:
+            self.logger.log(int(self.state.step), event="overlong_dropped",
+                            count=sampler.last_dropped,
+                            max_frames=self.cfg.data.audio_buckets[-1])
+        for b_idx, idxs, n_valid in batches:
             items = [dataset[i] for i in idxs]
             max_u = max(len(it["labels"]) for it in items)
             label_bucket = self._label_bucket_for(max_u)
             if max_u > label_bucket:
                 self.logger.log(int(self.state.step), event="label_truncated",
                                 max_label_len=max_u, bucket=label_bucket)
-            yield collate(items,
-                          max_frames=self.cfg.data.audio_buckets[b_idx],
-                          max_labels=label_bucket,
-                          pad_id=self.cfg.data.text.pad_token_id)
+            batch = collate(items,
+                            max_frames=self.cfg.data.audio_buckets[b_idx],
+                            max_labels=label_bucket,
+                            pad_id=self.cfg.data.text.pad_token_id)
+            yield (batch, n_valid) if with_counts else batch
 
     # ----------------------------------------------------------------- fit
     def fit(self, resume: bool = False) -> TrainState:
@@ -136,11 +142,11 @@ class Trainer:
                     val = self.validate(epoch=epoch)
                     self.ckpt.save(step, self.state, metrics=val, config=cfg)
             epoch += 1
-        if self.val_ds is not None:
-            val = self.validate(epoch=epoch)
-        else:
-            val = {}
-        self.ckpt.save(step, self.state, metrics=val, config=cfg)
+        # final save — unless this exact step was already checkpointed by the
+        # in-loop validation branch (orbax raises StepAlreadyExistsError)
+        if self.ckpt.latest_step() != step:
+            val = self.validate(epoch=epoch) if self.val_ds is not None else {}
+            self.ckpt.save(step, self.state, metrics=val, config=cfg)
         return self.state
 
     # ------------------------------------------------------------ evaluate
@@ -166,13 +172,17 @@ class Trainer:
         cfg = self.cfg
         losses, preds, refs = [], [], []
         n = 0
-        for batch in self._host_batches(
+        for batch, n_valid in self._host_batches(
                 dataset, epoch=0,
                 batch_size=cfg.train.per_device_eval_batch_size * self.n_devices,
-                shuffle=False):
+                shuffle=False, with_counts=True):
             batch_dev = jax.tree.map(jax.device_put, batch)
-            losses.append(float(eval_step(cfg, self.state.params, batch_dev,
-                                          loss_backend=self.loss_backend)))
+            # per-sample losses so wrap-padding duplicates (needed for the
+            # static batch shape) don't bias the metrics
+            per_sample = np.asarray(eval_step(
+                cfg, self.state.params, batch_dev,
+                loss_backend=self.loss_backend, reduction="none"))
+            losses.extend(per_sample[:n_valid].tolist())
             toks, lens = greedy_decode(
                 self.model, {"params": self.state.params}, batch_dev["feats"],
                 batch_dev["feat_lengths"],
@@ -180,7 +190,7 @@ class Trainer:
                 max_symbols=cfg.train.greedy_max_symbols,
                 max_output_len=max(cfg.data.label_buckets))
             toks, lens = np.asarray(toks), np.asarray(lens)
-            for i in range(toks.shape[0]):
+            for i in range(n_valid):
                 preds.append(self.tokenizer.decode(toks[i, :lens[i]],
                                                    group_tokens=False))
                 u = int(batch["target_lengths"][i])

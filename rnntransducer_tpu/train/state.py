@@ -42,12 +42,15 @@ class TrainState(struct.PyTreeNode):
     rng: jnp.ndarray
 
     @classmethod
-    def create(cls, cfg: Config, rng=None) -> "TrainState":
+    def create(cls, cfg: Config, rng=None, tx=None) -> "TrainState":
+        """tx: the optimizer whose update() will be applied (pass the same
+        object the training loop uses so opt_state structure always matches;
+        defaults to make_optimizer(cfg.train))."""
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
         model = build_model(cfg)
         init_rng, state_rng = jax.random.split(rng)
         variables = model.init_variables(init_rng)
-        tx = make_optimizer(cfg.train)
+        tx = tx if tx is not None else make_optimizer(cfg.train)
         return cls(step=jnp.zeros((), jnp.int32), params=variables["params"],
                    opt_state=tx.init(variables["params"]), rng=state_rng)
 
@@ -63,7 +66,8 @@ def _cast(tree, dtype):
 
 
 def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
-            deterministic: bool, loss_backend: str = "auto"):
+            deterministic: bool, loss_backend: str = "auto",
+            reduction: str = "mean"):
     """batch keys: either precomputed 'feats' (B,T,M) + 'feat_lengths', or raw
     'wav' (B,S) + 'wav_lengths'; plus 'text_in' (B,U+1), 'text_lengths',
     'targets' (B,U), 'target_lengths'."""
@@ -107,7 +111,7 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
         joint_fn = lambda e, d: m.apply(variables, e, d, method=m.joint_step)
         loss = rnnt_loss_fused(joint_fn, enc, dec, batch["targets"],
                                feat_lengths, batch["target_lengths"],
-                               blank=blank, reduction="mean",
+                               blank=blank, reduction=reduction,
                                backend=loss_backend,
                                chunk_frames=cfg.train.joint_chunk_frames)
     else:
@@ -116,7 +120,7 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
                          rngs=rngs)
         loss = rnnt_loss(logits, batch["targets"], feat_lengths,
                          batch["target_lengths"], blank=blank,
-                         reduction="mean", backend=loss_backend)
+                         reduction=reduction, backend=loss_backend)
     return loss
 
 
@@ -171,12 +175,16 @@ def train_step(cfg: Config, tx, state: TrainState, batch,
     return new_state, metrics
 
 
-@partial(jax.jit, static_argnames=("cfg", "loss_backend"))
-def eval_step(cfg: Config, params, batch, loss_backend: str = "auto"):
-    """Validation loss (decode + WER/CER run separately on the eval loop)."""
+@partial(jax.jit, static_argnames=("cfg", "loss_backend", "reduction"))
+def eval_step(cfg: Config, params, batch, loss_backend: str = "auto",
+              reduction: str = "mean"):
+    """Validation loss (decode + WER/CER run separately on the eval loop).
+    reduction="none" returns per-sample losses (used to exclude the
+    wrap-padding duplicates static batches require)."""
     model = build_model(cfg)
     return loss_fn(model, cfg, params, batch, jax.random.PRNGKey(0),
-                   deterministic=True, loss_backend=loss_backend)
+                   deterministic=True, loss_backend=loss_backend,
+                   reduction=reduction)
 
 
 def learning_rate_at(cfg: Config, step) -> float:

@@ -207,3 +207,16 @@ def test_beam_deterministic():
     a = dec.decode(feats, jnp.array([5]))
     b = dec.decode(feats, jnp.array([5]))
     assert a == b
+
+
+def test_hotword_adjacent_matches():
+    """Regression: trailing boundary must be a lookahead so adjacent
+    hotwords separated by one space both score."""
+    hw = HotwordScorer.build_scorer(["foo", "bar"], weight=1.0)
+    assert hw.score("foo bar") == 6.0
+
+
+def test_beam_requires_tokenizer_with_lm():
+    model, variables = _make_model(seed=1)
+    with pytest.raises(ValueError):
+        BeamSearchDecoder(model, variables, hotwords=["x"], tokenizer=None)

@@ -28,17 +28,19 @@ def test_sampler_covers_all_and_batches_within_bucket():
                             seed=1)
     batches = s.epoch_batches(0)
     seen = []
-    for b_idx, idxs in batches:
+    for b_idx, idxs, n_valid in batches:
         assert len(idxs) == 8
+        assert 1 <= n_valid <= 8
         for i in idxs:
             assert bucket_for(int(lengths[i]), (32, 64, 100)) == b_idx
-        seen.extend(idxs)
-    assert set(seen) == set(range(103))  # full coverage (wrap-pad allowed)
+        seen.extend(idxs[:n_valid])
+    assert set(seen) == set(range(103))  # full coverage, no duplicates hidden
+    assert len(seen) == 103              # n_valid excludes wrap-padding
     # deterministic per epoch, different across epochs
-    assert [tuple(i) for _, i in s.epoch_batches(0)] == \
-           [tuple(i) for _, i in batches]
-    assert [tuple(i) for _, i in s.epoch_batches(1)] != \
-           [tuple(i) for _, i in batches]
+    assert [tuple(i) for _, i, _ in s.epoch_batches(0)] == \
+           [tuple(i) for _, i, _ in batches]
+    assert [tuple(i) for _, i, _ in s.epoch_batches(1)] != \
+           [tuple(i) for _, i, _ in batches]
 
 
 def test_sampler_rank_sharding_partitions():
@@ -47,7 +49,7 @@ def test_sampler_rank_sharding_partitions():
     for rank in range(4):
         s = LengthBucketSampler(lengths, (100,), batch_size=4, seed=0,
                                 rank=rank, world_size=4, drop_last=True)
-        for _, idxs in s.epoch_batches(0):
+        for _, idxs, _ in s.epoch_batches(0):
             all_ranks.extend(idxs)
     # rank-strided subsets are disjoint (datasampler.py:96 semantics)
     assert len(all_ranks) == len(set(all_ranks))
@@ -131,7 +133,7 @@ def test_synthetic_dataset_and_prefetcher():
 
     sampler = LengthBucketSampler(lens, (64, 128), batch_size=4, seed=0)
     def host_iter():
-        for b_idx, idxs in sampler.epoch_batches(0):
+        for b_idx, idxs, _ in sampler.epoch_batches(0):
             yield collate([ds[i] for i in idxs], max_frames=(64, 128)[b_idx],
                           max_labels=48)
     got = list(DevicePrefetcher(host_iter(), size=2))
@@ -151,3 +153,17 @@ def test_prefetcher_propagates_errors():
         assert "boom" in str(e)
     else:
         raise AssertionError("error not propagated")
+
+
+def test_sampler_drops_overlong_utterances():
+    """Regression: audio longer than the largest bucket must be dropped, not
+    silently truncated (frame truncation with full labels corrupts
+    supervision)."""
+    lengths = [10, 20, 999, 30]
+    s = LengthBucketSampler(lengths, boundaries=(32,), batch_size=2, seed=0,
+                            shuffle=False)
+    batches = s.epoch_batches(0)
+    seen = [i for _, idxs, nv in batches for i in idxs[:nv]]
+    assert 2 not in seen
+    assert s.last_dropped == 1
+    assert set(seen) == {0, 1, 3}

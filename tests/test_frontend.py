@@ -138,3 +138,50 @@ def test_pallas_frontend_matches_xla():
         np.testing.assert_array_equal(np.asarray(gl), np.asarray(wl))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_batched_frontend_tail_matches_per_utterance():
+    """Regression: shorter-than-max utterances in a batch previously read
+    batch zero-padding at their tail frames instead of reflecting their own
+    tail — breaking parity with the per-utterance offline pipeline."""
+    from rnntransducer_tpu.data import logmel_np
+
+    cfg = AudioConfig(normalize=False)
+    rng = np.random.RandomState(7)
+    w1 = rng.randn(4800).astype(np.float32)
+    w2 = rng.randn(3333).astype(np.float32)
+    batch = np.zeros((2, 4800), np.float32)
+    batch[0] = w1
+    batch[1, :3333] = w2
+    feats, lengths = LogMelFrontend(cfg)(jnp.asarray(batch),
+                                         jnp.array([4800, 3333]))
+    for i, w in enumerate((w1, w2)):
+        want = logmel_np(w, cfg)
+        got = np.asarray(feats[i, :int(lengths[i])])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_frontend_tail_parity():
+    from rnntransducer_tpu.data import logmel_np
+    from rnntransducer_tpu.frontend.pallas_frontend import logmel_pallas
+
+    cfg = AudioConfig(normalize=False)
+    rng = np.random.RandomState(8)
+    w2 = rng.randn(3333).astype(np.float32)
+    batch = np.zeros((1, 4800), np.float32)
+    batch[0, :3333] = w2
+    feats, lengths = logmel_pallas(jnp.asarray(batch), cfg, jnp.array([3333]))
+    want = logmel_np(w2, cfg)
+    np.testing.assert_allclose(np.asarray(feats[0, :int(lengths[0])]), want,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_streaming_frontend_empty_and_short_streams():
+    from rnntransducer_tpu.decode.streaming import StreamingFrontend
+    cfg = AudioConfig(normalize=False)
+    sf = StreamingFrontend(cfg)
+    assert sf.flush().shape[0] == 0  # empty stream: no crash, no frames
+    sf.reset()
+    sf.feed(np.random.RandomState(0).randn(50).astype(np.float32))
+    out = sf.flush()  # shorter than the window: finite, no crash
+    assert np.isfinite(out).all()

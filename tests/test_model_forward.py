@@ -53,3 +53,29 @@ def test_pad_embedding_is_zero():
     out_pad, _ = emb_fn(jnp.array([cfg.model.prednet.pad_token_id]))
     out_tok, _ = emb_fn(jnp.array([5]))
     assert float(jnp.abs(out_pad - out_tok).max()) > 1e-6  # different paths
+
+
+def test_joint_add_mode():
+    """combine='add': per-side projections allow De != Dd and match the
+    documented additive-joint semantics."""
+    import rnntransducer_tpu as rt
+    cfg = rt.config.ModelConfig(
+        transnet=rt.config.TransNetConfig(input_size=8, hidden_size=12,
+                                          output_size=10, num_layers=1,
+                                          rnn_type="lstm", dropout=0.0,
+                                          bidirectional=False),
+        prednet=rt.config.PredNetConfig(embedding_size=9, hidden_size=12,
+                                        output_size=6,  # != transnet output
+                                        num_layers=1, rnn_type="lstm",
+                                        dropout=0.0),
+        jointnet=rt.config.JointNetConfig(num_classes=9, combine="add",
+                                          hidden_size=16),
+    )
+    model = RNNTransducer(cfg)
+    rng = jax.random.PRNGKey(0)
+    audio = jax.random.normal(rng, (2, 6, 8))
+    text = jnp.zeros((2, 4), jnp.int32)
+    v = model.init(rng, audio, jnp.array([6, 6]), text, jnp.array([4, 4]))
+    out = model.apply(v, audio, jnp.array([6, 6]), text, jnp.array([4, 4]))
+    assert out.shape == (2, 6, 4, 9)
+    assert bool(jnp.isfinite(out).all())

@@ -80,3 +80,17 @@ def test_label_bucket_respects_actual_lengths(tmp_path):
     assert batch["targets"].shape[1] == 24
     assert int(batch["target_lengths"].max()) >= 20
     trainer.ckpt.close()
+
+
+def test_fit_no_double_save_when_max_steps_hits_val_interval(tmp_path):
+    """Regression: max_steps % val_every_steps == 0 used to save the same
+    step twice (orbax StepAlreadyExistsError) at the end of fit()."""
+    import dataclasses
+    cfg = _cfg(tmp_path, max_steps=4)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, val_every_steps=2))
+    trainer = Trainer(cfg, _ds(8), val_dataset=_ds(2, seed=5))
+    state = trainer.fit()  # must not raise
+    assert int(state.step) == 4
+    assert trainer.ckpt.latest_step() == 4
+    trainer.ckpt.close()
