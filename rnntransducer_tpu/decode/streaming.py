@@ -205,7 +205,11 @@ class StreamingRecognizer:
                     self.model, self.variables, enc, jnp.array([n_valid]),
                     self._carry, self.blank_id, self.beam_width,
                     self.max_symbols)
-                new_tokens = self.tokens  # current best (may revise)
+                if final:
+                    new_tokens = self.tokens
+                # non-final: partials are available on demand via .tokens —
+                # fetching the ranked best every chunk would cost one
+                # device->host round trip per chunk
             else:
                 self._carry = greedy_decode_frames(
                     self.model, self.variables, enc, jnp.array([n_valid]),
