@@ -43,18 +43,10 @@ def main():
     cfg = dataclasses.replace(cfg, train=TrainConfig(
         precision="bf16", accumulate_grad_batches=1, max_steps=1000))
 
-    rng = np.random.RandomState(0)
-    V = cfg.model.jointnet.num_classes
-    targets = rng.randint(1, V, size=(B, U)).astype(np.int32)
-    text_in = np.concatenate([np.zeros((B, 1), np.int32), targets], axis=1)
-    batch = {
-        "feats": jnp.asarray(rng.randn(B, T, 80).astype(np.float32)),
-        "feat_lengths": jnp.full((B,), T, jnp.int32),
-        "text_in": jnp.asarray(text_in),
-        "text_lengths": jnp.full((B,), U + 1, jnp.int32),
-        "targets": jnp.asarray(targets),
-        "target_lengths": jnp.full((B,), U, jnp.int32),
-    }
+    from __graft_entry__ import _example_batch
+    batch = _example_batch(cfg, B, T, U)
+    # fixed full lengths for a stable benchmark shape
+    batch["feat_lengths"] = jnp.full((B,), T, jnp.int32)
 
     tx = make_optimizer(cfg.train)
     state = TrainState.create(cfg)

@@ -60,8 +60,10 @@ def main():
         for ci, s in enumerate(range(0, len(wav), chunk)):
             c0 = time.perf_counter()
             toks = rec.feed(wav[s:s + chunk])
-            if decoder == "beam" and tft is None and ci % 5 == 4:
+            if decoder == "beam" and ci % 5 == 4:
                 toks = rec.tokens  # poll partials at a UI-ish cadence
+                # (every 5 chunks for the whole stream, so the headline RTF
+                # includes the recurring rank+sync cost of partials)
             compute += time.perf_counter() - c0
             if toks and tft is None:
                 # latency = compute time until first emission (audio arrival

@@ -45,6 +45,10 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.decoder != "beam" and (args.lm_path or args.hotwords):
+        raise SystemExit(
+            f"--lm_path/--hotwords require --decoder beam "
+            f"(the '{args.decoder}' decoder has no shallow fusion)")
 
     from rnntransducer_tpu.decode import greedy_decode
     from rnntransducer_tpu.frontend import LogMelFrontend
@@ -59,10 +63,14 @@ def main():
            if (args.vocab_path or cfg.vocab_path)
            else GraphemeTokenizer.default(cfg.model.jointnet.num_classes))
 
+    import jax
     mgr = CheckpointManager(args.checkpoint_dir, save_top_k=cfg.train.save_top_k)
     step = args.step if args.step is not None else (
         mgr.best_step() or mgr.latest_step())
-    state = mgr.restore(TrainState.create(cfg), step=step)
+    # abstract template: restore allocates only what comes off disk, with no
+    # throwaway init compute for a state we only read params from
+    template = jax.eval_shape(lambda: TrainState.create(cfg))
+    state = mgr.restore(template, step=step)
     model = build_model(cfg)
     variables = {"params": state.params}
 

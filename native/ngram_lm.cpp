@@ -109,13 +109,19 @@ NGramLM* LoadArpa(const char* path) {
   {
     size_t p = line.find("-grams:");
     if (p != std::string::npos && p >= 2) cur_n = std::atoi(line.c_str() + 1);
+    if (cur_n < 0 || cur_n > lm->order) cur_n = 0;
   }
   std::vector<int32_t> ids;
   while (std::getline(in, line)) {
     if (line.empty() || line == "\r") continue;
     if (line[0] == '\\') {
       size_t p = line.find("-grams:");
-      if (p != std::string::npos) cur_n = std::atoi(line.c_str() + 1);
+      if (p != std::string::npos) {
+        cur_n = std::atoi(line.c_str() + 1);
+        // sections beyond the header-declared order would write out of
+        // bounds (inconsistent/truncated ARPA); skip them
+        if (cur_n < 1 || cur_n > lm->order) cur_n = 0;
+      }
       continue;  // also skips the end marker
     }
     if (cur_n == 0) continue;

@@ -138,8 +138,10 @@ def prepare_logmel_dataset(source_roots: Sequence[str], target_root: str,
     Idempotent: skips if the target split dir already exists.
     """
     target = os.path.join(target_root, split)
-    if os.path.isdir(target):
-        return  # datamodule.py:104-106 resume semantics
+    marker = os.path.join(target, "_SUCCESS")
+    if os.path.exists(marker):
+        return  # datamodule.py:104-106 resume semantics (completion marker:
+        # a bare isdir check would treat a crashed partial run as done)
 
     ds = load_shards(source_roots, split)
 
@@ -158,6 +160,8 @@ def prepare_logmel_dataset(source_roots: Sequence[str], target_root: str,
     for shard_idx in range(num_shards):
         shard = ds.shard(num_shards=num_shards, index=shard_idx)
         shard.save_to_disk(os.path.join(target, str(shard_idx)))
+    with open(marker, "w") as f:
+        f.write("ok\n")
 
 
 class ArrowAudioDataset:

@@ -1,0 +1,163 @@
+"""High-level recognition API for serving.
+
+The reference's inference surface is a script (``inference.py:13-66``); for a
+framework, serving wants an object: load once, transcribe many, stream.
+
+    rec = Recognizer.from_checkpoint("ckpts")          # best step by val_cer
+    text = rec.transcribe("utt.wav")
+    texts = rec.transcribe_batch([wav1, wav2])          # device batched beam
+    with_session = rec.stream()                         # StreamingRecognizer
+
+Deployment artifacts: ``export_params`` writes a params-only msgpack bundle
+(no optimizer moments — a third of the checkpoint size) next to the config;
+``Recognizer.from_params`` loads it without touching orbax.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rnntransducer_tpu.config import Config
+from rnntransducer_tpu.tokenizer import GraphemeTokenizer, compose_jamo
+
+
+def _load_tokenizer(cfg: Config, vocab_path: Optional[str]) -> GraphemeTokenizer:
+    path = vocab_path or cfg.vocab_path
+    if path:
+        return GraphemeTokenizer.from_file(path)
+    return GraphemeTokenizer.default(cfg.model.jointnet.num_classes)
+
+
+def export_params(checkpoint_dir: str, out_dir: str,
+                  step: Optional[int] = None) -> str:
+    """Write a deployment bundle: params.msgpack + config.json."""
+    from flax import serialization
+    from rnntransducer_tpu.train import CheckpointManager, TrainState, load_config
+
+    cfg = load_config(checkpoint_dir)
+    mgr = CheckpointManager(checkpoint_dir, save_top_k=cfg.train.save_top_k)
+    step = step if step is not None else (mgr.best_step() or mgr.latest_step())
+    template = jax.eval_shape(lambda: TrainState.create(cfg))
+    state = mgr.restore(template, step=step)
+    mgr.close()
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(
+            jax.tree.map(np.asarray, state.params)))
+    cfg.to_json(os.path.join(out_dir, "config.json"))
+    with open(os.path.join(out_dir, "export.json"), "w") as f:
+        json.dump({"step": int(step)}, f)
+    return out_dir
+
+
+class Recognizer:
+    def __init__(self, cfg: Config, params, tokenizer: GraphemeTokenizer,
+                 decoder: str = "beam_batched", beam_width: int = 4,
+                 max_output_len: int = 512, compose_hangul: bool = True):
+        from rnntransducer_tpu.frontend import LogMelFrontend
+        from rnntransducer_tpu.train import build_model
+
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.variables = {"params": params}
+        self.tokenizer = tokenizer
+        self.decoder = decoder
+        self.beam_width = beam_width
+        self.max_output_len = max_output_len
+        self.compose_hangul = compose_hangul
+        self.frontend = LogMelFrontend(cfg.data.audio)
+
+    # -- constructors --------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str, step: Optional[int] = None,
+                        vocab_path: Optional[str] = None, **kw) -> "Recognizer":
+        from rnntransducer_tpu.train import (
+            CheckpointManager, TrainState, load_config,
+        )
+        cfg = load_config(checkpoint_dir)
+        mgr = CheckpointManager(checkpoint_dir,
+                                save_top_k=cfg.train.save_top_k)
+        step = step if step is not None else (mgr.best_step()
+                                              or mgr.latest_step())
+        template = jax.eval_shape(lambda: TrainState.create(cfg))
+        state = mgr.restore(template, step=step)
+        mgr.close()
+        return cls(cfg, state.params, _load_tokenizer(cfg, vocab_path), **kw)
+
+    @classmethod
+    def from_params(cls, export_dir: str, vocab_path: Optional[str] = None,
+                    **kw) -> "Recognizer":
+        from flax import serialization
+        from rnntransducer_tpu.train import TrainState
+
+        cfg = Config.from_json(os.path.join(export_dir, "config.json"))
+        template = jax.eval_shape(lambda: TrainState.create(cfg)).params
+        with open(os.path.join(export_dir, "params.msgpack"), "rb") as f:
+            params = serialization.from_bytes(template, f.read())
+        params = jax.tree.map(jnp.asarray, params)
+        return cls(cfg, params, _load_tokenizer(cfg, vocab_path), **kw)
+
+    # -- inference ------------------------------------------------------
+    def _to_wave(self, w: Union[str, np.ndarray]) -> np.ndarray:
+        if isinstance(w, str):
+            from rnntransducer_tpu.utils.audio_io import read_wav
+            return read_wav(w, self.cfg.data.audio.sample_rate)
+        return np.asarray(w, np.float32)
+
+    def _decode_text(self, ids: Sequence[int]) -> str:
+        text = self.tokenizer.decode(ids, group_tokens=False)
+        return compose_jamo(text) if self.compose_hangul else text
+
+    def transcribe(self, wav: Union[str, np.ndarray]) -> str:
+        return self.transcribe_batch([wav])[0]
+
+    def transcribe_batch(self, wavs: Sequence[Union[str, np.ndarray]]
+                         ) -> List[str]:
+        from rnntransducer_tpu.decode import batched_beam_decode, greedy_decode
+
+        waves = [self._to_wave(w) for w in wavs]
+        S = max(len(w) for w in waves)
+        batch = np.zeros((len(waves), S), np.float32)
+        lengths = np.zeros((len(waves),), np.int32)
+        for i, w in enumerate(waves):
+            batch[i, :len(w)] = w
+            lengths[i] = len(w)
+        feats, feat_lengths = self.frontend(jnp.asarray(batch),
+                                            jnp.asarray(lengths))
+        blank = self.tokenizer.blank_token_id
+        if self.decoder == "greedy" or self.beam_width <= 1:
+            toks, lens = greedy_decode(
+                self.model, self.variables, feats, feat_lengths,
+                blank_id=blank,
+                max_symbols=self.cfg.train.greedy_max_symbols,
+                max_output_len=self.max_output_len)
+            toks, lens = np.asarray(toks), np.asarray(lens)
+            return [self._decode_text(toks[i, :lens[i]])
+                    for i in range(len(waves))]
+        toks, lens, _ = batched_beam_decode(
+            self.model, self.variables, feats, feat_lengths, blank_id=blank,
+            beam_width=self.beam_width,
+            max_symbols=self.cfg.train.greedy_max_symbols,
+            max_output_len=self.max_output_len)
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        return [self._decode_text(toks[i, 0, :lens[i, 0]])
+                for i in range(len(waves))]
+
+    def stream(self, chunk_frames: Optional[int] = None, **kw):
+        """New streaming session (requires a unidirectional encoder)."""
+        from rnntransducer_tpu.decode.streaming import StreamingRecognizer
+        return StreamingRecognizer(
+            self.model, self.variables, self.cfg.data.audio,
+            blank_id=self.tokenizer.blank_token_id,
+            chunk_frames=chunk_frames or self.cfg.inference.streaming_chunk_frames,
+            max_symbols=self.cfg.train.greedy_max_symbols,
+            decoder="beam" if self.decoder != "greedy" else "greedy",
+            beam_width=self.beam_width, **kw)

@@ -1,0 +1,69 @@
+"""Serving API: checkpoint -> Recognizer, params-only export round-trip,
+transcribe/stream surfaces."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from rnntransducer_tpu.config import (
+    AudioConfig, Config, DataConfig, JointNetConfig, ModelConfig,
+    PredNetConfig, TrainConfig, TransNetConfig,
+)
+from rnntransducer_tpu.data import SyntheticAudioDataset
+from rnntransducer_tpu.serve import Recognizer, export_params
+from rnntransducer_tpu.train import Trainer
+from rnntransducer_tpu.utils.audio_io import write_wav
+
+
+def _cfg(tmp_path):
+    return Config(
+        data=DataConfig(audio=AudioConfig(spec_augment=False),
+                        audio_buckets=(64, 128), label_buckets=(16, 24)),
+        model=ModelConfig(
+            transnet=TransNetConfig(input_size=80, hidden_size=16,
+                                    output_size=12, num_layers=1,
+                                    rnn_type="lstm", dropout=0.0,
+                                    bidirectional=False),  # streamable
+            prednet=PredNetConfig(embedding_size=72, hidden_size=16,
+                                  output_size=12, num_layers=1,
+                                  rnn_type="lstm", dropout=0.0),
+            jointnet=JointNetConfig(num_classes=72),
+        ),
+        train=TrainConfig(max_steps=2, per_device_train_batch_size=1,
+                          precision="fp32", log_every_steps=1,
+                          checkpoint_dir=str(tmp_path / "ckpt")),
+    )
+
+
+def test_recognizer_end_to_end(tmp_path):
+    cfg = _cfg(tmp_path)
+    ds = SyntheticAudioDataset(6, AudioConfig(), min_sec=0.3, max_sec=0.8,
+                               min_labels=3, max_labels=8, seed=0)
+    trainer = Trainer(cfg, ds, val_dataset=None)
+    trainer.fit()
+    trainer.ckpt.close()
+
+    rng = np.random.RandomState(0)
+    wav_path = str(tmp_path / "a.wav")
+    write_wav(wav_path, rng.randn(8000) * 0.1)
+
+    rec = Recognizer.from_checkpoint(str(tmp_path / "ckpt"), beam_width=2)
+    text = rec.transcribe(wav_path)
+    assert isinstance(text, str)
+    texts = rec.transcribe_batch([wav_path, rng.randn(4800).astype(np.float32)])
+    assert len(texts) == 2
+
+    # greedy mode and streaming session
+    rec_g = Recognizer.from_checkpoint(str(tmp_path / "ckpt"),
+                                       decoder="greedy")
+    _ = rec_g.transcribe(wav_path)
+    session = rec_g.stream(chunk_frames=16)
+    session.feed(rng.randn(3200).astype(np.float32))
+    session.flush()
+
+    # params-only export round-trip gives identical transcriptions
+    out = export_params(str(tmp_path / "ckpt"), str(tmp_path / "export"))
+    rec2 = Recognizer.from_params(out, beam_width=2)
+    assert rec2.transcribe(wav_path) == text
+    import os
+    assert os.path.exists(os.path.join(out, "params.msgpack"))

@@ -112,17 +112,29 @@ def main():
     else:
         assert args.pl_data_dir, "--pl_data_dir (or --synthetic N) required"
         if args.hf_data_dirs:
-            # offline preprocessing, idempotent (datamodule.prepare_data
-            # equivalent); no rank-0 barrier needed — single driver process
-            for split in ("train", "dev", "eval_clean", "eval_other"):
-                try:
-                    prepare_logmel_dataset(
-                        args.hf_data_dirs, args.pl_data_dir, split,
-                        cfg.data.audio, num_shards=(
-                            args.num_shards if split == "train" else 1),
-                        num_proc=args.num_proc or 1)
-                except FileNotFoundError:
-                    print(f"[prepare] no source for split '{split}', skipping")
+            # offline preprocessing (datamodule.prepare_data equivalent):
+            # idempotent via per-split _SUCCESS markers; in multi-host runs
+            # only process 0 preprocesses (a bare isdir check would race on a
+            # shared filesystem), others poll for the markers
+            import time as _time
+            splits = ("train", "dev", "eval_clean", "eval_other")
+            if jax.process_index() == 0:
+                for split in splits:
+                    try:
+                        prepare_logmel_dataset(
+                            args.hf_data_dirs, args.pl_data_dir, split,
+                            cfg.data.audio, num_shards=(
+                                args.num_shards if split == "train" else 1),
+                            num_proc=args.num_proc or 1)
+                    except FileNotFoundError:
+                        print(f"[prepare] no source for split '{split}', "
+                              f"skipping")
+            else:
+                import os as _os
+                needed = _os.path.join(args.pl_data_dir, "train", "_SUCCESS")
+                while not _os.path.exists(needed):
+                    _time.sleep(10)  # the reference used a 30-day DDP
+                    # timeout for the same wait (train.py:41-45)
         train_ds = ArrowAudioDataset([args.pl_data_dir], "train")
         val_ds = ArrowAudioDataset([args.pl_data_dir], "dev")
 
