@@ -117,3 +117,82 @@ def greedy_decode(model: RNNTransducer, variables, feats, feat_lengths,
     carry = greedy_decode_frames(model, variables, enc, feat_lengths, carry,
                                  blank_id, max_symbols)
     return carry.tokens, carry.lengths
+
+
+@partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols",
+                                   "max_output_len"))
+def greedy_decode_label_looping(model: RNNTransducer, variables, feats,
+                                feat_lengths, blank_id: int = 0,
+                                max_symbols: int = 3,
+                                max_output_len: int = 256
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Label-looping greedy decode (after arXiv:2406.03791): a while_loop
+    over *events* rather than a scan over frames.
+
+    The frame scan evaluates the joint + prediction net ``max_symbols`` times
+    per frame regardless of emissions; here each iteration advances every
+    utterance by exactly one event — a blank (frame pointer +1) or a label
+    (prediction-net step) — so the loop runs ~T + U iterations of ONE joint +
+    ONE prednet step instead of T iterations of ``max_symbols`` each (~2.7x
+    fewer evaluations at the default budget), and exits as soon as the whole
+    batch is done. Emission semantics are identical to greedy_decode
+    (parity-tested); inference-only (while_loop is not reverse-differentiable).
+
+    Measured on TPU v5e (16 x 5 s, 6L uni-LSTM 1024): 62 ms vs the frame
+    scan's 49 ms — on TPU the while_loop's per-iteration overhead and the
+    dynamic enc gather outweigh the saved evaluations (the technique's wins
+    are reported on GPUs with CUDA graphs), so the frame scan remains the
+    default; this path is kept for very sparse-emission workloads where
+    T >> max_symbols x emissions.
+    """
+    B, T = feats.shape[0], feats.shape[1]
+    enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
+    lengths = feat_lengths.astype(jnp.int32)
+    blank_tokens = jnp.full((B,), blank_id, jnp.int32)
+    dec_out0, state0 = model.apply(variables, blank_tokens, None,
+                                   method=model.predict_step)
+
+    def cond(carry):
+        t_ptr = carry[0]
+        return jnp.any(t_ptr < lengths)
+
+    def body(carry):
+        (t_ptr, syms, dec_out, state, last_app, out_buf, out_len) = carry
+        active = t_ptr < lengths
+        enc_t = jnp.take_along_axis(
+            enc, jnp.clip(t_ptr, 0, T - 1)[:, None, None], axis=1)[:, 0]
+        logits = model.apply(variables, enc_t, dec_out,
+                             method=model.joint_step)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        emit = active & (tok != blank_id) & (syms < max_symbols)
+
+        # blank / budget-exhausted: advance the frame pointer
+        t_ptr = jnp.where(active & ~emit, t_ptr + 1, t_ptr)
+        syms = jnp.where(emit, syms + 1, jnp.where(active, 0, syms))
+
+        # label: append (with dedup) + prednet step
+        do_append = emit & (tok != last_app) & (out_len < max_output_len)
+        idx = jnp.minimum(out_len, max_output_len - 1)
+        cur = out_buf[jnp.arange(B), idx]
+        out_buf = out_buf.at[jnp.arange(B), idx].set(
+            jnp.where(do_append, tok, cur))
+        out_len = out_len + do_append.astype(jnp.int32)
+        last_app = jnp.where(do_append, tok, last_app)
+
+        feed_tok = jnp.where(emit, tok, blank_tokens)
+        new_dec_out, new_state = model.apply(variables, feed_tok, state,
+                                             method=model.predict_step)
+        m = emit[:, None]
+        dec_out = jnp.where(m, new_dec_out, dec_out)
+        state = jax.tree.map(
+            lambda n, o: jnp.where(
+                emit.reshape((1,) * (n.ndim - 2) + (B, 1)), n, o),
+            new_state, state)
+        return (t_ptr, syms, dec_out, state, last_app, out_buf, out_len)
+
+    out_buf = jnp.full((B, max_output_len), blank_id, jnp.int32)
+    init = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+            dec_out0, state0, blank_tokens, out_buf,
+            jnp.zeros((B,), jnp.int32))
+    (_, _, _, _, _, out_buf, out_len) = jax.lax.while_loop(cond, body, init)
+    return out_buf, out_len

@@ -111,3 +111,23 @@ def test_max_output_len_cap():
     toks, lens = greedy_decode(model, variables, feats, jnp.array([20]),
                                max_output_len=4)
     assert int(lens[0]) <= 4
+
+
+def test_label_looping_matches_scan():
+    """Label-looping greedy must be token-exact vs the frame scan."""
+    from rnntransducer_tpu.decode.greedy import greedy_decode_label_looping
+
+    for seed in (0, 3, 7):
+        model, variables = _make_model(seed)
+        rng = np.random.RandomState(seed)
+        B, T = 3, 14
+        feats = jnp.asarray(rng.randn(B, T, 8).astype(np.float32) * 2)
+        lengths = jnp.array([14, 6, 11], jnp.int32)
+        a_t, a_l = greedy_decode(model, variables, feats, lengths,
+                                 max_output_len=64)
+        b_t, b_l = greedy_decode_label_looping(model, variables, feats,
+                                               lengths, max_output_len=64)
+        a_t, a_l = np.asarray(a_t), np.asarray(a_l)
+        b_t, b_l = np.asarray(b_t), np.asarray(b_l)
+        for b in range(B):
+            assert list(b_t[b, :b_l[b]]) == list(a_t[b, :a_l[b]]), (seed, b)
