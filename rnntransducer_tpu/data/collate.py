@@ -12,9 +12,63 @@ bucket compiles exactly once.
 
 from __future__ import annotations
 
+import ctypes
+import os
+import subprocess
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_pack_lib = None
+
+
+def _load_pack_lib():
+    """Native threaded batch packer (native/batch_pack.cpp); None if the
+    toolchain is unavailable (numpy fallback is used)."""
+    global _pack_lib
+    if _pack_lib is not None:
+        return _pack_lib
+    so = os.path.join(_NATIVE_DIR, "libbatch_pack.so")
+    try:
+        if not os.path.exists(so):
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.pack_batch_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+        _pack_lib = lib
+    except (OSError, subprocess.CalledProcessError):
+        _pack_lib = False
+    return _pack_lib
+
+
+def pack_features(arrays: Sequence[np.ndarray], max_rows: int, cols: int,
+                  n_threads: Optional[int] = None) -> np.ndarray:
+    """Pack variable-length (rows_i, cols) float32 arrays into a zero-padded
+    (B, max_rows, cols) buffer — native threaded copy when available."""
+    B = len(arrays)
+    out = np.empty((B, max_rows, cols), np.float32)
+    if n_threads is None:
+        # thread spawn only pays for itself on large buffers (memcpy-bound)
+        n_threads = 4 if out.nbytes >= 64 * 1024 * 1024 else 1
+    lib = _load_pack_lib()
+    arrays = [np.ascontiguousarray(a[:max_rows], np.float32) for a in arrays]
+    if lib:
+        ptrs = (ctypes.c_void_p * B)(
+            *[a.ctypes.data_as(ctypes.c_void_p) for a in arrays])
+        rows = np.asarray([a.shape[0] for a in arrays], np.int32)
+        lib.pack_batch_f32(ptrs, rows.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)), B, max_rows, cols,
+            out.ctypes.data_as(ctypes.c_void_p), n_threads)
+        return out
+    out.fill(0.0)
+    for i, a in enumerate(arrays):
+        out[i, :a.shape[0]] = a
+    return out
 
 
 def collate(items: Sequence[dict], max_frames: int, max_labels: int,
@@ -25,7 +79,7 @@ def collate(items: Sequence[dict], max_frames: int, max_labels: int,
     (B, max_labels), target_lengths."""
     B = len(items)
     M = items[0]["feats"].shape[-1] if n_mels is None else n_mels
-    feats = np.zeros((B, max_frames, M), np.float32)
+    feat_arrays = []
     feat_lengths = np.zeros((B,), np.int32)
     targets = np.full((B, max_labels), pad_id, np.int32)
     target_lengths = np.zeros((B,), np.int32)
@@ -36,14 +90,15 @@ def collate(items: Sequence[dict], max_frames: int, max_labels: int,
         lab = np.asarray(it["labels"], np.int32)
         assert f.shape[-1] == M, (
             f"feature dim {f.shape[-1]} != configured n_mels {M}")  # dataloader.py:38
-        t = min(f.shape[0], max_frames)
+        feat_arrays.append(f)
+        feat_lengths[i] = min(f.shape[0], max_frames)
         u = min(len(lab), max_labels)
-        feats[i, :t] = f[:t]
-        feat_lengths[i] = t
         targets[i, :u] = lab[:u]
         target_lengths[i] = u
         # blank-prepend (dataloader.py:27-36); text_len == target_len + 1
         text_in[i, 1:u + 1] = lab[:u]
+    # the feature copy is the bulk of collate time — native threaded packer
+    feats = pack_features(feat_arrays, max_frames, M)
 
     return {
         "feats": feats,

@@ -167,3 +167,18 @@ def test_sampler_drops_overlong_utterances():
     assert 2 not in seen
     assert s.last_dropped == 1
     assert set(seen) == {0, 1, 3}
+
+
+def test_native_pack_matches_numpy():
+    """C++ threaded packer == numpy fallback, exactly."""
+    from rnntransducer_tpu.data.collate import _load_pack_lib, pack_features
+    rng = np.random.RandomState(0)
+    arrays = [rng.randn(rng.randint(1, 40), 8).astype(np.float32)
+              for _ in range(7)]
+    got = pack_features(arrays, max_rows=32, cols=8)
+    want = np.zeros((7, 32, 8), np.float32)
+    for i, a in enumerate(arrays):
+        t = min(a.shape[0], 32)
+        want[i, :t] = a[:t]
+    np.testing.assert_array_equal(got, want)
+    assert _load_pack_lib(), "native packer should build in this image"
