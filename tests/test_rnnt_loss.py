@@ -162,3 +162,32 @@ def test_fused_loss_matches_unfused():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fuzz_loss_and_grad_parity():
+    """Randomized sweep: 12 random (B,T,U,V, lengths, scale) configs, loss +
+    grad parity vs the NumPy oracle at 1e-5 (both XLA and Pallas-interpret
+    backends on a subset)."""
+    master = np.random.RandomState(1234)
+    for trial in range(12):
+        B = int(master.randint(1, 4))
+        T = int(master.randint(1, 16))
+        U = int(master.randint(0, 7))
+        V = int(master.randint(2, 24))
+        scale = float(master.choice([0.3, 1.0, 4.0]))
+        logits = (master.randn(B, T, U + 1, V) * scale).astype(np.float32)
+        labels = master.randint(1, V, size=(B, max(U, 1))).astype(np.int32)
+        t_len = master.randint(1, T + 1, size=(B,)).astype(np.int32)
+        u_len = master.randint(0, U + 1, size=(B,)).astype(np.int32)
+        want_l, want_g = rnnt_numpy.rnnt_loss(logits, labels, t_len, u_len,
+                                              reduction="mean")
+        backend = "pallas_interpret" if trial % 4 == 0 else "xla"
+        f = lambda lg: rnnt_loss(lg, jnp.asarray(labels), jnp.asarray(t_len),
+                                 jnp.asarray(u_len), reduction="mean",
+                                 backend=backend)
+        got_l, got_g = jax.value_and_grad(f)(jnp.asarray(logits))
+        np.testing.assert_allclose(float(got_l), want_l, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"trial {trial} {B,T,U,V,scale}")
+        np.testing.assert_allclose(np.asarray(got_g), want_g, rtol=1e-5,
+                                   atol=1e-5,
+                                   err_msg=f"trial {trial} {B,T,U,V,scale}")
