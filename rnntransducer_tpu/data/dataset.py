@@ -157,6 +157,7 @@ def prepare_logmel_dataset(source_roots: Sequence[str], target_root: str,
     ds = ds.map(to_logmel, with_indices=True, num_proc=num_proc or None)
     write_ledger_entry(target_root, "logmel", split,
                        baked_spec_augment=bake_spec_augment)
+    num_shards = max(1, min(num_shards, len(ds)))  # small sets < shard count
     for shard_idx in range(num_shards):
         shard = ds.shard(num_shards=num_shards, index=shard_idx)
         shard.save_to_disk(os.path.join(target, str(shard_idx)))

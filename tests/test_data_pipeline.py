@@ -182,3 +182,18 @@ def test_native_pack_matches_numpy():
         want[i, :t] = a[:t]
     np.testing.assert_array_equal(got, want)
     assert _load_pack_lib(), "native packer should build in this image"
+
+
+def test_prepare_clamps_shards_to_dataset_size(tmp_path):
+    """Regression: num_shards > rows crashed preprocessing (IndexError)."""
+    from datasets import Dataset
+    cfg = AudioConfig()
+    rng = np.random.RandomState(0)
+    rows = {"input_values": [rng.randn(1600).astype(np.float32)
+                             for _ in range(3)],
+            "input_ids": [[1, 2], [3], [4, 5]]}
+    Dataset.from_dict(rows).save_to_disk(str(tmp_path / "raw" / "train" / "0"))
+    prepare_logmel_dataset([str(tmp_path / "raw")], str(tmp_path / "out"),
+                           "train", cfg, num_shards=20)
+    ds = ArrowAudioDataset([str(tmp_path / "out")], "train")
+    assert len(ds) == 3
