@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -22,7 +22,7 @@ streaming (decode/streaming.py) — the carry IS the streaming API.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

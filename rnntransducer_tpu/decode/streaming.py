@@ -22,7 +22,7 @@ the offline ``datamodule.py:87-90`` semantics).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -13,7 +13,6 @@ import json
 import os
 from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from rnntransducer_tpu.config import Config

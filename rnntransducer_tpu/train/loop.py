@@ -12,8 +12,7 @@ the reference uses it (``train.py:14-49``) plus the LightningModule loop logic
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
@@ -32,7 +31,7 @@ from rnntransducer_tpu.train.state import (
     TrainState, build_model, eval_step, learning_rate_at, train_step,
 )
 from rnntransducer_tpu.utils.logging import MetricsLogger
-from rnntransducer_tpu.utils.profiling import StepTimer, trace
+from rnntransducer_tpu.utils.profiling import StepTimer
 
 
 class Trainer:

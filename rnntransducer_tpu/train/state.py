@@ -20,7 +20,7 @@ the Lightning flags it leans on (``--precision=16``,
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
