@@ -65,8 +65,7 @@ def main():
 
     import jax
     mgr = CheckpointManager(args.checkpoint_dir, save_top_k=cfg.train.save_top_k)
-    step = args.step if args.step is not None else (
-        mgr.best_step() or mgr.latest_step())
+    step = args.step if args.step is not None else mgr.best_or_latest_step()
     # abstract template: restore allocates only what comes off disk, with no
     # throwaway init compute for a state we only read params from
     template = jax.eval_shape(lambda: TrainState.create(cfg))

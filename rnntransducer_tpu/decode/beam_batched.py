@@ -67,13 +67,13 @@ def init_beam_carry(model: RNNTransducer, variables, batch: int,
     )
 
 
-@partial(jax.jit, static_argnames=("model", "blank_id", "beam_width",
-                                   "max_symbols"))
+@partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols"))
 def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
                        carry: BeamCarry, blank_id: int = 0,
-                       beam_width: int = 4, max_symbols: int = 3) -> BeamCarry:
-    """Advance the beam over encoder frames enc (B, T, De), valid up to
-    enc_lengths (B,). Compiled once per (B, T) shape."""
+                       max_symbols: int = 3) -> BeamCarry:
+    """(beam width is carry.scores.shape[1] — set by init_beam_carry)"""
+    # Advance the beam over encoder frames enc (B, T, De), valid up to
+    # enc_lengths (B,). Compiled once per (B, T) shape.
     B, K = carry.scores.shape
     V = model.cfg.jointnet.num_classes
     max_output_len = carry.tokens.shape[2]
@@ -203,5 +203,5 @@ def batched_beam_decode(model: RNNTransducer, variables, feats, feat_lengths,
     carry = init_beam_carry(model, variables, feats.shape[0], beam_width,
                             blank_id, max_output_len)
     carry = beam_decode_frames(model, variables, enc, feat_lengths, carry,
-                               blank_id, beam_width, max_symbols)
+                               blank_id, max_symbols)
     return rank_beam(carry, length_norm)

@@ -109,9 +109,12 @@ class StreamingFrontend:
         feats = self._frames_between(self._next_frame, last)
         self._next_frame = last
         # trim consumed samples; future windows reach back to
-        # next_frame*hop - pad (start-mirror indices stay >= 0 once that's
-        # non-negative, and end-mirror indices stay >= total-1-pad)
-        keep_from = max(0, self._next_frame * cfg.hop_length - pad)
+        # next_frame*hop - pad, and flush()'s end-reflection reaches back to
+        # (final) total-1-pad, which is >= the CURRENT total-1-pad — keep the
+        # earlier of the two (with hop >= n_fft - pad the window constraint
+        # alone would trim samples the end mirror still needs)
+        keep_from = max(0, min(self._next_frame * cfg.hop_length - pad,
+                               self._total - 1 - pad))
         if keep_from > self._buf_start:
             self._buf = self._buf[keep_from - self._buf_start:]
             self._buf_start = keep_from
@@ -146,9 +149,10 @@ class StreamingRecognizer:
     """Chunked streaming ASR session over a unidirectional-encoder model.
 
     decoder="greedy": feed() returns newly emitted token ids (monotone).
-    decoder="beam": feed() returns the CURRENT BEST hypothesis (which may
-    revise earlier output as the beam reorders — standard streaming-beam
-    behavior); flush() returns the final best hypothesis.
+    decoder="beam": feed() returns [] (fetching the ranked best every chunk
+    would cost one device->host round trip each); poll the current best via
+    the .tokens property at whatever cadence the UI needs. flush() returns
+    the final best hypothesis.
     """
 
     def __init__(self, model: RNNTransducer, variables, audio_cfg: AudioConfig,
@@ -203,13 +207,10 @@ class StreamingRecognizer:
                 )
                 self._carry = beam_decode_frames(
                     self.model, self.variables, enc, jnp.array([n_valid]),
-                    self._carry, self.blank_id, self.beam_width,
-                    self.max_symbols)
-                if final:
-                    new_tokens = self.tokens
-                # non-final: partials are available on demand via .tokens —
-                # fetching the ranked best every chunk would cost one
-                # device->host round trip per chunk
+                    self._carry, self.blank_id, self.max_symbols)
+                # partials are available on demand via .tokens — fetching the
+                # ranked best every chunk would cost one device->host round
+                # trip per chunk; the final fetch happens after the drain loop
             else:
                 self._carry = greedy_decode_frames(
                     self.model, self.variables, enc, jnp.array([n_valid]),
@@ -218,6 +219,8 @@ class StreamingRecognizer:
                 toks = np.asarray(self._carry.tokens[0, self._emitted:total])
                 new_tokens.extend(int(t) for t in toks)
                 self._emitted = total
+        if final and self.decoder == "beam":
+            new_tokens = self.tokens
         return new_tokens
 
     def feed(self, samples: np.ndarray) -> List[int]:

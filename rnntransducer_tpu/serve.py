@@ -43,7 +43,7 @@ def export_params(checkpoint_dir: str, out_dir: str,
 
     cfg = load_config(checkpoint_dir)
     mgr = CheckpointManager(checkpoint_dir, save_top_k=cfg.train.save_top_k)
-    step = step if step is not None else (mgr.best_step() or mgr.latest_step())
+    step = step if step is not None else mgr.best_or_latest_step()
     template = jax.eval_shape(lambda: TrainState.create(cfg))
     state = mgr.restore(template, step=step)
     mgr.close()
@@ -60,7 +60,8 @@ def export_params(checkpoint_dir: str, out_dir: str,
 
 class Recognizer:
     def __init__(self, cfg: Config, params, tokenizer: GraphemeTokenizer,
-                 decoder: str = "beam_batched", beam_width: int = 4,
+                 decoder: str = "beam_batched",
+                 beam_width: Optional[int] = None,
                  max_output_len: int = 512, compose_hangul: bool = True):
         from rnntransducer_tpu.frontend import LogMelFrontend
         from rnntransducer_tpu.train import build_model
@@ -70,7 +71,9 @@ class Recognizer:
         self.variables = {"params": params}
         self.tokenizer = tokenizer
         self.decoder = decoder
-        self.beam_width = beam_width
+        # default comes from the config persisted with the checkpoint
+        self.beam_width = (beam_width if beam_width is not None
+                           else cfg.inference.beam_width)
         self.max_output_len = max_output_len
         self.compose_hangul = compose_hangul
         self.frontend = LogMelFrontend(cfg.data.audio)
@@ -85,8 +88,7 @@ class Recognizer:
         cfg = load_config(checkpoint_dir)
         mgr = CheckpointManager(checkpoint_dir,
                                 save_top_k=cfg.train.save_top_k)
-        step = step if step is not None else (mgr.best_step()
-                                              or mgr.latest_step())
+        step = step if step is not None else mgr.best_or_latest_step()
         template = jax.eval_shape(lambda: TrainState.create(cfg))
         state = mgr.restore(template, step=step)
         mgr.close()
@@ -152,8 +154,17 @@ class Recognizer:
                 for i in range(len(waves))]
 
     def stream(self, chunk_frames: Optional[int] = None, **kw):
-        """New streaming session (requires a unidirectional encoder)."""
+        """New streaming session (requires a unidirectional encoder).
+
+        When the model was trained with per-utterance normalization
+        (cfg.data.audio.normalize), the session defaults to the causal
+        "running" normalization — an approximation of the offline statistics
+        (exact per-utterance norm needs the whole utterance); pass
+        normalize="none"/"running" to override.
+        """
         from rnntransducer_tpu.decode.streaming import StreamingRecognizer
+        kw.setdefault("normalize",
+                      "running" if self.cfg.data.audio.normalize else "none")
         return StreamingRecognizer(
             self.model, self.variables, self.cfg.data.audio,
             blank_id=self.tokenizer.blank_token_id,

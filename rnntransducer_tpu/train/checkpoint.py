@@ -50,6 +50,12 @@ class CheckpointManager:
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()
 
+    def best_or_latest_step(self) -> Optional[int]:
+        """Best-by-metric step, else latest (step 0 is a valid best — never
+        use `best_step() or latest_step()`, which drops a falsy 0)."""
+        best = self._mgr.best_step()
+        return best if best is not None else self._mgr.latest_step()
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

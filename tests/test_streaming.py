@@ -124,3 +124,22 @@ def test_streaming_beam_matches_offline_beam(chunk_frames):
         rec.feed(wav[s:s + 1600])
     final = rec.flush()
     assert final == want, (chunk_frames, final[:20], want[:20])
+
+
+@pytest.mark.parametrize("stride_sec", [0.0125, 0.025])
+def test_streaming_frontend_large_hop_parity(stride_sec):
+    """Regression: buffer trimming dropped samples still needed by flush()'s
+    end reflection when hop >= n_fft - pad (hop 200 and 400 at win 400)."""
+    cfg = AudioConfig(normalize=False, window_stride_sec=stride_sec)
+    rng = np.random.RandomState(11)
+    wav = rng.randn(16000).astype(np.float32)
+    offline, lengths = LogMelFrontend(cfg)(jnp.asarray(wav[None]))
+    sf = StreamingFrontend(cfg, normalize="none")
+    frames = []
+    for s in range(0, len(wav), 1600):
+        frames.append(sf.feed(wav[s:s + 1600]))
+    frames.append(sf.flush())
+    got = np.concatenate([f for f in frames if len(f)])
+    assert got.shape[0] == int(lengths[0])
+    np.testing.assert_allclose(got, np.asarray(offline[0]),
+                               rtol=1e-4, atol=1e-4)

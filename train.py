@@ -142,7 +142,7 @@ def main():
                       loss_backend=args.loss_backend,
                       profile_dir=args.profile_dir)
     if args.eval_only:
-        step = trainer.ckpt.best_step() or trainer.ckpt.latest_step()
+        step = trainer.ckpt.best_or_latest_step()
         trainer.state = trainer.ckpt.restore(trainer.state, step=step)
         tests = {}
         if args.synthetic:
