@@ -6,6 +6,9 @@ parallelism, and on-device audio frontend."""
 __version__ = "0.1.0"
 
 from rnntransducer_tpu.config import Config, base_config, tiny_config
-from rnntransducer_tpu.tokenizer import GraphemeTokenizer
+from rnntransducer_tpu.tokenizer import (
+    GraphemeTokenizer, compose_jamo, decompose_hangul,
+)
 
-__all__ = ["Config", "base_config", "tiny_config", "GraphemeTokenizer", "__version__"]
+__all__ = ["Config", "base_config", "tiny_config", "GraphemeTokenizer",
+           "compose_jamo", "decompose_hangul", "__version__"]
