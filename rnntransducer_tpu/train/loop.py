@@ -78,9 +78,12 @@ class Trainer:
 
     def _host_batches(self, dataset, epoch: int, batch_size: int,
                       shuffle: bool = True, with_counts: bool = False):
+        # multi-host: each process feeds its rank-strided shard of the data
+        # (datasampler.py:96 semantics); single host = identity
         sampler = LengthBucketSampler(
             dataset.lengths(), self.cfg.data.audio_buckets, batch_size,
-            seed=self.cfg.train.seed, shuffle=shuffle)
+            seed=self.cfg.train.seed, shuffle=shuffle,
+            rank=jax.process_index(), world_size=jax.process_count())
         batches = sampler.epoch_batches(epoch)
         if sampler.last_dropped:
             self.logger.log(int(self.state.step), event="overlong_dropped",
