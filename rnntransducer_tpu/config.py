@@ -180,6 +180,10 @@ class TrainConfig:
     joint_chunk_frames: int = 64
     # decode during validation
     greedy_max_symbols: int = 3  # reference max_iters=3 (model.py:76)
+    # "greedy" (reference parity) or "beam" (batched device beam; measurably
+    # lower CER — see BASELINE.md — at ~K x decode cost)
+    val_decoder: str = "greedy"
+    val_beam_width: int = 4
 
 
 @dataclass(frozen=True)

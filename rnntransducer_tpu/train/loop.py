@@ -185,13 +185,24 @@ class Trainer:
                 cfg, self.state.params, batch_dev,
                 loss_backend=self.loss_backend, reduction="none"))
             losses.extend(per_sample[:n_valid].tolist())
-            toks, lens = greedy_decode(
-                self.model, {"params": self.state.params}, batch_dev["feats"],
-                batch_dev["feat_lengths"],
-                blank_id=cfg.data.text.pad_token_id,
-                max_symbols=cfg.train.greedy_max_symbols,
-                max_output_len=max(cfg.data.label_buckets))
-            toks, lens = np.asarray(toks), np.asarray(lens)
+            if cfg.train.val_decoder == "beam":
+                from rnntransducer_tpu.decode import batched_beam_decode
+                toks, lens, _ = batched_beam_decode(
+                    self.model, {"params": self.state.params},
+                    batch_dev["feats"], batch_dev["feat_lengths"],
+                    blank_id=cfg.data.text.pad_token_id,
+                    beam_width=cfg.train.val_beam_width,
+                    max_symbols=cfg.train.greedy_max_symbols,
+                    max_output_len=max(cfg.data.label_buckets))
+                toks, lens = np.asarray(toks[:, 0]), np.asarray(lens[:, 0])
+            else:
+                toks, lens = greedy_decode(
+                    self.model, {"params": self.state.params},
+                    batch_dev["feats"], batch_dev["feat_lengths"],
+                    blank_id=cfg.data.text.pad_token_id,
+                    max_symbols=cfg.train.greedy_max_symbols,
+                    max_output_len=max(cfg.data.label_buckets))
+                toks, lens = np.asarray(toks), np.asarray(lens)
             for i in range(n_valid):
                 preds.append(self.tokenizer.decode(toks[i, :lens[i]],
                                                    group_tokens=False))

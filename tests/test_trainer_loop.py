@@ -94,3 +94,15 @@ def test_fit_no_double_save_when_max_steps_hits_val_interval(tmp_path):
     assert int(state.step) == 4
     assert trainer.ckpt.latest_step() == 4
     trainer.ckpt.close()
+
+
+def test_validate_with_beam_decoder(tmp_path):
+    import dataclasses
+    cfg = _cfg(tmp_path, max_steps=1)
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, val_decoder="beam", val_beam_width=2))
+    trainer = Trainer(cfg, _ds(6), val_dataset=_ds(3, seed=7))
+    out = trainer.validate(max_batches=1)
+    assert np.isfinite(out["val_loss"])
+    assert 0.0 <= out["val_cer"] <= 2.0
+    trainer.ckpt.close()
