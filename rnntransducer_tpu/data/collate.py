@@ -33,8 +33,15 @@ def _load_pack_lib():
     so = os.path.join(_NATIVE_DIR, "libbatch_pack.so")
     try:
         if not os.path.exists(so):
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True)
+            # build to a process-private name, then atomically rename —
+            # concurrent first-call builds (multi-process input pipelines)
+            # must never load a half-written .so
+            tmp = f"{so}.build.{os.getpid()}"
+            subprocess.run(
+                ["g++", "-O2", "-std=c++17", "-fPIC", "-pthread", "-shared",
+                 "-o", tmp, os.path.join(_NATIVE_DIR, "batch_pack.cpp")],
+                check=True, capture_output=True)
+            os.replace(tmp, so)
         lib = ctypes.CDLL(so)
         lib.pack_batch_f32.argtypes = [
             ctypes.POINTER(ctypes.c_void_p),

@@ -182,6 +182,11 @@ class ArrowAudioDataset:
             return np.asarray(self.ds[self._len_col])
         return np.asarray([len(r["input_values"]) for r in self.ds])
 
+    def label_lengths(self) -> np.ndarray:
+        if "label_len" in self.ds.column_names:
+            return np.asarray(self.ds["label_len"])
+        return np.asarray([len(r["input_ids"]) for r in self.ds])
+
     def __getitem__(self, i: int) -> dict:
         row = self.ds[int(i)]
         return {"feats": np.asarray(row["input_values"], np.float32),
@@ -214,6 +219,9 @@ class SyntheticAudioDataset:
     def lengths(self) -> np.ndarray:
         return np.asarray([num_frames(int(s), self.cfg.hop_length)
                            for s in self._samples])
+
+    def label_lengths(self) -> np.ndarray:
+        return np.asarray(self._n_labels)
 
     def __getitem__(self, i: int) -> dict:
         rng = np.random.RandomState(self.seed + 1000 + int(i))
@@ -259,6 +267,9 @@ class PatternedSyntheticDataset:
 
     def lengths(self) -> np.ndarray:
         return self._n_labels * self.frames_per_label
+
+    def label_lengths(self) -> np.ndarray:
+        return np.asarray(self._n_labels)
 
     def __getitem__(self, i: int) -> dict:
         rng = np.random.RandomState(self.seed + 5000 + int(i))

@@ -28,8 +28,15 @@ class DevicePrefetcher:
             self._put = put_fn
         elif mesh is not None:
             sharding = batch_sharding(mesh)
-            self._put = lambda b: jax.tree.map(
-                lambda x: jax.device_put(x, sharding), b)
+            if jax.process_count() > 1:
+                # multi-host: each process holds its local slice of the
+                # global batch; assemble the global array from local shards
+                self._put = lambda b: jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        sharding, x), b)
+            else:
+                self._put = lambda b: jax.tree.map(
+                    lambda x: jax.device_put(x, sharding), b)
         else:
             self._put = lambda b: jax.tree.map(jax.device_put, b)
         self._q: queue.Queue = queue.Queue(maxsize=size)

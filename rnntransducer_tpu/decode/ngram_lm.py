@@ -36,8 +36,13 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 def _load_lib() -> ctypes.CDLL:
     so = os.path.join(_NATIVE_DIR, "libngram_lm.so")
     if not os.path.exists(so):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True)
+        # atomic build (concurrent first calls must not load a partial .so)
+        tmp = f"{so}.build.{os.getpid()}"
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-fPIC", "-shared", "-o", tmp,
+             os.path.join(_NATIVE_DIR, "ngram_lm.cpp")],
+            check=True, capture_output=True)
+        os.replace(tmp, so)
     lib = ctypes.CDLL(so)
     lib.ngram_load.restype = ctypes.c_void_p
     lib.ngram_load.argtypes = [ctypes.c_char_p]

@@ -1,10 +1,16 @@
 """Checkpointing: save/restore params + optimizer state + step, with
-top-k retention by validation CER.
+top-k retention by validation CER PLUS the latest checkpoint.
 
 Capability-equivalent of the reference's Lightning ModelCheckpoint
 (``train.py:31-37``: ``save_top_k=3, mode="min", monitor="val_cer"``) and
 ``load_from_checkpoint`` restore (``inference.py:19-25``), built on Orbax.
 One restore API serves both train-resume and inference.
+
+Retention is managed here, not by orbax's ``best_fn`` pruning: pure
+top-k-by-metric would delete the LATEST checkpoint whenever it is not among
+the best, silently losing training progress on resume (and evicting the
+explicit end-of-fit save). We always keep {top-k by metric} UNION {latest},
+with metrics recorded in a JSON ledger.
 """
 
 from __future__ import annotations
@@ -23,13 +29,38 @@ class CheckpointManager:
                  monitor: str = "val_cer"):
         self.directory = os.path.abspath(directory)
         self.monitor = monitor
-        options = ocp.CheckpointManagerOptions(
-            max_to_keep=save_top_k,
-            best_fn=(lambda metrics: metrics.get(monitor, float("inf"))),
-            best_mode="min",
-        )
-        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        self.save_top_k = save_top_k
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=None))
 
+    # -- metrics ledger --------------------------------------------------
+    def _ledger_path(self) -> str:
+        return os.path.join(self.directory, "checkpoint_metrics.json")
+
+    def _read_ledger(self) -> dict:
+        try:
+            with open(self._ledger_path()) as f:
+                return {int(k): v for k, v in json.load(f).items()}
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def _write_ledger(self, ledger: dict) -> None:
+        os.makedirs(self.directory, exist_ok=True)
+        with open(self._ledger_path(), "w") as f:
+            json.dump({str(k): v for k, v in ledger.items()}, f, indent=1)
+
+    def _retained(self, ledger: dict) -> set:
+        """Steps to keep: top-k by the monitored metric + the latest."""
+        steps = sorted(ledger)
+        if not steps:
+            return set()
+        with_metric = [s for s in steps if self.monitor in ledger[s]]
+        best = sorted(with_metric,
+                      key=lambda s: ledger[s][self.monitor])[:self.save_top_k]
+        return set(best) | {steps[-1]}
+
+    # -- public API -------------------------------------------------------
     def save(self, step: int, state: Any, metrics: Optional[dict] = None,
              config: Optional[Config] = None):
         if config is not None:
@@ -37,24 +68,39 @@ class CheckpointManager:
             cfg_path = os.path.join(self.directory, "config.json")
             if not os.path.exists(cfg_path):
                 config.to_json(cfg_path)
-        self._mgr.save(step, args=ocp.args.StandardSave(state),
-                       metrics=metrics or {})
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
+        ledger = self._read_ledger()
+        ledger[int(step)] = {k: float(v) for k, v in (metrics or {}).items()}
+        keep = self._retained(ledger)
+        for s in list(ledger):
+            if s not in keep:
+                try:
+                    self._mgr.delete(s)
+                except Exception:
+                    pass
+                del ledger[s]
+        self._write_ledger(ledger)
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
-        step = step if step is not None else self._mgr.latest_step()
+        step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+        return self._mgr.restore(step,
+                                 args=ocp.args.StandardRestore(state_template))
 
     def best_step(self) -> Optional[int]:
-        return self._mgr.best_step()
+        ledger = self._read_ledger()
+        with_metric = [s for s in ledger if self.monitor in ledger[s]]
+        if not with_metric:
+            return None
+        return min(with_metric, key=lambda s: ledger[s][self.monitor])
 
     def best_or_latest_step(self) -> Optional[int]:
         """Best-by-metric step, else latest (step 0 is a valid best — never
         use `best_step() or latest_step()`, which drops a falsy 0)."""
-        best = self._mgr.best_step()
-        return best if best is not None else self._mgr.latest_step()
+        best = self.best_step()
+        return best if best is not None else self.latest_step()
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -61,6 +61,8 @@ class Trainer:
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
         self.timer = StepTimer(warmup=2)
+        # host-side step mirror (prefetch-thread-safe; see _host_batches)
+        self._host_step = int(self.state.step)
 
     # ------------------------------------------------------------- batching
     def _global_batch(self) -> int:
@@ -78,23 +80,38 @@ class Trainer:
 
     def _host_batches(self, dataset, epoch: int, batch_size: int,
                       shuffle: bool = True, with_counts: bool = False):
-        # multi-host: each process feeds its rank-strided shard of the data
-        # (datasampler.py:96 semantics); single host = identity
+        """Yields collated batches (runs inside the prefetch thread: must not
+        touch self.state — its buffers are donated on the main thread).
+
+        Multi-host: every process computes the IDENTICAL global batch
+        sequence (same seed, no rank striding — all processes must dispatch
+        the same bucket shapes in lockstep), then collates only its
+        process-local slice of each batch; the prefetcher assembles the
+        global array from the per-process shards."""
+        pi, pc = jax.process_index(), jax.process_count()
         sampler = LengthBucketSampler(
             dataset.lengths(), self.cfg.data.audio_buckets, batch_size,
-            seed=self.cfg.train.seed, shuffle=shuffle,
-            rank=jax.process_index(), world_size=jax.process_count())
+            seed=self.cfg.train.seed, shuffle=shuffle)
         batches = sampler.epoch_batches(epoch)
+        step = self._host_step  # plain-int snapshot, thread-safe to read
         if sampler.last_dropped:
-            self.logger.log(int(self.state.step), event="overlong_dropped",
+            self.logger.log(step, event="overlong_dropped",
                             count=sampler.last_dropped,
                             max_frames=self.cfg.data.audio_buckets[-1])
+        label_lens = (dataset.label_lengths()
+                      if hasattr(dataset, "label_lengths") else None)
         for b_idx, idxs, n_valid in batches:
-            items = [dataset[i] for i in idxs]
-            max_u = max(len(it["labels"]) for it in items)
+            local = idxs[pi::pc] if pc > 1 else idxs
+            items = [dataset[i] for i in local]
+            # label bucket must come from the FULL batch so every process
+            # picks the same static shape (local max would diverge)
+            if label_lens is not None:
+                max_u = int(max(label_lens[i] for i in idxs))
+            else:
+                max_u = max(len(it["labels"]) for it in items)
             label_bucket = self._label_bucket_for(max_u)
             if max_u > label_bucket:
-                self.logger.log(int(self.state.step), event="label_truncated",
+                self.logger.log(step, event="label_truncated",
                                 max_label_len=max_u, bucket=label_bucket)
             batch = collate(items,
                             max_frames=self.cfg.data.audio_buckets[b_idx],
@@ -109,23 +126,42 @@ class Trainer:
             self.state = self.ckpt.restore(self.state)
             self.logger.log(int(self.state.step), event="resumed")
 
+        # host-side step counter: state.step increments by exactly 1 per
+        # train_step, and reading int(self.state.step) every iteration would
+        # force a device sync, defeating async dispatch + prefetch overlap
         step = int(self.state.step)
+        self._host_step = step
+        # resumed runs continue the data schedule: estimate the epoch from
+        # steps-per-epoch (batch counts vary slightly across epochs; an
+        # approximation is fine — the goal is not replaying epoch 0's order)
         epoch = 0
+        if step > 0:
+            n0 = len(LengthBucketSampler(
+                self.train_ds.lengths(), cfg.data.audio_buckets,
+                self._global_batch(), seed=cfg.train.seed).epoch_batches(0))
+            epoch = step // max(n0, 1)
+        profiling = False
         while step < cfg.train.max_steps:
             batches = DevicePrefetcher(
                 self._host_batches(self.train_ds, epoch, self._global_batch()),
                 mesh=self.mesh)
+            made_progress = False
             for batch in batches:
                 if step >= cfg.train.max_steps:
                     break
-                if self.profile_dir and step == self.profile_steps[0]:
+                made_progress = True
+                if (self.profile_dir and not profiling
+                        and step >= self.profile_steps[0]
+                        and step < self.profile_steps[1]):
                     import jax.profiler
                     jax.profiler.start_trace(self.profile_dir)
+                    profiling = True
                 self.timer.start()
                 self.state, metrics = train_step(
                     cfg, self.tx, self.state, batch,
                     loss_backend=self.loss_backend)
-                step = int(self.state.step)
+                step += 1
+                self._host_step = step
                 if step % cfg.train.log_every_steps == 0 or step == 1:
                     step_ms = self.timer.stop(sync_value=metrics["loss"]) * 1e3
                     self.logger.log(step, split="train",
@@ -135,19 +171,28 @@ class Trainer:
                                     step_ms=round(step_ms, 1), epoch=epoch)
                 else:
                     self.timer.stop()
-                if self.profile_dir and step == self.profile_steps[1]:
+                if profiling and step >= self.profile_steps[1]:
                     import jax.profiler
                     jax.profiler.stop_trace()
+                    profiling = False
                     self.logger.log(step, event="profile_written",
                                     dir=self.profile_dir)
                 if self.val_ds is not None and step % cfg.train.val_every_steps == 0:
-                    val = self.validate(epoch=epoch)
+                    val = self.validate()
                     self.ckpt.save(step, self.state, metrics=val, config=cfg)
+            if not made_progress:
+                raise RuntimeError(
+                    "training epoch produced no batches — dataset empty or "
+                    "every utterance exceeds the largest audio bucket "
+                    f"({cfg.data.audio_buckets[-1]} frames)")
             epoch += 1
+        if profiling:
+            import jax.profiler
+            jax.profiler.stop_trace()
         # final save — unless this exact step was already checkpointed by the
-        # in-loop validation branch (orbax raises StepAlreadyExistsError)
+        # in-loop validation branch
         if self.ckpt.latest_step() != step:
-            val = self.validate(epoch=epoch) if self.val_ds is not None else {}
+            val = self.validate() if self.val_ds is not None else {}
             self.ckpt.save(step, self.state, metrics=val, config=cfg)
         return self.state
 
@@ -160,14 +205,14 @@ class Trainer:
         for name, ds in datasets.items():
             out = self._evaluate(ds, max_batches)
             results[name] = out
-            self.logger.log(int(self.state.step), split=f"test/{name}", **out)
+            self.logger.log(self._host_step, split=f"test/{name}", **out)
         return results
 
-    def validate(self, epoch: int = 0, max_batches: Optional[int] = None) -> dict:
+    def validate(self, max_batches: Optional[int] = None) -> dict:
         out = self._evaluate(self.val_ds, max_batches)
         out = {"val_loss": out["loss"], "val_wer": out["wer"],
                "val_cer": out["cer"]}
-        self.logger.log(int(self.state.step), split="val", **out)
+        self.logger.log(self._host_step, split="val", **out)
         return out
 
     def _evaluate(self, dataset, max_batches: Optional[int] = None) -> dict:
@@ -178,7 +223,10 @@ class Trainer:
                 dataset, epoch=0,
                 batch_size=cfg.train.per_device_eval_batch_size * self.n_devices,
                 shuffle=False, with_counts=True):
-            batch_dev = jax.tree.map(jax.device_put, batch)
+            # shard over the data mesh like training (unsharded device_put
+            # would replicate the whole eval batch on every device)
+            from rnntransducer_tpu.parallel import shard_batch
+            batch_dev = shard_batch(self.mesh, batch)
             # per-sample losses so wrap-padding duplicates (needed for the
             # static batch shape) don't bias the metrics
             per_sample = np.asarray(eval_step(
