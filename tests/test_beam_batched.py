@@ -104,3 +104,103 @@ def test_deterministic():
     b = batched_beam_decode(model, variables, feats, lengths, beam_width=4)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def _numpy_frame_sync_beam(model, variables, feats, lengths, K, max_symbols,
+                           blank=0, max_out=16):
+    """Independent NumPy re-implementation of the frame-synchronous beam
+    (same rules as beam_decode_frames) driving the same jitted model fns —
+    validates the device version's gather/top-k bookkeeping exactly."""
+    B = feats.shape[0]
+    enc, _ = model.apply(variables, feats, lengths, method=model.encode)
+    enc = np.asarray(enc)
+
+    def predict(tokens, states):
+        # tokens: list of ints; states: list of RNNState(1-batch slices)
+        outs, news = [], []
+        for tok, st in zip(tokens, states):
+            o, ns = model.apply(variables, jnp.array([tok], jnp.int32), st,
+                                method=model.predict_step)
+            outs.append(np.asarray(o[0])); news.append(ns)
+        return outs, news
+
+    results = []
+    for b in range(B):
+        d0, s0 = model.apply(variables, jnp.array([blank], jnp.int32), None,
+                             method=model.predict_step)
+        # hyp: [score, tokens, last, dec_out, state]
+        hyps = [[0.0, [], blank, np.asarray(d0[0]), s0]]
+        hyps += [[-1e30, [], blank, np.asarray(d0[0]), s0]
+                 for _ in range(K - 1)]
+        for t in range(int(lengths[b])):
+            done = [False] * K
+            for _ in range(max_symbols):
+                logps = []
+                for h in hyps:
+                    lg = model.apply(variables,
+                                     jnp.asarray(enc[b, t][None]),
+                                     jnp.asarray(h[3][None]),
+                                     method=model.joint_step)
+                    logps.append(np.asarray(jax.nn.log_softmax(lg[0])))
+                cands = []  # (score, kind, parent, tok)
+                for k, h in enumerate(hyps):
+                    stay = h[0] if done[k] else h[0] + logps[k][blank]
+                    cands.append((stay, 0, k, blank))
+                V = logps[0].shape[0]
+                for k, h in enumerate(hyps):
+                    for v in range(V):
+                        if v == blank or done[k]:
+                            sc = -1e30
+                        else:
+                            sc = h[0] + logps[k][v]
+                        cands.append((sc, 1, k, v))
+                # stable top-K matching lax.top_k tie-breaking (first index)
+                order = sorted(range(len(cands)),
+                               key=lambda i: (-cands[i][0], i))[:K]
+                new_hyps, new_done = [], []
+                for i in order:
+                    sc, kind, parent, tok = cands[i]
+                    ph = hyps[parent]
+                    if kind == 0:
+                        new_hyps.append([sc, list(ph[1]), ph[2], ph[3], ph[4]])
+                        new_done.append(True)
+                    else:
+                        toks = list(ph[1])
+                        last = ph[2]
+                        if tok != last and len(toks) < max_out:
+                            toks.append(tok)
+                        o, ns = model.apply(variables,
+                                            jnp.array([tok], jnp.int32),
+                                            ph[4], method=model.predict_step)
+                        new_hyps.append([sc, toks, tok, np.asarray(o[0]), ns])
+                        new_done.append(False)
+                hyps, done = new_hyps, new_done
+            # blank-close leftovers
+            for k, h in enumerate(hyps):
+                if not done[k]:
+                    lg = model.apply(variables, jnp.asarray(enc[b, t][None]),
+                                     jnp.asarray(h[3][None]),
+                                     method=model.joint_step)
+                    h[0] = h[0] + float(np.asarray(
+                        jax.nn.log_softmax(lg[0]))[blank])
+        best = max(hyps, key=lambda h: h[0] / (len(h[1]) + 1))
+        results.append(best[1])
+    return results
+
+
+def test_batched_beam_matches_numpy_oracle():
+    """Device beam == independent NumPy frame-synchronous implementation."""
+    model, variables = _make_model(seed=6, V=6)
+    rng = np.random.RandomState(4)
+    feats = jnp.asarray(rng.randn(2, 5, 6).astype(np.float32) * 2)
+    lengths = jnp.array([5, 4], jnp.int32)
+    K = 3
+    want = _numpy_frame_sync_beam(model, variables, feats, lengths, K,
+                                  max_symbols=2)
+    toks, lens, _ = batched_beam_decode(model, variables, feats, lengths,
+                                        beam_width=K, max_symbols=2,
+                                        max_output_len=16)
+    toks, lens = np.asarray(toks), np.asarray(lens)
+    for b in range(2):
+        got = list(toks[b, 0, :lens[b, 0]])
+        assert got == want[b], (b, got, want[b])
