@@ -112,8 +112,10 @@ def frame_signal(wav, n_fft: int, hop_length: int, lengths=None):
     over = p - (L - 1)
     p = jnp.where(over > 0, L - 1 - over, p)           # reflect at L-1
     p = jnp.clip(p, 0, S - 1)
-    return jnp.take_along_axis(
-        jnp.broadcast_to(wav[:, None, :], (B, n_frm, S)), p, axis=2)
+    # per-sample gather via vmap: indexing a broadcast_to(wav, (B,F,S))
+    # operand would materialize O(B*frames*S) HBM (gigabytes for seconds of
+    # audio) instead of O(B*S)
+    return jax.vmap(lambda w, idx: w[idx])(wav, p)
 
 
 def stft_power(wav, n_fft: int, hop_length: int, window: jnp.ndarray,
@@ -125,12 +127,32 @@ def stft_power(wav, n_fft: int, hop_length: int, window: jnp.ndarray,
     return (spec.real ** 2 + spec.imag ** 2).astype(jnp.float32)
 
 
-class LogMelFrontend:
-    """Precomputes window + filterbank once; __call__ is jit-friendly.
+@partial(jax.jit, static_argnums=(0,))
+def _logmel(cfg: AudioConfig, wav, wav_lengths=None):
+    """Jitted module-level impl, cache-keyed on the (hashable, frozen)
+    AudioConfig — NOT on a frontend instance (id-based keys would retrace per
+    instance and pin dead instances in the global jit cache)."""
+    window = jnp.asarray(WINDOWS[cfg.window](cfg.win_length))
+    fb = jnp.asarray(mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels,
+                                    cfg.sample_rate))
+    if cfg.normalize:
+        wav = mean_var_normalize(wav, wav_lengths)
+    power = stft_power(wav, cfg.n_fft, cfg.hop_length, window, wav_lengths)
+    mel = jnp.einsum("btf,fm->btm", power, fb,
+                     preferred_element_type=jnp.float32)
+    feats = jnp.log1p(mel)
+    if wav_lengths is None:
+        lengths = jnp.full((wav.shape[0],), feats.shape[1], jnp.int32)
+    else:
+        lengths = wav_lengths.astype(jnp.int32) // cfg.hop_length + 1
+    return feats, lengths
 
-    Output: (B, frames, n_mels) log1p mel features + frame lengths, i.e. the
-    (seq, mel) layout the reference materializes at ``datamodule.py:154-160``.
-    """
+
+class LogMelFrontend:
+    """Output: (B, frames, n_mels) log1p mel features + frame lengths, i.e.
+    the (seq, mel) layout the reference materializes at
+    ``datamodule.py:154-160``.  Instances are stateless wrappers; compiled
+    computations are shared across instances with equal configs."""
 
     def __init__(self, cfg: AudioConfig):
         self.cfg = cfg
@@ -138,18 +160,6 @@ class LogMelFrontend:
         self.fb = jnp.asarray(mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels,
                                              cfg.sample_rate))
 
-    @partial(jax.jit, static_argnums=(0,))
     def __call__(self, wav, wav_lengths=None):
         """wav: (B, S) float32 PCM at cfg.sample_rate."""
-        if self.cfg.normalize:
-            wav = mean_var_normalize(wav, wav_lengths)
-        power = stft_power(wav, self.cfg.n_fft, self.cfg.hop_length,
-                           self.window, wav_lengths)
-        mel = jnp.einsum("btf,fm->btm", power, self.fb,
-                         preferred_element_type=jnp.float32)
-        feats = jnp.log1p(mel)
-        if wav_lengths is None:
-            lengths = jnp.full((wav.shape[0],), feats.shape[1], jnp.int32)
-        else:
-            lengths = wav_lengths.astype(jnp.int32) // self.cfg.hop_length + 1
-        return feats, lengths
+        return _logmel(self.cfg, wav, wav_lengths)

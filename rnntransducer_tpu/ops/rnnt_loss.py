@@ -191,7 +191,11 @@ _rnnt_core.defvjp(_core_fwd, _core_bwd)
 
 def compact_lattice(logits, labels, blank: int = 0):
     """(B,T,U+1,V) raw logits + (B,U) labels -> (bl, lb): blank / label
-    log-probs (B,T,U+1), the only lattice values the recursion needs."""
+    log-probs (B,T,U+1), the only lattice values the recursion needs.
+
+    Note: out-of-range label ids are clamped by the gather (jit code cannot
+    raise); use utils.debugging.checked_rnnt_loss to turn a vocab/tokenizer
+    mismatch into a hard error."""
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     bl = lp[..., blank]
     U1 = logits.shape[2]

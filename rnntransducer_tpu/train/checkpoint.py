@@ -47,18 +47,24 @@ class CheckpointManager:
 
     def _write_ledger(self, ledger: dict) -> None:
         os.makedirs(self.directory, exist_ok=True)
-        with open(self._ledger_path(), "w") as f:
+        # atomic replace: a crash (or another reader) mid-write must never
+        # observe a truncated ledger (read_ledger would silently reset it)
+        tmp = f"{self._ledger_path()}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump({str(k): v for k, v in ledger.items()}, f, indent=1)
+        os.replace(tmp, self._ledger_path())
 
-    def _retained(self, ledger: dict) -> set:
-        """Steps to keep: top-k by the monitored metric + the latest."""
+    def _retained(self, ledger: dict, current: int) -> set:
+        """Steps to keep: top-k by metric + the latest + the just-saved step
+        (which may be LOWER than an existing step after restoring from best
+        and fine-tuning — it must survive its own save call)."""
         steps = sorted(ledger)
         if not steps:
             return set()
         with_metric = [s for s in steps if self.monitor in ledger[s]]
         best = sorted(with_metric,
                       key=lambda s: ledger[s][self.monitor])[:self.save_top_k]
-        return set(best) | {steps[-1]}
+        return set(best) | {steps[-1], int(current)}
 
     # -- public API -------------------------------------------------------
     def save(self, step: int, state: Any, metrics: Optional[dict] = None,
@@ -70,15 +76,18 @@ class CheckpointManager:
                 config.to_json(cfg_path)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
+        import jax
+        if jax.process_index() != 0:
+            return  # retention bookkeeping is process-0 work (shared FS)
         ledger = self._read_ledger()
         ledger[int(step)] = {k: float(v) for k, v in (metrics or {}).items()}
-        keep = self._retained(ledger)
+        keep = self._retained(ledger, step)
         for s in list(ledger):
             if s not in keep:
                 try:
                     self._mgr.delete(s)
                 except Exception:
-                    pass
+                    continue  # keep the ledger entry; retry next save
                 del ledger[s]
         self._write_ledger(ledger)
 

@@ -46,6 +46,9 @@ def checked_rnnt_loss(logits, labels, logit_lengths, label_lengths,
         checkify.check(jnp.all(ul <= lg.shape[2] - 1),
                        "label_lengths exceed U (logits U+1 axis)")
         checkify.check(jnp.all(ul >= 0), "negative label_lengths")
+        checkify.check(jnp.all((lb >= 0) & (lb < lg.shape[-1])),
+                       "label ids outside [0, vocab) — the loss gather would "
+                       "silently clamp them (vocab/tokenizer mismatch?)")
         loss = rnnt_loss(lg, lb, tl, ul, blank=blank, reduction=reduction,
                          backend=backend)
         checkify.check(jnp.all(jnp.isfinite(jnp.atleast_1d(loss))),

@@ -48,10 +48,14 @@ class StepTimer:
         self._t0 = time.perf_counter()
 
     def stop(self, sync_value=None):
-        """sync_value: a device scalar to fetch (forces real completion)."""
+        """sync_value: a device scalar to fetch (forces real completion).
+        A stop() without a prior start() is a no-op returning 0.0."""
+        if self._t0 is None:
+            return 0.0
         if sync_value is not None:
             float(sync_value)
         dt = time.perf_counter() - self._t0
+        self._t0 = None
         self._count += 1
         if self._count > self.warmup:
             self._times.append(dt)

@@ -185,3 +185,31 @@ def test_streaming_frontend_empty_and_short_streams():
     sf.feed(np.random.RandomState(0).randn(50).astype(np.float32))
     out = sf.flush()  # shorter than the window: finite, no crash
     assert np.isfinite(out).all()
+
+
+def test_spec_augment_time_masks_land_in_valid_region():
+    """Regression: time masks sampled over padded T mostly landed in padding
+    for short utterances; with lengths they must hit the valid region."""
+    rng = np.random.RandomState(9)
+    B, T, M = 8, 400, 80
+    feats = jnp.asarray(rng.rand(B, T, M).astype(np.float32) + 1.0)
+    lengths = jnp.full((B,), 40, jnp.int32)  # 10% valid
+    hits = 0
+    for k in range(20):
+        out = np.asarray(spec_augment(jax.random.PRNGKey(k), feats, lengths,
+                                      freq_cnt=0, time_cnt=1, time_para=20))
+        # a time mask zeroes whole rows; count utterances masked in [0, 40)
+        hits += sum((out[b, :40] == 0).all(axis=1).any() for b in range(B))
+    # with valid-region sampling nearly every (utt, trial) has a mask in the
+    # valid region (width can round to 0 occasionally)
+    assert hits > 0.7 * 20 * B, hits
+
+
+def test_frontend_instances_share_compilation():
+    from rnntransducer_tpu.frontend.melspec import _logmel
+    cfg = AudioConfig()
+    wav = jnp.zeros((1, 1600))
+    a = LogMelFrontend(cfg)(wav)
+    misses0 = _logmel._cache_size()
+    b = LogMelFrontend(AudioConfig())(wav)  # equal config, new instance
+    assert _logmel._cache_size() == misses0
