@@ -141,6 +141,8 @@ class Trainer:
                 self._global_batch(), seed=cfg.train.seed).epoch_batches(0))
             epoch = step // max(n0, 1)
         profiling = False
+        import time as _time
+        last_log_t, last_log_step = _time.perf_counter(), step
         while step < cfg.train.max_steps:
             batches = DevicePrefetcher(
                 self._host_batches(self.train_ds, epoch, self._global_batch()),
@@ -156,21 +158,25 @@ class Trainer:
                     import jax.profiler
                     jax.profiler.start_trace(self.profile_dir)
                     profiling = True
-                self.timer.start()
                 self.state, metrics = train_step(
                     cfg, self.tx, self.state, batch,
                     loss_backend=self.loss_backend)
                 step += 1
                 self._host_step = step
                 if step % cfg.train.log_every_steps == 0 or step == 1:
-                    step_ms = self.timer.stop(sync_value=metrics["loss"]) * 1e3
-                    self.logger.log(step, split="train",
-                                    loss=float(metrics["loss"]),
+                    # steps run async; the loss fetch below syncs the queue,
+                    # so per-step time = wall time since the last log divided
+                    # by the steps in between (a per-step sync would serialize
+                    # dispatch against the input pipeline)
+                    loss = float(metrics["loss"])
+                    now = _time.perf_counter()
+                    step_ms = (now - last_log_t) / max(step - last_log_step, 1)
+                    last_log_t, last_log_step = now, step
+                    self.logger.log(step, split="train", loss=loss,
                                     grad_norm=float(metrics["grad_norm"]),
                                     lr=learning_rate_at(cfg, step),
-                                    step_ms=round(step_ms, 1), epoch=epoch)
-                else:
-                    self.timer.stop()
+                                    step_ms=round(step_ms * 1e3, 1),
+                                    epoch=epoch)
                 if profiling and step >= self.profile_steps[1]:
                     import jax.profiler
                     jax.profiler.stop_trace()
