@@ -15,3 +15,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache for the jitted tests (measured: the suite is
+# trace/dispatch-bound rather than compile-bound, so the win is small — but
+# the cache is free and helps the heavier jit tests on repeated runs)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
