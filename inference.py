@@ -27,18 +27,20 @@ def parse_args():
                    help="checkpoint step (default: best by val_cer, else latest)")
     p.add_argument("--wav", type=str, nargs="+", required=True)
     p.add_argument("--vocab_path", type=str, default=None)
+    # unset beam/LM flags fall back to the InferenceConfig persisted with
+    # the checkpoint (cfg.inference), matching what the model was tuned with
     p.add_argument("--decoder", type=str, default="beam",
                    choices=["greedy", "beam", "beam_batched"])
-    p.add_argument("--beam_width", type=int, default=5)
-    p.add_argument("--improved", action="store_true", default=True)
+    p.add_argument("--beam_width", type=int, default=None)
+    p.add_argument("--improved", action="store_true", default=None)
     p.add_argument("--no-improved", dest="improved", action="store_false")
-    p.add_argument("--state_beam", type=float, default=4.6)
-    p.add_argument("--expand_beam", type=float, default=2.3)
+    p.add_argument("--state_beam", type=float, default=None)
+    p.add_argument("--expand_beam", type=float, default=None)
     p.add_argument("--lm_path", type=str, default=None,
                    help="ARPA n-gram LM for shallow fusion")
-    p.add_argument("--lm_weight", type=float, default=1.0)
+    p.add_argument("--lm_weight", type=float, default=None)
     p.add_argument("--hotwords", type=str, nargs="*", default=None)
-    p.add_argument("--hotword_weight", type=float, default=10.0)
+    p.add_argument("--hotword_weight", type=float, default=None)
     p.add_argument("--max_output_len", type=int, default=256)
     return p.parse_args()
 
@@ -59,6 +61,16 @@ def main():
     from rnntransducer_tpu.utils.audio_io import read_wav
 
     cfg = load_config(args.checkpoint_dir)
+    inf = cfg.inference
+    pick = lambda flag, cfg_val: cfg_val if flag is None else flag
+    args.beam_width = pick(args.beam_width, inf.beam_width)
+    args.improved = pick(args.improved, inf.improved)
+    args.state_beam = pick(args.state_beam, inf.state_beam)
+    args.expand_beam = pick(args.expand_beam, inf.expand_beam)
+    args.lm_path = pick(args.lm_path, inf.lm_path)
+    args.lm_weight = pick(args.lm_weight, inf.lm_weight)
+    args.hotwords = pick(args.hotwords, list(inf.hotwords) or None)
+    args.hotword_weight = pick(args.hotword_weight, inf.hotword_weight)
     tok = (GraphemeTokenizer.from_file(args.vocab_path or cfg.vocab_path)
            if (args.vocab_path or cfg.vocab_path)
            else GraphemeTokenizer.default(cfg.model.jointnet.num_classes))
