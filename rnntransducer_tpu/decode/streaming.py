@@ -34,7 +34,7 @@ import jax
 
 from rnntransducer_tpu.config import AudioConfig
 from rnntransducer_tpu.decode.greedy import (
-    GreedyCarry, greedy_decode_frames, init_greedy_carry,
+    greedy_decode_frames, init_greedy_carry,
 )
 from rnntransducer_tpu.frontend.melspec import WINDOWS, mel_filterbank
 from rnntransducer_tpu.models.cells import RNNState
