@@ -40,7 +40,9 @@ class LengthBucketSampler:
     def __init__(self, lengths: Sequence[int], boundaries: Sequence[int],
                  batch_size: int, seed: int = 0, shuffle: bool = True,
                  rank: int = 0, world_size: int = 1, drop_last: bool = False,
-                 max_length: Optional[int] = None):
+                 max_length: Optional[int] = None,
+                 label_lengths: Optional[Sequence[int]] = None,
+                 max_label_length: Optional[int] = None):
         self.lengths = np.asarray(lengths)
         self.boundaries = tuple(boundaries)
         self.batch_size = batch_size
@@ -53,7 +55,14 @@ class LengthBucketSampler:
         # bucket boundary) — frame truncation would corrupt supervision
         self.max_length = (max_length if max_length is not None
                            else self.boundaries[-1])
+        # same policy for labels: an utterance whose transcript exceeds the
+        # largest label bucket is dropped whole, never truncated (truncating
+        # labels cuts supervision — the loss would train against a prefix)
+        self.label_lengths = (None if label_lengths is None
+                              else np.asarray(label_lengths))
+        self.max_label_length = max_label_length
         self.last_dropped = 0
+        self.last_label_dropped = 0
 
     def epoch_batches(self, epoch: int = 0) -> List[Tuple[int, np.ndarray, int]]:
         """Returns (bucket_idx, indices, n_valid) triples; indices beyond
@@ -66,13 +75,20 @@ class LengthBucketSampler:
             rng.shuffle(order)
         order = order[self.rank::self.world_size]
         dropped = 0
+        label_dropped = 0
         for idx in order:
             length = int(self.lengths[idx])
             if self.max_length is not None and length > self.max_length:
                 dropped += 1  # never silently truncate audio (see collate)
                 continue
+            if (self.label_lengths is not None
+                    and self.max_label_length is not None
+                    and int(self.label_lengths[idx]) > self.max_label_length):
+                label_dropped += 1  # never truncate labels either
+                continue
             buckets[bucket_for(length, self.boundaries)].append(idx)
         self.last_dropped = dropped
+        self.last_label_dropped = label_dropped
 
         batches: List[Tuple[int, np.ndarray, int]] = []
         for b_idx, idxs in enumerate(buckets):

@@ -89,17 +89,23 @@ class Trainer:
         process-local slice of each batch; the prefetcher assembles the
         global array from the per-process shards."""
         pi, pc = jax.process_index(), jax.process_count()
+        label_lens = (dataset.label_lengths()
+                      if hasattr(dataset, "label_lengths") else None)
         sampler = LengthBucketSampler(
             dataset.lengths(), self.cfg.data.audio_buckets, batch_size,
-            seed=self.cfg.train.seed, shuffle=shuffle)
+            seed=self.cfg.train.seed, shuffle=shuffle,
+            label_lengths=label_lens,
+            max_label_length=self.cfg.data.label_buckets[-1])
         batches = sampler.epoch_batches(epoch)
         step = self._host_step  # plain-int snapshot, thread-safe to read
         if sampler.last_dropped:
             self.logger.log(step, event="overlong_dropped",
                             count=sampler.last_dropped,
                             max_frames=self.cfg.data.audio_buckets[-1])
-        label_lens = (dataset.label_lengths()
-                      if hasattr(dataset, "label_lengths") else None)
+        if sampler.last_label_dropped:
+            self.logger.log(step, event="overlong_label_dropped",
+                            count=sampler.last_label_dropped,
+                            max_labels=self.cfg.data.label_buckets[-1])
         for b_idx, idxs, n_valid in batches:
             local = idxs[pi::pc] if pc > 1 else idxs
             items = [dataset[i] for i in local]
@@ -111,8 +117,16 @@ class Trainer:
                 max_u = max(len(it["labels"]) for it in items)
             label_bucket = self._label_bucket_for(max_u)
             if max_u > label_bucket:
-                self.logger.log(step, event="label_truncated",
-                                max_label_len=max_u, bucket=label_bucket)
+                # reachable only when the dataset exposes no label_lengths()
+                # (the sampler could not pre-filter) — refuse to cut
+                # supervision; the user must widen label_buckets or expose
+                # label lengths so overlong utterances are dropped whole
+                raise ValueError(
+                    f"batch max label length {max_u} exceeds the largest "
+                    f"label bucket {label_bucket}; truncating labels would "
+                    "corrupt supervision. Widen cfg.data.label_buckets or "
+                    "give the dataset a label_lengths() method so overlong "
+                    "utterances are dropped (like overlong audio).")
             batch = collate(items,
                             max_frames=self.cfg.data.audio_buckets[b_idx],
                             max_labels=label_bucket,

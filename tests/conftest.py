@@ -20,3 +20,44 @@ jax.config.update("jax_enable_x64", False)
 # the cache is free and helps the heavier jit tests on repeated runs)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
+# ---------------------------------------------------------------------------
+# Fast profile: `pytest -m "not slow"` (< ~2 min) for iteration; the full
+# suite (~10 min, trace-bound) stays the CI gate. Membership is measured by
+# --durations (tests >= ~6 s on the 8-virtual-device CPU conftest), kept here
+# centrally so re-tiering after a perf change is a one-list edit.
+import pytest  # noqa: E402
+
+_SLOW_TESTS = {
+    "test_near_optimal_vs_exhaustive",
+    "test_dryrun_multichip_reexec_from_one_device",
+    "test_dryrun_multichip_direct",
+    "test_dropout_config_trains",
+    "test_beam_finds_high_probability_sequences",
+    "test_scan_layers_matches_loop_layers",
+    "test_scan_matches_oracle",
+    "test_recognizer_end_to_end",
+    "test_fit_validate_checkpoint_resume",
+    "test_pad_embedding_is_zero",
+    "test_remat_scan_layers_trains",
+    "test_fused_loss_matches_unfused",
+    "test_fuzz_loss_and_grad_parity",
+    "test_lattice_shape_and_finite",
+    "test_joint_add_mode",
+    "test_data_parallel_8_devices_matches_single",
+    "test_grad_accum_matches_big_batch",
+    "test_long_form_audio_trains",
+    "test_beam1_equals_greedy",
+    "test_checkpoint_roundtrip",
+    "test_batched_beam_matches_numpy_oracle",
+    "test_fit_no_double_save_when_max_steps_hits_val_interval",
+    "test_loss_decreases",
+    "test_convert_to_orbax_roundtrip",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

@@ -197,3 +197,17 @@ def test_prepare_clamps_shards_to_dataset_size(tmp_path):
                            "train", cfg, num_shards=20)
     ds = ArrowAudioDataset([str(tmp_path / "out")], "train")
     assert len(ds) == 3
+
+
+def test_sampler_drops_overlong_labels():
+    from rnntransducer_tpu.data.bucketing import LengthBucketSampler
+    lengths = [50, 60, 70, 80, 90, 100]
+    label_lens = [5, 30, 6, 31, 7, 8]  # idx 1 and 3 exceed max_label_length=24
+    s = LengthBucketSampler(lengths, boundaries=(128,), batch_size=2,
+                            shuffle=False, label_lengths=label_lens,
+                            max_label_length=24)
+    batches = s.epoch_batches(0)
+    assert s.last_label_dropped == 2
+    used = {int(i) for _, idxs, n in batches for i in idxs[:n]}
+    assert 1 not in used and 3 not in used
+    assert used == {0, 2, 4, 5}

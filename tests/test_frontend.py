@@ -63,6 +63,32 @@ def test_mel_filterbank_properties():
     np.testing.assert_allclose(mel_to_hz(hz_to_mel(437.0)), 437.0, atol=1e-6)
 
 
+def _goldens():
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "goldens", "frontend_goldens.npz")
+    return np.load(path)
+
+
+def test_mel_filterbank_matches_independent_golden():
+    """Baked golden built by tests/make_frontend_goldens.py with an
+    np.interp-based triangle construction — independent of the repo's
+    slope-arithmetic mel_filterbank (breaks the round-1 oracle circularity)."""
+    g = _goldens()
+    fb = mel_filterbank(201, 80, 16000)
+    np.testing.assert_allclose(fb, g["fbank_201_80_16000"], atol=1e-6)
+
+
+def test_full_logmel_matches_baked_golden():
+    """Full pipeline vs a committed golden computed with torch.stft + the
+    independent filterbank (not recomputed from repo code at test time)."""
+    g = _goldens()
+    cfg = AudioConfig(normalize=False)
+    feats, _ = LogMelFrontend(cfg)(jnp.asarray(g["wav_seed1_2x8000"]))
+    np.testing.assert_allclose(np.asarray(feats), g["logmel_seed1"],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_full_logmel_pipeline_matches_oracle():
     cfg = AudioConfig(normalize=False)
     rng = np.random.RandomState(1)
