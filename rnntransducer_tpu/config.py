@@ -41,6 +41,9 @@ class TransNetConfig:
     # compile one uniform layer body (scan over layers 1..L-1) instead of L
     # separate scans — order-of-magnitude faster XLA compiles for deep stacks
     scan_layers: bool = True
+    # persistent-VMEM Pallas recurrent kernel (ops/rnn_pallas.py):
+    # "auto" (TPU + supported shapes), "off", or "interpret" (CPU debugging)
+    use_pallas_cells: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -55,6 +58,8 @@ class PredNetConfig:
     rnn_type: str = "lstm"
     dropout: float = 0.2
     pad_token_id: int = 0
+    # see TransNetConfig.use_pallas_cells
+    use_pallas_cells: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -28,9 +28,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
 
+from rnntransducer_tpu.ops import rnn_pallas
 from rnntransducer_tpu.utils.masking import flip_sequences, length_mask
 
 GATES = {"lstm": 4, "gru": 3, "rnn": 1}
+
+# use_pallas modes: "auto" = persistent-VMEM Pallas kernel on TPU for
+# supported shapes (measured 2.2x the XLA scan fwd+bwd on v5e, see
+# experiments/perf_rnn_scan.py), XLA scan elsewhere; "off" = always XLA scan;
+# "interpret" = Pallas kernel in interpreter mode (CPU parity tests).
+PALLAS_MODES = ("auto", "off", "interpret")
 
 
 class RNNState(NamedTuple):
@@ -75,6 +82,7 @@ class RNNLayer(nn.Module):
     hidden_size: int
     rnn_type: str = "lstm"
     unroll: int = 1
+    use_pallas: str = "auto"
 
     def setup(self):
         g = GATES[self.rnn_type]
@@ -114,6 +122,18 @@ class RNNLayer(nn.Module):
         # Hoisted input projection: one big MXU matmul over (B*T, in).
         xw = x @ self.w_ih + self.b_ih  # (B, T, G*H)
         xw_t = jnp.swapaxes(xw, 0, 1)  # (T, B, G*H)
+
+        mode = self.use_pallas
+        if mode == "interpret":  # CPU tests: any shape runs in the interpreter
+            eligible = self.rnn_type in ("gru", "lstm")
+        else:
+            eligible = (rnn_pallas.supported(
+                self.rnn_type, self.hidden_size, B, xw_t.dtype.itemsize)
+                and jax.default_backend() == "tpu")
+        if mode != "off" and eligible:
+            return self._call_pallas(xw_t, mask, initial_state,
+                                     interpret=(mode == "interpret"))
+
         mask_t = jnp.swapaxes(mask, 0, 1)[..., None]  # (T, B, 1)
 
         def body(carry, inp):
@@ -121,6 +141,25 @@ class RNNLayer(nn.Module):
             return self._cell(carry, xw_i, m_i)
 
         final, outs = lax.scan(body, initial_state, (xw_t, mask_t), unroll=self.unroll)
+        return jnp.swapaxes(outs, 0, 1), final
+
+    def _call_pallas(self, xw_t, mask, initial_state, interpret):
+        """Persistent-VMEM kernel path (ops/rnn_pallas.py).  The mask from
+        length_mask is monotone per row, so its row-sum recovers lengths —
+        the form the kernel wants (float so its zero cotangent is valid)."""
+        h0, c0 = initial_state
+        dt = xw_t.dtype
+        lengths_f = jnp.sum(mask, axis=1).astype(jnp.float32)
+        if self.rnn_type == "gru":
+            outs, h_fin = rnn_pallas.gru_scan(
+                xw_t, self.w_hh, self.b_hh, h0.astype(dt), lengths_f,
+                interpret)
+            final = (h_fin.astype(h0.dtype), c0)
+        else:
+            outs, h_fin, c_fin = rnn_pallas.lstm_scan(
+                xw_t, self.w_hh, self.b_hh, h0.astype(dt), c0.astype(dt),
+                lengths_f, interpret)
+            final = (h_fin.astype(h0.dtype), c_fin.astype(c0.dtype))
         return jnp.swapaxes(outs, 0, 1), final
 
     def step(self, x_t, state):
@@ -141,6 +180,7 @@ class _ScanLayer(nn.Module):
     bidirectional: bool
     dropout: float
     unroll: int
+    use_pallas: str = "auto"
 
     @nn.compact
     def __call__(self, seq, layer_state, mask, lengths, deterministic):
@@ -149,11 +189,11 @@ class _ScanLayer(nn.Module):
             seq = nn.Dropout(self.dropout)(seq, deterministic=deterministic)
         h_in, c_in = layer_state
         fwd = RNNLayer(seq.shape[-1], self.hidden_size, self.rnn_type,
-                       self.unroll, name="fwd")
+                       self.unroll, self.use_pallas, name="fwd")
         f_out, (fh, fc) = fwd(seq, mask, (h_in[0], c_in[0]))
         if self.bidirectional:
             bwd = RNNLayer(seq.shape[-1], self.hidden_size, self.rnn_type,
-                           self.unroll, name="bwd")
+                           self.unroll, self.use_pallas, name="bwd")
             rev = flip_sequences(seq, lengths)
             b_out, (bh, bc) = bwd(rev, mask, (h_in[1], c_in[1]))
             b_out = flip_sequences(b_out, lengths)
@@ -186,16 +226,17 @@ class StackedRNN(nn.Module):
     # compiles for deep stacks; param tree gains a leading (L-1) axis under
     # "stack". step() (single-token decode) requires scan_layers=False.
     scan_layers: bool = False
+    use_pallas: str = "auto"
 
     def setup(self):
         layer_cls = nn.remat(RNNLayer) if self.remat else RNNLayer
         if self.scan_layers and self.num_layers > 1:
             self.fwd_layers = [layer_cls(
                 self.input_size, self.hidden_size, self.rnn_type, self.unroll,
-                name="fwd_0")]
+                self.use_pallas, name="fwd_0")]
             self.bwd_layers = [layer_cls(
                 self.input_size, self.hidden_size, self.rnn_type, self.unroll,
-                name="bwd_0")] if self.bidirectional else []
+                self.use_pallas, name="bwd_0")] if self.bidirectional else []
             # deterministic (arg 5 incl. module) must stay a static bool
             # through remat or Dropout's bool check sees a tracer
             target = (nn.remat(_ScanLayer, static_argnums=(5,))
@@ -208,7 +249,7 @@ class StackedRNN(nn.Module):
                 out_axes=0,
                 length=self.num_layers - 1,
             )(self.hidden_size, self.rnn_type, self.bidirectional,
-              self.dropout, self.unroll, name="stack")
+              self.dropout, self.unroll, self.use_pallas, name="stack")
         else:
             fwd, bwd = [], []
             for layer in range(self.num_layers):
@@ -216,10 +257,12 @@ class StackedRNN(nn.Module):
                     2 * self.hidden_size if self.bidirectional
                     else self.hidden_size)
                 fwd.append(layer_cls(in_size, self.hidden_size, self.rnn_type,
-                                     self.unroll, name=f"fwd_{layer}"))
+                                     self.unroll, self.use_pallas,
+                                     name=f"fwd_{layer}"))
                 if self.bidirectional:
                     bwd.append(layer_cls(in_size, self.hidden_size,
                                          self.rnn_type, self.unroll,
+                                         self.use_pallas,
                                          name=f"bwd_{layer}"))
             self.fwd_layers = fwd
             self.bwd_layers = bwd

@@ -35,6 +35,7 @@ class AudioEncoder(nn.Module):
             unroll=self.unroll,
             remat=self.cfg.remat,
             scan_layers=self.cfg.scan_layers,
+            use_pallas=self.cfg.use_pallas_cells,
         )
         # reference: out_proj = Linear(2H if bidir else H, output_size)
         # (networks/encoder.py:76,103)

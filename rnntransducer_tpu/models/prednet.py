@@ -40,6 +40,7 @@ class PredictionNet(nn.Module):
             dropout=self.cfg.dropout,
             bidirectional=False,
             unroll=self.unroll,
+            use_pallas=self.cfg.use_pallas_cells,
         )
         self.out_proj = nn.Dense(self.cfg.output_size)
 

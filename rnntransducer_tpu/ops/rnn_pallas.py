@@ -1,0 +1,498 @@
+"""Persistent Pallas recurrent-scan kernels (GRU / LSTM) — the speed-of-light
+path for the reference's cuDNN RNN stacks (``networks/encoder.py:48-52``,
+``networks/decoder.py:51-55``).
+
+Why this exists: the XLA ``lax.scan`` cell re-fetches the recurrent weight
+matrix from HBM every timestep (6.3 MB for the flagship GRU, ~7.7 us at v5e
+bandwidth) and its autodiff accumulates dW_hh in HBM per step.  Measured on
+v5e (experiments/perf_rnn_scan.py): 18.7 us/step forward, 32.9 us/step
+fwd+bwd, against a ~4 us MXU roofline for the (64, 1024) x (1024, 3072)
+recurrent GEMM.
+
+This kernel keeps W_hh resident in VMEM across the whole time grid (constant
+BlockSpec index -> fetched once), carries h in VMEM scratch, and streams only
+the per-step input projection / outputs through HBM:
+
+* forward: one MXU GEMM + VPU gates per step; saves the recurrent
+  pre-activations ``hw`` (needed to rebuild gates) alongside the outputs.
+* backward (custom VJP): reverse grid, rebuilds gates from the streamed
+  ``(xw, hw)``, one MXU GEMM per step for the dh chain, and writes per-step
+  ``dxw`` / ``dhw`` streams.  dW_hh / db_hh then reduce OUTSIDE the loop as
+  one large (H, T*B) x (T*B, G*H) MXU GEMM instead of a 12.6 MB fp32 HBM
+  accumulator touched every step.
+
+Masking semantics are identical to ``models/cells.py`` (pack_padded parity):
+a padded step (t >= length) leaves the carry unchanged and emits zeros.
+Masks must be monotone (length-style) — guaranteed by taking ``lengths``,
+not a free-form mask.
+
+The wrapper falls back to shapes the kernel does not support; callers
+(``models/cells.py``) additionally gate on platform.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ---------------------------------------------------------------------------
+# gate math (shared by fwd kernel and bwd recompute)
+# ---------------------------------------------------------------------------
+
+
+def _gru_gates(xw, hw, h_prev):
+    """xw/hw: (B, 3H) f32 pre-activations (hw includes b_hh). Returns
+    (h_new, (r, z, n)) with torch gate order r,z,n (cells.py:61-68)."""
+    H = h_prev.shape[-1]
+    xr, xz, xn = xw[:, :H], xw[:, H : 2 * H], xw[:, 2 * H :]
+    hr, hz, hn = hw[:, :H], hw[:, H : 2 * H], hw[:, 2 * H :]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h_prev, (r, z, n)
+
+
+def _lstm_gates(xw, hw, c_prev):
+    """Gate order i,f,g,o (cells.py:51-58). Returns (h_new, c_new, acts)."""
+    H = c_prev.shape[-1]
+    s = xw + hw
+    i = jax.nn.sigmoid(s[:, :H])
+    f = jax.nn.sigmoid(s[:, H : 2 * H])
+    g = jnp.tanh(s[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(s[:, 3 * H :])
+    c_new = f * c_prev + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new, (i, f, g, o)
+
+
+# ---------------------------------------------------------------------------
+# forward kernels
+# ---------------------------------------------------------------------------
+
+
+def _gru_fwd_kernel(len_ref, xw_ref, w_ref, b_ref, h0_ref,
+                    hall_ref, hwsave_ref, hfin_ref, hstate):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        hstate[:] = h0_ref[:].astype(jnp.float32)
+
+    h = hstate[:]
+    hw = jnp.dot(h.astype(w_ref.dtype), w_ref[:],
+                 preferred_element_type=jnp.float32)
+    hw = hw + b_ref[:].astype(jnp.float32)
+    xw = xw_ref[0].astype(jnp.float32)
+    h_new, _ = _gru_gates(xw, hw, h)
+    m = len_ref[:] > t  # (B, 1) bool
+    h_next = jnp.where(m, h_new, h)
+    hstate[:] = h_next
+    hall_ref[0] = jnp.where(m, h_new, 0.0).astype(hall_ref.dtype)
+    hwsave_ref[0] = hw.astype(hwsave_ref.dtype)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        hfin_ref[:] = h_next.astype(hfin_ref.dtype)
+
+
+def _lstm_fwd_kernel(len_ref, xw_ref, w_ref, b_ref, h0_ref, c0_ref,
+                     hall_ref, hwsave_ref, hfin_ref, cfin_ref,
+                     hstate, cstate):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        hstate[:] = h0_ref[:].astype(jnp.float32)
+        cstate[:] = c0_ref[:].astype(jnp.float32)
+
+    h, c = hstate[:], cstate[:]
+    hw = jnp.dot(h.astype(w_ref.dtype), w_ref[:],
+                 preferred_element_type=jnp.float32)
+    hw = hw + b_ref[:].astype(jnp.float32)
+    xw = xw_ref[0].astype(jnp.float32)
+    h_new, c_new, _ = _lstm_gates(xw, hw, c)
+    m = len_ref[:] > t
+    h_next = jnp.where(m, h_new, h)
+    c_next = jnp.where(m, c_new, c)
+    hstate[:] = h_next
+    cstate[:] = c_next
+    hall_ref[0] = jnp.where(m, h_new, 0.0).astype(hall_ref.dtype)
+    hwsave_ref[0] = hw.astype(hwsave_ref.dtype)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        hfin_ref[:] = h_next.astype(hfin_ref.dtype)
+        cfin_ref[:] = c_next.astype(cfin_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# backward kernels (reverse time grid)
+# ---------------------------------------------------------------------------
+
+
+def _gru_bwd_kernel(len_ref, xw_ref, hwsave_ref, hprev_ref, h0_ref, w_ref,
+                    gout_ref, gfin_ref,
+                    dxw_ref, dhw_ref, dh0_ref, dh_s):
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+    t = T - 1 - i
+
+    @pl.when(i == 0)
+    def _():
+        dh_s[:] = gfin_ref[:].astype(jnp.float32)
+
+    dh = dh_s[:]
+    xw = xw_ref[0].astype(jnp.float32)
+    hw = hwsave_ref[0].astype(jnp.float32)
+    H = dh.shape[-1]
+    hn = hw[:, 2 * H :]
+    h_prev = jnp.where(t == 0, h0_ref[:].astype(jnp.float32),
+                       hprev_ref[0].astype(jnp.float32))
+    _, (r, z, n) = _gru_gates(xw, hw, h_prev)
+
+    m = len_ref[:] > t
+    g_new = (dh + gout_ref[0].astype(jnp.float32)) * m  # grad into h_new
+    dz_pre = g_new * (h_prev - n) * z * (1.0 - z)
+    dn = g_new * (1.0 - z)
+    dn_pre = dn * (1.0 - n * n)
+    dr_pre = dn_pre * hn * r * (1.0 - r)
+    dxw = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+    dhw = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
+    # dh chain: through the recurrent GEMM + the z*h_prev passthrough; at
+    # masked steps everything above is zero and dh carries through unchanged.
+    chain = jax.lax.dot_general(
+        dhw.astype(w_ref.dtype), w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh_new = chain + g_new * z + jnp.where(m, 0.0, dh)
+    dh_s[:] = dh_new
+    dxw_ref[0] = dxw.astype(dxw_ref.dtype)
+    dhw_ref[0] = dhw.astype(dhw_ref.dtype)
+
+    @pl.when(i == T - 1)
+    def _():
+        dh0_ref[:] = dh_new.astype(dh0_ref.dtype)
+
+
+def _lstm_bwd_kernel(len_ref, xw_ref, hwsave_ref, hprev_ref, cprev_ref,
+                     h0_ref, c0_ref, w_ref, gout_ref, ghfin_ref, gcfin_ref,
+                     dxw_ref, dh0_ref, dc0_ref, dh_s, dc_s):
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+    t = T - 1 - i
+
+    @pl.when(i == 0)
+    def _():
+        dh_s[:] = ghfin_ref[:].astype(jnp.float32)
+        dc_s[:] = gcfin_ref[:].astype(jnp.float32)
+
+    dh, dc = dh_s[:], dc_s[:]
+    xw = xw_ref[0].astype(jnp.float32)
+    hw = hwsave_ref[0].astype(jnp.float32)
+    h_prev = jnp.where(t == 0, h0_ref[:].astype(jnp.float32),
+                       hprev_ref[0].astype(jnp.float32))
+    c_prev = jnp.where(t == 0, c0_ref[:].astype(jnp.float32),
+                       cprev_ref[0].astype(jnp.float32))
+    _, c_new, (ig, fg, gg, og) = _lstm_gates(xw, hw, c_prev)
+    tc = jnp.tanh(c_new)
+
+    m = len_ref[:] > t
+    g_h = (dh + gout_ref[0].astype(jnp.float32)) * m  # grad into h_new
+    g_c = dc * m                                      # grad into c_new
+    do_pre = g_h * tc * og * (1.0 - og)
+    dc_new = g_c + g_h * og * (1.0 - tc * tc)
+    di_pre = dc_new * gg * ig * (1.0 - ig)
+    df_pre = dc_new * c_prev * fg * (1.0 - fg)
+    dg_pre = dc_new * ig * (1.0 - gg * gg)
+    dgates = jnp.concatenate([di_pre, df_pre, dg_pre, do_pre], axis=1)
+    chain = jax.lax.dot_general(
+        dgates.astype(w_ref.dtype), w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh_s[:] = chain + jnp.where(m, 0.0, dh)
+    dc_s[:] = dc_new * fg + jnp.where(m, 0.0, dc)
+    dxw_ref[0] = dgates.astype(dxw_ref.dtype)
+
+    @pl.when(i == T - 1)
+    def _():
+        dh0_ref[:] = dh_s[:].astype(dh0_ref.dtype)
+        dc0_ref[:] = dc_s[:].astype(dc0_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _stream(block, index=lambda t: None):
+    return pl.BlockSpec(block, lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _const(shape):
+    nd = len(shape)
+    zero = (0,) * nd
+    return pl.BlockSpec(shape, lambda t: zero, memory_space=pltpu.VMEM)
+
+
+def _gru_fwd_call(xw, w_hh, b_hh, h0, lengths, interpret):
+    T, B, G3H = xw.shape
+    H = h0.shape[-1]
+    dt = xw.dtype
+    len_col = lengths.astype(jnp.int32).reshape(B, 1)
+    return pl.pallas_call(
+        _gru_fwd_kernel,
+        grid=(T,),
+        in_specs=[
+            _const((B, 1)),            # lengths
+            _stream((1, B, G3H)),      # xw
+            _const((H, G3H)),          # w_hh (resident)
+            _const((1, G3H)),          # b_hh
+            _const((B, H)),            # h0
+        ],
+        out_specs=[
+            _stream((1, B, H)),        # h_all
+            _stream((1, B, G3H)),      # hw_save
+            _const((B, H)),            # h_final
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), dt),
+            jax.ShapeDtypeStruct((T, B, G3H), dt),
+            jax.ShapeDtypeStruct((B, H), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+    )(len_col, xw, w_hh, b_hh.reshape(1, G3H), h0)
+
+
+def _gru_bwd_call(residuals, cotangents, interpret):
+    xw, hw_save, h_all, w_hh, h0, lengths = residuals
+    g_hall, g_hfin = cotangents
+    T, B, G3H = xw.shape
+    H = h0.shape[-1]
+    dt = xw.dtype
+    len_col = lengths.astype(jnp.int32).reshape(B, 1)
+    rev = lambda t: (T - 1 - t, 0, 0)
+    rev_prev = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0)
+    dxw, dhw, dh0 = pl.pallas_call(
+        _gru_bwd_kernel,
+        grid=(T,),
+        in_specs=[
+            _const((B, 1)),
+            pl.BlockSpec((1, B, G3H), rev, memory_space=pltpu.VMEM),   # xw
+            pl.BlockSpec((1, B, G3H), rev, memory_space=pltpu.VMEM),   # hw
+            pl.BlockSpec((1, B, H), rev_prev, memory_space=pltpu.VMEM),  # h_{t-1}
+            _const((B, H)),            # h0
+            _const((H, G3H)),          # w_hh (resident; contracted on dim 1)
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),     # g_out
+            _const((B, H)),            # g_final
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, G3H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, G3H), rev, memory_space=pltpu.VMEM),
+            _const((B, H)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, G3H), dt),
+            jax.ShapeDtypeStruct((T, B, G3H), dt),
+            jax.ShapeDtypeStruct((B, H), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+    )(len_col, xw, hw_save, h_all, h0, w_hh, g_hall, g_hfin)
+
+    # Off-loop reductions: one big MXU GEMM each instead of per-step HBM
+    # accumulation (the measured 30+ us/step pathology of scan autodiff).
+    h_prev_all = jnp.concatenate([h0[None], h_all[:-1]], axis=0)
+    dw = jax.lax.dot_general(
+        h_prev_all.reshape(T * B, H), dhw.reshape(T * B, G3H),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w_hh.dtype)
+    db = jnp.sum(dhw.astype(jnp.float32), axis=(0, 1)).astype(dt)
+    return dxw, dw, db, dh0, jnp.zeros_like(lengths)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gru_scan(xw, w_hh, b_hh, h0, lengths, interpret=False):
+    """Persistent-weight GRU scan.
+
+    Args:
+      xw: (T, B, 3H) hoisted input pre-activations (x @ W_ih + b_ih).
+      w_hh: (H, 3H); b_hh: (3H,); h0: (B, H); lengths: (B,) float or int.
+    Returns:
+      (h_all (T, B, H), h_final (B, H)) with cells.py masking semantics.
+    """
+    out, _ = _gru_fwd_res(xw, w_hh, b_hh, h0, lengths, interpret)
+    return out
+
+
+def _gru_fwd_res(xw, w_hh, b_hh, h0, lengths, interpret):
+    h_all, hw_save, h_fin = _gru_fwd_call(xw, w_hh, b_hh, h0, lengths,
+                                          interpret)
+    return (h_all, h_fin), (xw, hw_save, h_all, w_hh, h0, lengths)
+
+
+def _gru_bwd(interpret, residuals, cotangents):
+    return _gru_bwd_call(residuals, cotangents, interpret)
+
+
+gru_scan.defvjp(_gru_fwd_res, _gru_bwd)
+
+
+def _lstm_fwd_call(xw, w_hh, b_hh, h0, c0, lengths, interpret):
+    T, B, G4H = xw.shape
+    H = h0.shape[-1]
+    dt = xw.dtype
+    len_col = lengths.astype(jnp.int32).reshape(B, 1)
+    return pl.pallas_call(
+        _lstm_fwd_kernel,
+        grid=(T,),
+        in_specs=[
+            _const((B, 1)),
+            _stream((1, B, G4H)),
+            _const((H, G4H)),
+            _const((1, G4H)),
+            _const((B, H)),
+            _const((B, H)),
+        ],
+        out_specs=[
+            _stream((1, B, H)),
+            _stream((1, B, G4H)),
+            _const((B, H)),
+            _const((B, H)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), dt),
+            jax.ShapeDtypeStruct((T, B, G4H), dt),
+            jax.ShapeDtypeStruct((B, H), dt),
+            jax.ShapeDtypeStruct((B, H), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+    )(len_col, xw, w_hh, b_hh.reshape(1, G4H), h0, c0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def lstm_scan(xw, w_hh, b_hh, h0, c0, lengths, interpret=False):
+    """Persistent-weight LSTM scan; see gru_scan. xw: (T, B, 4H).
+    Returns (h_all, h_final, c_final)."""
+    out, _ = _lstm_fwd_res(xw, w_hh, b_hh, h0, c0, lengths, interpret)
+    return out
+
+
+def _lstm_fwd_res(xw, w_hh, b_hh, h0, c0, lengths, interpret):
+    h_all, hw_save, h_fin, c_fin = _lstm_fwd_call(
+        xw, w_hh, b_hh, h0, c0, lengths, interpret)
+    # c_all is rebuilt in the backward kernel from (xw, hw) streams; only the
+    # forward outputs + pre-activations are residuals.
+    return ((h_all, h_fin, c_fin),
+            (xw, hw_save, h_all, w_hh, h0, c0, lengths))
+
+
+def _lstm_bwd(interpret, residuals, cotangents):
+    xw, hw_save, h_all, w_hh, h0, c0, lengths = residuals
+    g_hall, g_hfin, g_cfin = cotangents
+    T, B, G4H = xw.shape
+    H = h0.shape[-1]
+    dt = xw.dtype
+    len_col = lengths.astype(jnp.int32).reshape(B, 1)
+
+    # The LSTM backward needs c_{t-1} per step; rebuild the c stream once with
+    # a forward pallas pass is avoided by saving nothing extra: c_prev is
+    # reconstructed by re-running the forward cell states outside and passing
+    # them in.  One cheap VPU-only scan (no GEMM: hw is saved).
+    def c_body(c, inp):
+        xw_t, hw_t, len_m = inp
+        _, c_new, _ = _lstm_gates(xw_t.astype(jnp.float32),
+                                  hw_t.astype(jnp.float32), c)
+        c = jnp.where(len_m, c_new, c)
+        return c, c
+    t_idx = jnp.arange(T, dtype=jnp.int32)[:, None, None]
+    len_m = (lengths.astype(jnp.int32)[None, :, None] > t_idx)
+    _, c_all = jax.lax.scan(c_body, c0.astype(jnp.float32),
+                            (xw, hw_save, len_m))
+    c_all = c_all.astype(dt)
+    c_prev_all = jnp.concatenate([c0[None], c_all[:-1]], axis=0)
+
+    rev = lambda t: (T - 1 - t, 0, 0)
+    rev_prev = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0)
+    dxw, dh0, dc0 = pl.pallas_call(
+        _lstm_bwd_kernel,
+        grid=(T,),
+        in_specs=[
+            _const((B, 1)),
+            pl.BlockSpec((1, B, G4H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, G4H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # c_prev
+            _const((B, H)),
+            _const((B, H)),
+            _const((H, G4H)),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            _const((B, H)),
+            _const((B, H)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, G4H), rev, memory_space=pltpu.VMEM),
+            _const((B, H)),
+            _const((B, H)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, G4H), dt),
+            jax.ShapeDtypeStruct((B, H), dt),
+            jax.ShapeDtypeStruct((B, H), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+    )(len_col, xw, hw_save, h_all, c_prev_all, h0, c0, w_hh,
+      g_hall, g_hfin, g_cfin)
+
+    h_prev_all = jnp.concatenate([h0[None], h_all[:-1]], axis=0)
+    dw = jax.lax.dot_general(
+        h_prev_all.reshape(T * B, H), dxw.reshape(T * B, G4H),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w_hh.dtype)
+    db = jnp.sum(dxw.astype(jnp.float32), axis=(0, 1)).astype(dt)
+    # LSTM gates are all additive in (xw + hw), so dxw == dhw.
+    return dxw, dw, db, dh0, dc0, jnp.zeros_like(lengths)
+
+
+lstm_scan.defvjp(_lstm_fwd_res, _lstm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# eligibility
+# ---------------------------------------------------------------------------
+
+
+_VMEM_BUDGET = 14 * 1024 * 1024  # ~16 MB physical minus compiler slack
+
+GATES = {"gru": 3, "lstm": 4}
+
+
+def _vmem_bytes(rnn_type: str, hidden: int, batch: int, itemsize: int) -> int:
+    """Peak VMEM of the larger (backward) kernel: resident W_hh + the
+    double-buffered per-step streams.  Used to fall back to the XLA scan for
+    configurations that cannot fit (e.g. fp32 at the flagship shape)."""
+    g = GATES[rnn_type]
+    w = hidden * g * hidden * itemsize
+    gh_streams = {"gru": 4, "lstm": 3}[rnn_type]  # xw, hw, (dxw, dhw | dxw)
+    h_streams = {"gru": 2, "lstm": 4}[rnn_type]   # h_prev, gout (+c_prev...)
+    streams = 2 * batch * (gh_streams * g * hidden + h_streams * hidden) * itemsize
+    scalars = 6 * batch * hidden * 4  # h0/c0/gfin/dh0 consts + f32 scratch
+    return w + streams + scalars
+
+
+def supported(rnn_type: str, hidden: int, batch: int,
+              itemsize: int = 2) -> bool:
+    """Shapes the compiled TPU kernel handles well: lane-aligned hidden dims,
+    a batch that fills MXU sublanes, and a VMEM-resident weight + stream set.
+    Others use the XLA scan."""
+    return (rnn_type in ("gru", "lstm") and hidden % 128 == 0 and batch >= 8
+            and _vmem_bytes(rnn_type, hidden, batch, itemsize) <= _VMEM_BUDGET)

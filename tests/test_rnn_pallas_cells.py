@@ -1,0 +1,173 @@
+"""Parity tests for the persistent Pallas recurrent kernels
+(``ops/rnn_pallas.py``) and their integration into ``models/cells.py``.
+
+Run in interpreter mode on the CPU conftest; the compiled TPU path shares the
+same kernel body.  Reference: the XLA masked-scan cells, themselves
+torch-parity-tested (tests/test_cells_torch_parity.py) against the reference's
+cuDNN stacks (/root/reference/networks/encoder.py:48-52).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnntransducer_tpu.models.cells import RNNLayer, StackedRNN
+from rnntransducer_tpu.ops import rnn_pallas as rp
+
+T, B, H = 6, 4, 16
+
+
+def _rand(key, *shape, scale=0.4):
+    return jax.random.normal(key, shape) * scale
+
+
+def _lengths():
+    return jnp.array([6, 4, 2, 1], jnp.float32)
+
+
+def _xla_gru(xw, w_hh, b_hh, h0, lengths):
+    def body(h, inp):
+        xw_t, t = inp
+        hw = h @ w_hh + b_hh
+        h_new, _ = rp._gru_gates(xw_t, hw, h)
+        m = (lengths > t)[:, None]
+        return jnp.where(m, h_new, h), jnp.where(m, h_new, 0.0)
+    hfin, hall = jax.lax.scan(body, h0, (xw, jnp.arange(T, dtype=jnp.float32)))
+    return hall, hfin
+
+
+def _xla_lstm(xw, w_hh, b_hh, h0, c0, lengths):
+    def body(carry, inp):
+        h, c = carry
+        xw_t, t = inp
+        hw = h @ w_hh + b_hh
+        h_new, c_new, _ = rp._lstm_gates(xw_t, hw, c)
+        m = (lengths > t)[:, None]
+        return ((jnp.where(m, h_new, h), jnp.where(m, c_new, c)),
+                jnp.where(m, h_new, 0.0))
+    (hfin, cfin), hall = jax.lax.scan(
+        body, (h0, c0), (xw, jnp.arange(T, dtype=jnp.float32)))
+    return hall, hfin, cfin
+
+
+def test_gru_kernel_fwd_and_grads_match_xla():
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    xw = _rand(ks[0], T, B, 3 * H, scale=1.0)
+    w = _rand(ks[1], H, 3 * H)
+    b = _rand(ks[2], 3 * H, scale=0.1)
+    h0 = _rand(ks[3], B, H)
+    lengths = _lengths()
+
+    hall_p, hfin_p = rp.gru_scan(xw, w, b, h0, lengths, True)
+    hall_x, hfin_x = _xla_gru(xw, w, b, h0, lengths)
+    np.testing.assert_allclose(hall_p, hall_x, atol=1e-6)
+    np.testing.assert_allclose(hfin_p, hfin_x, atol=1e-6)
+
+    def loss(fn):
+        def f(args):
+            ha, hf = fn(*args)
+            return jnp.sum(jnp.sin(ha)) + 2.0 * jnp.sum(jnp.cos(hf))
+        return f
+
+    gp = jax.grad(loss(lambda *a: rp.gru_scan(*a, lengths, True)))((xw, w, b, h0))
+    gx = jax.grad(loss(lambda *a: _xla_gru(*a, lengths)))((xw, w, b, h0))
+    for got, want in zip(gp, gx):
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_lstm_kernel_fwd_and_grads_match_xla():
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    xw = _rand(ks[0], T, B, 4 * H, scale=1.0)
+    w = _rand(ks[1], H, 4 * H)
+    b = _rand(ks[2], 4 * H, scale=0.1)
+    h0 = _rand(ks[3], B, H)
+    c0 = _rand(ks[4], B, H)
+    lengths = _lengths()
+
+    out_p = rp.lstm_scan(xw, w, b, h0, c0, lengths, True)
+    out_x = _xla_lstm(xw, w, b, h0, c0, lengths)
+    for got, want in zip(out_p, out_x):
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def loss(fn):
+        def f(args):
+            ha, hf, cf = fn(*args)
+            return (jnp.sum(jnp.sin(ha)) + 2.0 * jnp.sum(jnp.cos(hf))
+                    + 3.0 * jnp.sum(jnp.sin(cf)))
+        return f
+
+    gp = jax.grad(loss(lambda *a: rp.lstm_scan(*a, lengths, True)))(
+        (xw, w, b, h0, c0))
+    gx = jax.grad(loss(lambda *a: _xla_lstm(*a, lengths)))((xw, w, b, h0, c0))
+    for got, want in zip(gp, gx):
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("rnn_type", ["gru", "lstm"])
+def test_rnnlayer_pallas_path_matches_xla_path(rnn_type):
+    """The integrated cells.py branch: identical outputs AND parameter grads."""
+    x = _rand(jax.random.PRNGKey(2), B, T, 8, scale=1.0)
+    lengths = jnp.array([6, 5, 3, 2], jnp.int32)
+    from rnntransducer_tpu.utils.masking import length_mask
+    mask = length_mask(lengths, T)
+
+    layer_x = RNNLayer(8, H, rnn_type, use_pallas="off")
+    layer_p = RNNLayer(8, H, rnn_type, use_pallas="interpret")
+    params = layer_x.init(jax.random.PRNGKey(3), x, mask)
+
+    out_x, fin_x = layer_x.apply(params, x, mask)
+    out_p, fin_p = layer_p.apply(params, x, mask)
+    np.testing.assert_allclose(out_p, out_x, atol=1e-6)
+    np.testing.assert_allclose(fin_p[0], fin_x[0], atol=1e-6)
+    if rnn_type == "lstm":
+        np.testing.assert_allclose(fin_p[1], fin_x[1], atol=1e-6)
+
+    def loss(mod):
+        def f(p):
+            out, (h, c) = mod.apply(p, x, mask)
+            return jnp.sum(out ** 2) + jnp.sum(jnp.tanh(h))
+        return f
+
+    gx = jax.grad(loss(layer_x))(params)
+    gp = jax.grad(loss(layer_p))(params)
+    for (kx, vx), (_, vp) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(gx),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(gp),
+                   key=lambda kv: str(kv[0]))):
+        np.testing.assert_allclose(vp, vx, atol=2e-5, err_msg=str(kx))
+
+
+def test_stacked_bidirectional_pallas_matches_xla():
+    """Bi-GRU stack (the flagship topology) through flip_sequences."""
+    x = _rand(jax.random.PRNGKey(4), B, T, 8, scale=1.0)
+    lengths = jnp.array([6, 5, 3, 2], jnp.int32)
+
+    rnn_x = StackedRNN(8, H, num_layers=2, rnn_type="gru", bidirectional=True,
+                       use_pallas="off")
+    rnn_p = StackedRNN(8, H, num_layers=2, rnn_type="gru", bidirectional=True,
+                       use_pallas="interpret")
+    params = rnn_x.init(jax.random.PRNGKey(5), x, lengths)
+
+    out_x, st_x = rnn_x.apply(params, x, lengths)
+    out_p, st_p = rnn_p.apply(params, x, lengths)
+    np.testing.assert_allclose(out_p, out_x, atol=1e-6)
+    np.testing.assert_allclose(st_p.h, st_x.h, atol=1e-6)
+
+
+def test_supported_gating_and_odd_shapes():
+    """supported() rejects misaligned/tiny/VMEM-overflow shapes (compiled TPU
+    path falls back to the XLA scan); interpret mode handles any shape."""
+    assert not rp.supported("gru", 50, 4)
+    assert not rp.supported("lstm", 128, 2)
+    assert not rp.supported("rnn", 128, 8)
+    assert rp.supported("gru", 1024, 64, itemsize=2)   # flagship bf16
+    assert not rp.supported("gru", 1024, 64, itemsize=4)  # fp32 overflows VMEM
+    x = _rand(jax.random.PRNGKey(6), 2, T, 8)
+    lengths = jnp.array([6, 3], jnp.int32)
+    rnn = StackedRNN(8, 50, num_layers=1, rnn_type="gru",
+                     use_pallas="interpret")
+    params = rnn.init(jax.random.PRNGKey(7), x, lengths)
+    out, _ = rnn.apply(params, x, lengths)
+    assert out.shape == (2, T, 50)
