@@ -11,8 +11,11 @@ dance at ``networks/encoder.py:93-102``):
 * The input projection ``x @ W_ih`` for ALL timesteps is one large batched
   matmul hoisted out of the scan (MXU-friendly); the scan body only does the
   (B, H) x (H, G*H) recurrent matmul + elementwise gates.
-* Bidirectional = forward scan + forward scan over length-aware flipped
-  input (``utils.masking.flip_sequences``), flipped back and concatenated.
+* Bidirectional = forward scan + reversed scan (``reverse=True``): for the
+  length-monotone masks produced by ``length_mask``, a reversed masked scan
+  is mathematically identical to flip -> scan -> flip (the pads form a
+  no-op prefix of the reversed processing order) and saves two gathers of
+  the full sequence per layer.
 * Gate order/equations match torch.nn.LSTM/GRU/RNN exactly (i,f,g,o / r,z,n)
   including the separate b_ih / b_hh biases (GRU's b_hn sits inside the
   r*(...) term, so the biases cannot be folded), so parity is testable
@@ -29,7 +32,7 @@ from flax import linen as nn
 from jax import lax
 
 from rnntransducer_tpu.ops import rnn_pallas
-from rnntransducer_tpu.utils.masking import flip_sequences, length_mask
+from rnntransducer_tpu.utils.masking import length_mask
 
 GATES = {"lstm": 4, "gru": 3, "rnn": 1}
 
@@ -83,6 +86,9 @@ class RNNLayer(nn.Module):
     rnn_type: str = "lstm"
     unroll: int = 1
     use_pallas: str = "auto"
+    # process t = T-1..0 (the backward direction of a bi-RNN); equivalent to
+    # flip_sequences -> scan -> flip_sequences for length-monotone masks
+    reverse: bool = False
 
     def setup(self):
         g = GATES[self.rnn_type]
@@ -140,7 +146,8 @@ class RNNLayer(nn.Module):
             xw_i, m_i = inp
             return self._cell(carry, xw_i, m_i)
 
-        final, outs = lax.scan(body, initial_state, (xw_t, mask_t), unroll=self.unroll)
+        final, outs = lax.scan(body, initial_state, (xw_t, mask_t),
+                               unroll=self.unroll, reverse=self.reverse)
         return jnp.swapaxes(outs, 0, 1), final
 
     def _call_pallas(self, xw_t, mask, initial_state, interpret):
@@ -153,12 +160,12 @@ class RNNLayer(nn.Module):
         if self.rnn_type == "gru":
             outs, h_fin = rnn_pallas.gru_scan(
                 xw_t, self.w_hh, self.b_hh, h0.astype(dt), lengths_f,
-                interpret)
+                self.reverse, interpret)
             final = (h_fin.astype(h0.dtype), c0)
         else:
             outs, h_fin, c_fin = rnn_pallas.lstm_scan(
                 xw_t, self.w_hh, self.b_hh, h0.astype(dt), c0.astype(dt),
-                lengths_f, interpret)
+                lengths_f, self.reverse, interpret)
             final = (h_fin.astype(h0.dtype), c_fin.astype(c0.dtype))
         return jnp.swapaxes(outs, 0, 1), final
 
@@ -193,10 +200,9 @@ class _ScanLayer(nn.Module):
         f_out, (fh, fc) = fwd(seq, mask, (h_in[0], c_in[0]))
         if self.bidirectional:
             bwd = RNNLayer(seq.shape[-1], self.hidden_size, self.rnn_type,
-                           self.unroll, self.use_pallas, name="bwd")
-            rev = flip_sequences(seq, lengths)
-            b_out, (bh, bc) = bwd(rev, mask, (h_in[1], c_in[1]))
-            b_out = flip_sequences(b_out, lengths)
+                           self.unroll, self.use_pallas, reverse=True,
+                           name="bwd")
+            b_out, (bh, bc) = bwd(seq, mask, (h_in[1], c_in[1]))
             out = jnp.concatenate([f_out, b_out], axis=-1)
             h_out = jnp.stack([fh, bh])
             c_out = jnp.stack([fc, bc])
@@ -236,7 +242,8 @@ class StackedRNN(nn.Module):
                 self.use_pallas, name="fwd_0")]
             self.bwd_layers = [layer_cls(
                 self.input_size, self.hidden_size, self.rnn_type, self.unroll,
-                self.use_pallas, name="bwd_0")] if self.bidirectional else []
+                self.use_pallas, reverse=True,
+                name="bwd_0")] if self.bidirectional else []
             # deterministic (arg 5 incl. module) must stay a static bool
             # through remat or Dropout's bool check sees a tracer
             target = (nn.remat(_ScanLayer, static_argnums=(5,))
@@ -262,7 +269,7 @@ class StackedRNN(nn.Module):
                 if self.bidirectional:
                     bwd.append(layer_cls(in_size, self.hidden_size,
                                          self.rnn_type, self.unroll,
-                                         self.use_pallas,
+                                         self.use_pallas, reverse=True,
                                          name=f"bwd_{layer}"))
             self.fwd_layers = fwd
             self.bwd_layers = bwd
@@ -313,10 +320,8 @@ class StackedRNN(nn.Module):
                 out, mask, self._layer_state(initial_state, layer, 0, B, x.dtype))
             dirs.append(f_fin)
             if self.bidirectional:
-                rev = flip_sequences(out, lengths)
                 b_out, b_fin = self.bwd_layers[layer](
-                    rev, mask, self._layer_state(initial_state, layer, 1, B, x.dtype))
-                b_out = flip_sequences(b_out, lengths)
+                    out, mask, self._layer_state(initial_state, layer, 1, B, x.dtype))
                 out = jnp.concatenate([f_out, b_out], axis=-1)
                 dirs.append(b_fin)
             else:
@@ -334,10 +339,8 @@ class StackedRNN(nn.Module):
         f_out, f_fin = self.fwd_layers[0](
             x, mask, self._layer_state(initial_state, 0, 0, B, x.dtype))
         if self.bidirectional:
-            rev = flip_sequences(x, lengths)
             b_out, b_fin = self.bwd_layers[0](
-                rev, mask, self._layer_state(initial_state, 0, 1, B, x.dtype))
-            b_out = flip_sequences(b_out, lengths)
+                x, mask, self._layer_state(initial_state, 0, 1, B, x.dtype))
             out = jnp.concatenate([f_out, b_out], axis=-1)
             h0 = jnp.stack([f_fin[0], b_fin[0]])[None]   # (1, D, B, H)
             c0 = jnp.stack([f_fin[1], b_fin[1]])[None]

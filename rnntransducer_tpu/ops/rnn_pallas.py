@@ -75,11 +75,12 @@ def _lstm_gates(xw, hw, c_prev):
 # ---------------------------------------------------------------------------
 
 
-def _gru_fwd_kernel(len_ref, xw_ref, w_ref, b_ref, h0_ref,
+def _gru_fwd_kernel(reverse, len_ref, xw_ref, w_ref, b_ref, h0_ref,
                     hall_ref, hwsave_ref, hfin_ref, hstate):
-    t = pl.program_id(0)
+    i = pl.program_id(0)
+    t = pl.num_programs(0) - 1 - i if reverse else i
 
-    @pl.when(t == 0)
+    @pl.when(i == 0)
     def _():
         hstate[:] = h0_ref[:].astype(jnp.float32)
 
@@ -95,17 +96,18 @@ def _gru_fwd_kernel(len_ref, xw_ref, w_ref, b_ref, h0_ref,
     hall_ref[0] = jnp.where(m, h_new, 0.0).astype(hall_ref.dtype)
     hwsave_ref[0] = hw.astype(hwsave_ref.dtype)
 
-    @pl.when(t == pl.num_programs(0) - 1)
+    @pl.when(i == pl.num_programs(0) - 1)
     def _():
         hfin_ref[:] = h_next.astype(hfin_ref.dtype)
 
 
-def _lstm_fwd_kernel(len_ref, xw_ref, w_ref, b_ref, h0_ref, c0_ref,
+def _lstm_fwd_kernel(reverse, len_ref, xw_ref, w_ref, b_ref, h0_ref, c0_ref,
                      hall_ref, hwsave_ref, hfin_ref, cfin_ref,
                      hstate, cstate):
-    t = pl.program_id(0)
+    i = pl.program_id(0)
+    t = pl.num_programs(0) - 1 - i if reverse else i
 
-    @pl.when(t == 0)
+    @pl.when(i == 0)
     def _():
         hstate[:] = h0_ref[:].astype(jnp.float32)
         cstate[:] = c0_ref[:].astype(jnp.float32)
@@ -124,7 +126,7 @@ def _lstm_fwd_kernel(len_ref, xw_ref, w_ref, b_ref, h0_ref, c0_ref,
     hall_ref[0] = jnp.where(m, h_new, 0.0).astype(hall_ref.dtype)
     hwsave_ref[0] = hw.astype(hwsave_ref.dtype)
 
-    @pl.when(t == pl.num_programs(0) - 1)
+    @pl.when(i == pl.num_programs(0) - 1)
     def _():
         hfin_ref[:] = h_next.astype(hfin_ref.dtype)
         cfin_ref[:] = c_next.astype(cfin_ref.dtype)
@@ -135,12 +137,12 @@ def _lstm_fwd_kernel(len_ref, xw_ref, w_ref, b_ref, h0_ref, c0_ref,
 # ---------------------------------------------------------------------------
 
 
-def _gru_bwd_kernel(len_ref, xw_ref, hwsave_ref, hprev_ref, h0_ref, w_ref,
-                    gout_ref, gfin_ref,
+def _gru_bwd_kernel(reverse, len_ref, xw_ref, hwsave_ref, hprev_ref, h0_ref,
+                    w_ref, gout_ref, gfin_ref,
                     dxw_ref, dhw_ref, dh0_ref, dh_s):
     i = pl.program_id(0)
     T = pl.num_programs(0)
-    t = T - 1 - i
+    t = i if reverse else T - 1 - i
 
     @pl.when(i == 0)
     def _():
@@ -151,8 +153,15 @@ def _gru_bwd_kernel(len_ref, xw_ref, hwsave_ref, hprev_ref, h0_ref, w_ref,
     hw = hwsave_ref[0].astype(jnp.float32)
     H = dh.shape[-1]
     hn = hw[:, 2 * H :]
-    h_prev = jnp.where(t == 0, h0_ref[:].astype(jnp.float32),
-                       hprev_ref[0].astype(jnp.float32))
+    h0 = h0_ref[:].astype(jnp.float32)
+    if reverse:
+        # processing predecessor of t is t+1; every masked step (a PREFIX of
+        # the processing order: s >= length) left the carry at h0, so any
+        # row whose step t+1 is invalid reads h0, per-row.
+        h_prev = jnp.where(len_ref[:] > t + 1,
+                           hprev_ref[0].astype(jnp.float32), h0)
+    else:
+        h_prev = jnp.where(t == 0, h0, hprev_ref[0].astype(jnp.float32))
     _, (r, z, n) = _gru_gates(xw, hw, h_prev)
 
     m = len_ref[:] > t
@@ -179,12 +188,12 @@ def _gru_bwd_kernel(len_ref, xw_ref, hwsave_ref, hprev_ref, h0_ref, w_ref,
         dh0_ref[:] = dh_new.astype(dh0_ref.dtype)
 
 
-def _lstm_bwd_kernel(len_ref, xw_ref, hwsave_ref, hprev_ref, cprev_ref,
-                     h0_ref, c0_ref, w_ref, gout_ref, ghfin_ref, gcfin_ref,
-                     dxw_ref, dh0_ref, dc0_ref, dh_s, dc_s):
+def _lstm_bwd_kernel(reverse, len_ref, xw_ref, hwsave_ref, hprev_ref,
+                     cprev_ref, h0_ref, c0_ref, w_ref, gout_ref, ghfin_ref,
+                     gcfin_ref, dxw_ref, dh0_ref, dc0_ref, dh_s, dc_s):
     i = pl.program_id(0)
     T = pl.num_programs(0)
-    t = T - 1 - i
+    t = i if reverse else T - 1 - i
 
     @pl.when(i == 0)
     def _():
@@ -194,10 +203,16 @@ def _lstm_bwd_kernel(len_ref, xw_ref, hwsave_ref, hprev_ref, cprev_ref,
     dh, dc = dh_s[:], dc_s[:]
     xw = xw_ref[0].astype(jnp.float32)
     hw = hwsave_ref[0].astype(jnp.float32)
-    h_prev = jnp.where(t == 0, h0_ref[:].astype(jnp.float32),
-                       hprev_ref[0].astype(jnp.float32))
-    c_prev = jnp.where(t == 0, c0_ref[:].astype(jnp.float32),
-                       cprev_ref[0].astype(jnp.float32))
+    h0 = h0_ref[:].astype(jnp.float32)
+    if reverse:
+        # see _gru_bwd_kernel: predecessor is t+1, h0 where it is invalid
+        valid_next = len_ref[:] > t + 1
+        h_prev = jnp.where(valid_next, hprev_ref[0].astype(jnp.float32), h0)
+    else:
+        h_prev = jnp.where(t == 0, h0, hprev_ref[0].astype(jnp.float32))
+    # c_prev_all is precomputed outside with the same predecessor/select
+    # logic, so it is read directly in both directions.
+    c_prev = cprev_ref[0].astype(jnp.float32)
     _, c_new, (ig, fg, gg, og) = _lstm_gates(xw, hw, c_prev)
     tc = jnp.tanh(c_new)
 
@@ -229,8 +244,22 @@ def _lstm_bwd_kernel(len_ref, xw_ref, hwsave_ref, hprev_ref, cprev_ref,
 # ---------------------------------------------------------------------------
 
 
-def _stream(block, index=lambda t: None):
-    return pl.BlockSpec(block, lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+def _stream(block, T, reverse=False):
+    """Per-step stream: grid step i touches time t=i (or T-1-i reversed)."""
+    if reverse:
+        return pl.BlockSpec(block, lambda i: (T - 1 - i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec(block, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _stream_prev(block, T, reverse=False):
+    """The processing-predecessor stream: t-1 forward, t+1 reversed (the
+    kernels substitute h0/c0 per-row where the predecessor is invalid)."""
+    if reverse:
+        return pl.BlockSpec(block, lambda i: (jnp.minimum(i + 1, T - 1), 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec(block, lambda i: (jnp.maximum(T - 2 - i, 0), 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _const(shape):
@@ -239,25 +268,25 @@ def _const(shape):
     return pl.BlockSpec(shape, lambda t: zero, memory_space=pltpu.VMEM)
 
 
-def _gru_fwd_call(xw, w_hh, b_hh, h0, lengths, interpret):
+def _gru_fwd_call(xw, w_hh, b_hh, h0, lengths, reverse, interpret):
     T, B, G3H = xw.shape
     H = h0.shape[-1]
     dt = xw.dtype
     len_col = lengths.astype(jnp.int32).reshape(B, 1)
     return pl.pallas_call(
-        _gru_fwd_kernel,
+        functools.partial(_gru_fwd_kernel, reverse),
         grid=(T,),
         in_specs=[
-            _const((B, 1)),            # lengths
-            _stream((1, B, G3H)),      # xw
-            _const((H, G3H)),          # w_hh (resident)
-            _const((1, G3H)),          # b_hh
-            _const((B, H)),            # h0
+            _const((B, 1)),                       # lengths
+            _stream((1, B, G3H), T, reverse),     # xw
+            _const((H, G3H)),                     # w_hh (resident)
+            _const((1, G3H)),                     # b_hh
+            _const((B, H)),                       # h0
         ],
         out_specs=[
-            _stream((1, B, H)),        # h_all
-            _stream((1, B, G3H)),      # hw_save
-            _const((B, H)),            # h_final
+            _stream((1, B, H), T, reverse),       # h_all
+            _stream((1, B, G3H), T, reverse),     # hw_save
+            _const((B, H)),                       # h_final
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), dt),
@@ -269,31 +298,45 @@ def _gru_fwd_call(xw, w_hh, b_hh, h0, lengths, interpret):
     )(len_col, xw, w_hh, b_hh.reshape(1, G3H), h0)
 
 
-def _gru_bwd_call(residuals, cotangents, interpret):
+def _prev_all(h_all, h0, lengths, reverse):
+    """Per-step predecessor states for the off-loop dW GEMM.  Forward: h0 then
+    h_all[:-1].  Reversed: h_all[t+1] where step t+1 is valid, else h0 (masked
+    steps form a prefix of reversed processing order and leave the carry at
+    h0)."""
+    T = h_all.shape[0]
+    if not reverse:
+        return jnp.concatenate([h0[None], h_all[:-1]], axis=0)
+    shifted = jnp.concatenate([h_all[1:], jnp.zeros_like(h_all[:1])], axis=0)
+    valid = (lengths.astype(jnp.int32)[None, :, None]
+             > jnp.arange(1, T + 1, dtype=jnp.int32)[:, None, None])
+    return jnp.where(valid, shifted, h0[None].astype(h_all.dtype))
+
+
+def _gru_bwd_call(residuals, cotangents, reverse, interpret):
     xw, hw_save, h_all, w_hh, h0, lengths = residuals
     g_hall, g_hfin = cotangents
     T, B, G3H = xw.shape
     H = h0.shape[-1]
     dt = xw.dtype
     len_col = lengths.astype(jnp.int32).reshape(B, 1)
-    rev = lambda t: (T - 1 - t, 0, 0)
-    rev_prev = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0)
+    # the backward pass walks time in the opposite order of the forward
+    bwd_rev = not reverse
     dxw, dhw, dh0 = pl.pallas_call(
-        _gru_bwd_kernel,
+        functools.partial(_gru_bwd_kernel, reverse),
         grid=(T,),
         in_specs=[
             _const((B, 1)),
-            pl.BlockSpec((1, B, G3H), rev, memory_space=pltpu.VMEM),   # xw
-            pl.BlockSpec((1, B, G3H), rev, memory_space=pltpu.VMEM),   # hw
-            pl.BlockSpec((1, B, H), rev_prev, memory_space=pltpu.VMEM),  # h_{t-1}
+            _stream((1, B, G3H), T, bwd_rev),       # xw
+            _stream((1, B, G3H), T, bwd_rev),       # hw
+            _stream_prev((1, B, H), T, reverse),    # h predecessor
             _const((B, H)),            # h0
             _const((H, G3H)),          # w_hh (resident; contracted on dim 1)
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),     # g_out
+            _stream((1, B, H), T, bwd_rev),         # g_out
             _const((B, H)),            # g_final
         ],
         out_specs=[
-            pl.BlockSpec((1, B, G3H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, G3H), rev, memory_space=pltpu.VMEM),
+            _stream((1, B, G3H), T, bwd_rev),
+            _stream((1, B, G3H), T, bwd_rev),
             _const((B, H)),
         ],
         out_shape=[
@@ -307,7 +350,7 @@ def _gru_bwd_call(residuals, cotangents, interpret):
 
     # Off-loop reductions: one big MXU GEMM each instead of per-step HBM
     # accumulation (the measured 30+ us/step pathology of scan autodiff).
-    h_prev_all = jnp.concatenate([h0[None], h_all[:-1]], axis=0)
+    h_prev_all = _prev_all(h_all, h0, lengths, reverse)
     dw = jax.lax.dot_general(
         h_prev_all.reshape(T * B, H), dhw.reshape(T * B, G3H),
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -316,52 +359,55 @@ def _gru_bwd_call(residuals, cotangents, interpret):
     return dxw, dw, db, dh0, jnp.zeros_like(lengths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def gru_scan(xw, w_hh, b_hh, h0, lengths, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def gru_scan(xw, w_hh, b_hh, h0, lengths, reverse=False, interpret=False):
     """Persistent-weight GRU scan.
 
     Args:
       xw: (T, B, 3H) hoisted input pre-activations (x @ W_ih + b_ih).
       w_hh: (H, 3H); b_hh: (3H,); h0: (B, H); lengths: (B,) float or int.
+      reverse: process t = T-1..0 — equivalent to
+        flip_sequences(scan(flip_sequences(x))) for length-monotone masks,
+        without the two gathers (the backward direction of a bi-RNN).
     Returns:
       (h_all (T, B, H), h_final (B, H)) with cells.py masking semantics.
     """
-    out, _ = _gru_fwd_res(xw, w_hh, b_hh, h0, lengths, interpret)
+    out, _ = _gru_fwd_res(xw, w_hh, b_hh, h0, lengths, reverse, interpret)
     return out
 
 
-def _gru_fwd_res(xw, w_hh, b_hh, h0, lengths, interpret):
+def _gru_fwd_res(xw, w_hh, b_hh, h0, lengths, reverse, interpret):
     h_all, hw_save, h_fin = _gru_fwd_call(xw, w_hh, b_hh, h0, lengths,
-                                          interpret)
+                                          reverse, interpret)
     return (h_all, h_fin), (xw, hw_save, h_all, w_hh, h0, lengths)
 
 
-def _gru_bwd(interpret, residuals, cotangents):
-    return _gru_bwd_call(residuals, cotangents, interpret)
+def _gru_bwd(reverse, interpret, residuals, cotangents):
+    return _gru_bwd_call(residuals, cotangents, reverse, interpret)
 
 
 gru_scan.defvjp(_gru_fwd_res, _gru_bwd)
 
 
-def _lstm_fwd_call(xw, w_hh, b_hh, h0, c0, lengths, interpret):
+def _lstm_fwd_call(xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret):
     T, B, G4H = xw.shape
     H = h0.shape[-1]
     dt = xw.dtype
     len_col = lengths.astype(jnp.int32).reshape(B, 1)
     return pl.pallas_call(
-        _lstm_fwd_kernel,
+        functools.partial(_lstm_fwd_kernel, reverse),
         grid=(T,),
         in_specs=[
             _const((B, 1)),
-            _stream((1, B, G4H)),
+            _stream((1, B, G4H), T, reverse),
             _const((H, G4H)),
             _const((1, G4H)),
             _const((B, H)),
             _const((B, H)),
         ],
         out_specs=[
-            _stream((1, B, H)),
-            _stream((1, B, G4H)),
+            _stream((1, B, H), T, reverse),
+            _stream((1, B, G4H), T, reverse),
             _const((B, H)),
             _const((B, H)),
         ],
@@ -377,24 +423,26 @@ def _lstm_fwd_call(xw, w_hh, b_hh, h0, c0, lengths, interpret):
     )(len_col, xw, w_hh, b_hh.reshape(1, G4H), h0, c0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def lstm_scan(xw, w_hh, b_hh, h0, c0, lengths, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def lstm_scan(xw, w_hh, b_hh, h0, c0, lengths, reverse=False,
+              interpret=False):
     """Persistent-weight LSTM scan; see gru_scan. xw: (T, B, 4H).
     Returns (h_all, h_final, c_final)."""
-    out, _ = _lstm_fwd_res(xw, w_hh, b_hh, h0, c0, lengths, interpret)
+    out, _ = _lstm_fwd_res(xw, w_hh, b_hh, h0, c0, lengths, reverse,
+                           interpret)
     return out
 
 
-def _lstm_fwd_res(xw, w_hh, b_hh, h0, c0, lengths, interpret):
+def _lstm_fwd_res(xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret):
     h_all, hw_save, h_fin, c_fin = _lstm_fwd_call(
-        xw, w_hh, b_hh, h0, c0, lengths, interpret)
-    # c_all is rebuilt in the backward kernel from (xw, hw) streams; only the
+        xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret)
+    # c_all is rebuilt in the backward from the (xw, hw) streams; only the
     # forward outputs + pre-activations are residuals.
     return ((h_all, h_fin, c_fin),
             (xw, hw_save, h_all, w_hh, h0, c0, lengths))
 
 
-def _lstm_bwd(interpret, residuals, cotangents):
+def _lstm_bwd(reverse, interpret, residuals, cotangents):
     xw, hw_save, h_all, w_hh, h0, c0, lengths = residuals
     g_hall, g_hfin, g_cfin = cotangents
     T, B, G4H = xw.shape
@@ -402,10 +450,9 @@ def _lstm_bwd(interpret, residuals, cotangents):
     dt = xw.dtype
     len_col = lengths.astype(jnp.int32).reshape(B, 1)
 
-    # The LSTM backward needs c_{t-1} per step; rebuild the c stream once with
-    # a forward pallas pass is avoided by saving nothing extra: c_prev is
-    # reconstructed by re-running the forward cell states outside and passing
-    # them in.  One cheap VPU-only scan (no GEMM: hw is saved).
+    # The LSTM backward needs the predecessor c per step; rather than saving
+    # it in the forward, rebuild the c stream with one cheap VPU-only scan
+    # (no GEMM: hw is saved).
     def c_body(c, inp):
         xw_t, hw_t, len_m = inp
         _, c_new, _ = _lstm_gates(xw_t.astype(jnp.float32),
@@ -415,30 +462,29 @@ def _lstm_bwd(interpret, residuals, cotangents):
     t_idx = jnp.arange(T, dtype=jnp.int32)[:, None, None]
     len_m = (lengths.astype(jnp.int32)[None, :, None] > t_idx)
     _, c_all = jax.lax.scan(c_body, c0.astype(jnp.float32),
-                            (xw, hw_save, len_m))
+                            (xw, hw_save, len_m), reverse=reverse)
     c_all = c_all.astype(dt)
-    c_prev_all = jnp.concatenate([c0[None], c_all[:-1]], axis=0)
+    c_prev_all = _prev_all(c_all, c0, lengths, reverse)
 
-    rev = lambda t: (T - 1 - t, 0, 0)
-    rev_prev = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0)
+    bwd_rev = not reverse
     dxw, dh0, dc0 = pl.pallas_call(
-        _lstm_bwd_kernel,
+        functools.partial(_lstm_bwd_kernel, reverse),
         grid=(T,),
         in_specs=[
             _const((B, 1)),
-            pl.BlockSpec((1, B, G4H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, G4H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev_prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # c_prev
+            _stream((1, B, G4H), T, bwd_rev),
+            _stream((1, B, G4H), T, bwd_rev),
+            _stream_prev((1, B, H), T, reverse),   # h predecessor
+            _stream((1, B, H), T, bwd_rev),        # c predecessor (prebuilt)
             _const((B, H)),
             _const((B, H)),
             _const((H, G4H)),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            _stream((1, B, H), T, bwd_rev),
             _const((B, H)),
             _const((B, H)),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, G4H), rev, memory_space=pltpu.VMEM),
+            _stream((1, B, G4H), T, bwd_rev),
             _const((B, H)),
             _const((B, H)),
         ],
@@ -453,7 +499,7 @@ def _lstm_bwd(interpret, residuals, cotangents):
     )(len_col, xw, hw_save, h_all, c_prev_all, h0, c0, w_hh,
       g_hall, g_hfin, g_cfin)
 
-    h_prev_all = jnp.concatenate([h0[None], h_all[:-1]], axis=0)
+    h_prev_all = _prev_all(h_all, h0, lengths, reverse)
     dw = jax.lax.dot_general(
         h_prev_all.reshape(T * B, H), dxw.reshape(T * B, G4H),
         dimension_numbers=(((0,), (0,)), ((), ())),

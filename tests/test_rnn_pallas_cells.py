@@ -59,7 +59,7 @@ def test_gru_kernel_fwd_and_grads_match_xla():
     h0 = _rand(ks[3], B, H)
     lengths = _lengths()
 
-    hall_p, hfin_p = rp.gru_scan(xw, w, b, h0, lengths, True)
+    hall_p, hfin_p = rp.gru_scan(xw, w, b, h0, lengths, False, True)
     hall_x, hfin_x = _xla_gru(xw, w, b, h0, lengths)
     np.testing.assert_allclose(hall_p, hall_x, atol=1e-6)
     np.testing.assert_allclose(hfin_p, hfin_x, atol=1e-6)
@@ -70,7 +70,7 @@ def test_gru_kernel_fwd_and_grads_match_xla():
             return jnp.sum(jnp.sin(ha)) + 2.0 * jnp.sum(jnp.cos(hf))
         return f
 
-    gp = jax.grad(loss(lambda *a: rp.gru_scan(*a, lengths, True)))((xw, w, b, h0))
+    gp = jax.grad(loss(lambda *a: rp.gru_scan(*a, lengths, False, True)))((xw, w, b, h0))
     gx = jax.grad(loss(lambda *a: _xla_gru(*a, lengths)))((xw, w, b, h0))
     for got, want in zip(gp, gx):
         np.testing.assert_allclose(got, want, atol=2e-5)
@@ -85,7 +85,7 @@ def test_lstm_kernel_fwd_and_grads_match_xla():
     c0 = _rand(ks[4], B, H)
     lengths = _lengths()
 
-    out_p = rp.lstm_scan(xw, w, b, h0, c0, lengths, True)
+    out_p = rp.lstm_scan(xw, w, b, h0, c0, lengths, False, True)
     out_x = _xla_lstm(xw, w, b, h0, c0, lengths)
     for got, want in zip(out_p, out_x):
         np.testing.assert_allclose(got, want, atol=1e-6)
@@ -97,7 +97,7 @@ def test_lstm_kernel_fwd_and_grads_match_xla():
                     + 3.0 * jnp.sum(jnp.sin(cf)))
         return f
 
-    gp = jax.grad(loss(lambda *a: rp.lstm_scan(*a, lengths, True)))(
+    gp = jax.grad(loss(lambda *a: rp.lstm_scan(*a, lengths, False, True)))(
         (xw, w, b, h0, c0))
     gx = jax.grad(loss(lambda *a: _xla_lstm(*a, lengths)))((xw, w, b, h0, c0))
     for got, want in zip(gp, gx):
@@ -154,6 +154,64 @@ def test_stacked_bidirectional_pallas_matches_xla():
     out_p, st_p = rnn_p.apply(params, x, lengths)
     np.testing.assert_allclose(out_p, out_x, atol=1e-6)
     np.testing.assert_allclose(st_p.h, st_x.h, atol=1e-6)
+
+
+@pytest.mark.parametrize("rnn_type", ["gru", "lstm"])
+def test_reverse_kernel_matches_flip_scan_flip(rnn_type):
+    """reverse=True == flip_sequences -> scan -> flip_sequences, including
+    nonzero h0 with short lengths (masked steps are a PREFIX of reversed
+    processing order — the subtle predecessor-select case), fwd and grads."""
+    from rnntransducer_tpu.utils.masking import flip_sequences
+    G = 3 if rnn_type == "gru" else 4
+    ks = jax.random.split(jax.random.PRNGKey(8), 5)
+    xw = _rand(ks[0], T, B, G * H, scale=1.0)
+    w = _rand(ks[1], H, G * H)
+    b = _rand(ks[2], G * H, scale=0.1)
+    h0 = _rand(ks[3], B, H)
+    c0 = _rand(ks[4], B, H)
+    lengths = _lengths()
+
+    def ref(args):
+        # flip along time of the (T, B, G) stream == flip_sequences on (B, T, G)
+        xw_btg = jnp.swapaxes(args[0], 0, 1)
+        flipped = jnp.swapaxes(
+            flip_sequences(xw_btg, lengths.astype(jnp.int32)), 0, 1)
+        if rnn_type == "gru":
+            hall, hfin = _xla_gru(flipped, *args[1:], lengths)
+            hall = jnp.swapaxes(
+                flip_sequences(jnp.swapaxes(hall, 0, 1),
+                               lengths.astype(jnp.int32)), 0, 1)
+            return hall, hfin
+        hall, hfin, cfin = _xla_lstm(flipped, *args[1:], lengths)
+        hall = jnp.swapaxes(
+            flip_sequences(jnp.swapaxes(hall, 0, 1),
+                           lengths.astype(jnp.int32)), 0, 1)
+        return hall, hfin, cfin
+
+    if rnn_type == "gru":
+        args = (xw, w, b, h0)
+        got = rp.gru_scan(*args, lengths, True, True)
+    else:
+        args = (xw, w, b, h0, c0)
+        got = rp.lstm_scan(*args, lengths, True, True)
+    want = ref(args)
+    for g_, w_ in zip(got, want):
+        np.testing.assert_allclose(g_, w_, atol=1e-6)
+
+    def loss(fn):
+        def f(a):
+            outs = fn(a)
+            return sum((i + 1.0) * jnp.sum(jnp.sin(o))
+                       for i, o in enumerate(outs))
+        return f
+
+    if rnn_type == "gru":
+        gp = jax.grad(loss(lambda a: rp.gru_scan(*a, lengths, True, True)))(args)
+    else:
+        gp = jax.grad(loss(lambda a: rp.lstm_scan(*a, lengths, True, True)))(args)
+    gx = jax.grad(loss(ref))(args)
+    for got_g, want_g in zip(gp, gx):
+        np.testing.assert_allclose(got_g, want_g, atol=2e-5)
 
 
 def test_supported_gating_and_odd_shapes():
