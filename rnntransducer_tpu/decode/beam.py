@@ -7,8 +7,19 @@ candidate pruning), KenLM-style shallow fusion gated on completed words
 (``_get_lm_beams``, ``transducer.py:147-213``) and hotword boosting.
 
 Device/host split: prediction-net step + joint + log-softmax run as one jitted
-single-step function on device; hypothesis management, LM scoring and the
+K-wide batched function on device; hypothesis management, LM scoring and the
 hotword trie are host work by nature (SURVEY.md §7 design stance 6).
+
+Round-trip economics (vs the reference's one decoder+joint call per expansion,
+``transducer.py:303-309``): when the popped-best hypothesis has no cached
+scores, the top ``wave_size`` unscored hypotheses in A (by search key — pop
+order) are scored in ONE padded batched device call (K padded to a power of
+two to bound compile shapes) and fetched with a single transfer.  Scoring is
+a pure function of (enc_t, last token, prednet state), so prefetching waves
+leaves the search semantics bit-identical; typical frames need 1-3 device
+calls instead of one per expansion.  The wave is capped because most A-hyps
+are never popped — when pruning is weak (flat distributions) A can grow far
+beyond the beam, and scoring all of it would swamp the saving.
 
 Faithful reference quirks kept (documented):
 * expansions feed ``y_star[-1]`` (last *appended* token) to the prediction
@@ -39,32 +50,37 @@ def _encode(model: RNNTransducer, variables, feats, feat_lengths):
 
 
 def _zero_prednet_state(model: RNNTransducer):
+    """Host-side (numpy) zero state: (h, c|None) of shape (L, 1, 1, H)."""
     cfg = model.cfg.prednet
-    h = jnp.zeros((cfg.num_layers, 1, 1, cfg.hidden_size), jnp.float32)
+    h = np.zeros((cfg.num_layers, 1, 1, cfg.hidden_size), np.float32)
     c = h if cfg.rnn_type.lower() == "lstm" else None
-    from rnntransducer_tpu.models.cells import RNNState
-    return RNNState(h, c)
+    return (h, c)
 
 
 @partial(jax.jit, static_argnames=("model",))
-def _predict_joint_step(model: RNNTransducer, variables, enc_t, token, state):
-    """enc_t: (1, De); token: (1,); state: RNNState. Returns (log_probs (V,),
-    new_state)."""
-    dec_out, new_state = model.apply(variables, token, state,
+def _predict_joint_step_k(model: RNNTransducer, variables, enc_t, tokens,
+                          state):
+    """K-wide expansion scoring. enc_t: (1, De); tokens: (K,); state:
+    RNNState with batch K. Returns (log_probs (K, V), new_state)."""
+    dec_out, new_state = model.apply(variables, tokens, state,
                                      method=model.predict_step)
-    logits = model.apply(variables, enc_t, dec_out, method=model.joint_step)
-    return jax.nn.log_softmax(logits[0]), new_state
+    enc_k = jnp.broadcast_to(enc_t, (tokens.shape[0], enc_t.shape[-1]))
+    logits = model.apply(variables, enc_k, dec_out, method=model.joint_step)
+    return jax.nn.log_softmax(logits, axis=-1), new_state
 
 
 class _Hyp:
-    __slots__ = ("asr_score", "y_star", "state", "lm_score", "lm_state")
+    __slots__ = ("asr_score", "y_star", "state", "lm_score", "lm_state",
+                 "cache")
 
-    def __init__(self, asr_score, y_star, state, lm_score, lm_state):
+    def __init__(self, asr_score, y_star, state, lm_score, lm_state,
+                 cache=None):
         self.asr_score = asr_score
         self.y_star = y_star
-        self.state = state
+        self.state = state      # (h, c|None) numpy, shapes (L, 1, 1, H)
         self.lm_score = lm_score
         self.lm_state = lm_state
+        self.cache = cache      # (log_probs (V,), new_state) for this frame
 
 
 class BeamSearchDecoder:
@@ -86,6 +102,9 @@ class BeamSearchDecoder:
         self.hotword_scorer = HotwordScorer.build_scorer(hotwords,
                                                          weight=hotword_weight)
         self.max_expansions = max_expansions_per_frame
+        # per-wave device-call width: enough to cover several future pops
+        self.wave_size = max(4 * beam_width, 16)
+        self.max_live = max(64 * beam_width, 512)
         self._use_lm = lm is not None or bool(self.hotword_scorer)
         if self._use_lm and tokenizer is None:
             raise ValueError("LM/hotword fusion requires a tokenizer")
@@ -140,6 +159,33 @@ class BeamSearchDecoder:
             lm_score += cached_partial[next_word]
             hyp.lm_score = hyp.asr_score + lm_score
 
+    # ----------------------------------------------------- device batching
+    def _score_wave(self, hyps: List[_Hyp], enc_t) -> None:
+        """Score every hypothesis in one padded batched device call and cache
+        (log_probs, new_state) on each; a single host transfer per wave."""
+        from rnntransducer_tpu.models.cells import RNNState
+        K = len(hyps)
+        Kp = 1 << (K - 1).bit_length()  # pad to power of two: bounded compiles
+        tokens = np.full((Kp,), self.blank_id, np.int32)
+        tokens[:K] = [h.y_star[-1] for h in hyps]
+        h0, c0 = hyps[0].state
+        h = np.zeros(h0.shape[:2] + (Kp,) + h0.shape[3:], np.float32)
+        c = None if c0 is None else np.zeros_like(h)
+        for i, hyp in enumerate(hyps):
+            h[:, :, i] = hyp.state[0][:, :, 0]
+            if c is not None:
+                c[:, :, i] = hyp.state[1][:, :, 0]
+        # numpy args transfer as part of the ONE dispatch RPC — explicit
+        # jnp.asarray would cost a separate blocking round trip per array
+        log_probs, new_state = _predict_joint_step_k(
+            self.model, self.variables, enc_t, tokens, RNNState(h, c))
+        log_probs, nh, nc = jax.device_get(
+            (log_probs, new_state.h, new_state.c))
+        for i, hyp in enumerate(hyps):
+            state_i = (nh[:, :, i:i + 1],
+                       None if nc is None else nc[:, :, i:i + 1])
+            hyp.cache = (log_probs[i].astype(np.float64), state_i)
+
     # ------------------------------------------------------------- decode
     def decode(self, feats, feat_lengths, n_best: Optional[int] = None
                ) -> List[List[int]]:
@@ -159,9 +205,11 @@ class BeamSearchDecoder:
         B_hyps = [_Hyp(0.0, [self.blank_id], zero_state, 0.0, start_lm_state)]
 
         for t in range(T):
-            enc_t = jnp.asarray(enc[t:t + 1])
+            enc_t = enc[t:t + 1]  # numpy; transfers with the wave dispatch
             A_hyps = B_hyps
             B_hyps = []
+            for hyp in A_hyps:
+                hyp.cache = None  # scores are per-frame (enc_t changed)
             expansions = 0
             while A_hyps:
                 most_prob_A = max(A_hyps, key=self._key)
@@ -173,13 +221,18 @@ class BeamSearchDecoder:
                 expansions += 1
                 if expansions > self.max_expansions:
                     break  # safety valve (not in reference)
+                if most_prob_A.cache is None:
+                    # Score the top of the unscored pool by search key (pop
+                    # order), capped: most A-hyps are never popped, so
+                    # scoring all of them wastes device work when pruning is
+                    # weak and A grows large. most_prob_A is the global max,
+                    # hence the unscored max, hence always in the wave.
+                    unscored = [h for h in A_hyps if h.cache is None]
+                    unscored.sort(key=self._key, reverse=True)
+                    self._score_wave(unscored[:self.wave_size], enc_t)
                 A_hyps.remove(most_prob_A)
 
-                log_probs, new_state = _predict_joint_step(
-                    model, variables, enc_t,
-                    jnp.array([most_prob_A.y_star[-1]], jnp.int32),
-                    most_prob_A.state)
-                log_probs = np.asarray(log_probs, np.float64)
+                log_probs, new_state = most_prob_A.cache
                 best_prob = float(np.max(np.delete(log_probs, self.blank_id)))
 
                 new_A: List[_Hyp] = []
@@ -200,6 +253,14 @@ class BeamSearchDecoder:
                         cand.state = new_state
                         new_A.append(cand)
                 A_hyps.extend(new_A)
+                if len(A_hyps) > self.max_live:
+                    # safety valve (not in reference): when pruning is weak
+                    # (flat distributions) A grows without bound and the
+                    # host-side max/remove go O(|A|); keep the top of the
+                    # pop order. No effect in the trained-model regime,
+                    # where |A| stays near the beam width.
+                    A_hyps.sort(key=self._key, reverse=True)
+                    del A_hyps[self.max_live:]
 
                 if self._use_lm and new_A:
                     self._score_lm_beams(A_hyps, cached_lm, cached_partial,

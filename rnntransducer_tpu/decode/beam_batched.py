@@ -177,8 +177,11 @@ def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
     return carry
 
 
+@partial(jax.jit, static_argnames=("length_norm",))
 def rank_beam(carry: BeamCarry, length_norm: bool = True):
-    """Sort hypotheses best-first: (tokens (B,K,L), lens (B,K), scores)."""
+    """Sort hypotheses best-first: (tokens (B,K,L), lens (B,K), scores).
+    Jitted: polled per-chunk by streaming partials, where eager dispatch costs
+    one tunnel round trip per op (measured ~0.9 s/poll eager vs one call)."""
     scores, tokens, lens = carry.scores, carry.tokens, carry.lens
     rank = scores / (lens + 1) if length_norm else scores
     order = jnp.argsort(-rank, axis=1)
@@ -186,6 +189,16 @@ def rank_beam(carry: BeamCarry, length_norm: bool = True):
     lens = jnp.take_along_axis(lens, order, axis=1)
     tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
     return tokens, lens, scores
+
+
+@partial(jax.jit, static_argnames=("length_norm",))
+def best_hyp(carry: BeamCarry, length_norm: bool = True):
+    """The single best hypothesis of utterance 0: (tokens (L,), len ()).
+    One jitted call + one transfer — the cheapest streaming-partials poll."""
+    scores, tokens, lens = carry.scores, carry.tokens, carry.lens
+    rank = scores / (lens + 1) if length_norm else scores
+    k = jnp.argmax(rank[0])
+    return tokens[0, k], lens[0, k]
 
 
 @partial(jax.jit, static_argnames=("model", "blank_id", "beam_width",

@@ -215,9 +215,10 @@ class StreamingRecognizer:
                 self._carry = greedy_decode_frames(
                     self.model, self.variables, enc, jnp.array([n_valid]),
                     self._carry, self.blank_id, self.max_symbols)
-                total = int(self._carry.lengths[0])
-                toks = np.asarray(self._carry.tokens[0, self._emitted:total])
-                new_tokens.extend(int(t) for t in toks)
+                toks, total = jax.device_get(
+                    (self._carry.tokens[0], self._carry.lengths[0]))
+                total = int(total)
+                new_tokens.extend(int(t) for t in toks[self._emitted:total])
                 self._emitted = total
         if final and self.decoder == "beam":
             new_tokens = self.tokens
@@ -240,8 +241,10 @@ class StreamingRecognizer:
     @property
     def tokens(self) -> List[int]:
         if self.decoder == "beam":
-            from rnntransducer_tpu.decode.beam_batched import rank_beam
-            toks, lens, _ = rank_beam(self._carry)
-            return [int(t) for t in np.asarray(toks[0, 0, :int(lens[0, 0])])]
-        return [int(t) for t in
-                np.asarray(self._carry.tokens[0, :int(self._carry.lengths[0])])]
+            from rnntransducer_tpu.decode.beam_batched import best_hyp
+            # one jitted call + one combined transfer per poll
+            best, n = jax.device_get(best_hyp(self._carry))
+            return [int(t) for t in best[:int(n)]]
+        toks, n = jax.device_get((self._carry.tokens[0],
+                                  self._carry.lengths[0]))
+        return [int(t) for t in toks[:int(n)]]
