@@ -1,0 +1,120 @@
+"""Worker for tests/test_multihost_lockstep.py: one of two real JAX processes
+(jax.distributed over the CPU backend, 2 local devices each -> a 4-device
+global mesh).  Exercises the actual multi-host branches:
+
+* Trainer._host_batches process-local slicing + full-batch label bucket
+  (loop.py), under real jax.process_index()/process_count();
+* DevicePrefetcher's make_array_from_process_local_data assembly
+  (prefetch.py);
+* one real train_step over the process-spanning mesh.
+
+Prints LOCKSTEP lines (parent asserts both processes emit identical ones) and
+asserts the assembled global batch matches the single-process reference via
+permutation-invariant checksums (shard order across processes is a permutation
+of the single-process batch; training is permutation-invariant, SURVEY §2.2 N4).
+"""
+
+import itertools
+import sys
+
+port, pid = sys.argv[1], int(sys.argv[2])
+
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                           process_id=pid)
+
+import numpy as np
+import jax.numpy as jnp
+
+from rnntransducer_tpu.config import (
+    AudioConfig, Config, DataConfig, JointNetConfig, ModelConfig,
+    PredNetConfig, TrainConfig, TransNetConfig,
+)
+from rnntransducer_tpu.data import (
+    DevicePrefetcher, LengthBucketSampler, SyntheticAudioDataset, collate,
+)
+from rnntransducer_tpu.train import Trainer, train_step
+
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, len(jax.devices())
+
+ckpt_dir = sys.argv[3]
+cfg = Config(
+    data=DataConfig(audio=AudioConfig(spec_augment=False),
+                    audio_buckets=(64, 128), label_buckets=(16, 24)),
+    model=ModelConfig(
+        transnet=TransNetConfig(input_size=80, hidden_size=16, output_size=12,
+                                num_layers=1, rnn_type="gru", dropout=0.0,
+                                bidirectional=True),
+        prednet=PredNetConfig(embedding_size=72, hidden_size=16,
+                              output_size=12, num_layers=1, rnn_type="lstm",
+                              dropout=0.0),
+        jointnet=JointNetConfig(num_classes=72),
+    ),
+    train=TrainConfig(max_steps=1, per_device_train_batch_size=2,
+                      precision="fp32", checkpoint_dir=ckpt_dir,
+                      learning_rate=1e-3),
+)
+# identical dataset on every process (the reference ships the same shards to
+# every rank and stride-samples, datasampler.py:96; here the sampler runs
+# identically everywhere and each process collates its own slice)
+ds = SyntheticAudioDataset(24, AudioConfig(), min_sec=0.3, max_sec=1.2,
+                           min_labels=3, max_labels=10, seed=0)
+
+trainer = Trainer(cfg, ds)
+assert trainer.n_devices == 4
+global_bs = trainer._global_batch()  # 2 per device * 4 devices = 8
+
+# ---- single-process reference (same sampler seed, no slicing) -------------
+sampler = LengthBucketSampler(ds.lengths(), cfg.data.audio_buckets, global_bs,
+                              seed=cfg.train.seed, shuffle=True,
+                              label_lengths=ds.label_lengths(),
+                              max_label_length=cfg.data.label_buckets[-1])
+ref_batches = []
+for b_idx, idxs, n_valid in sampler.epoch_batches(0)[:3]:
+    items = [ds[i] for i in idxs]
+    max_u = int(max(ds.label_lengths()[i] for i in idxs))
+    ref_batches.append(collate(
+        items, max_frames=cfg.data.audio_buckets[b_idx],
+        max_labels=trainer._label_bucket_for(max_u),
+        pad_id=cfg.data.text.pad_token_id))
+
+# ---- the real multi-host path ---------------------------------------------
+prefetch = DevicePrefetcher(
+    trainer._host_batches(ds, 0, global_bs), mesh=trainer.mesh)
+
+state = trainer.state
+for i, (gb, ref) in enumerate(zip(itertools.islice(prefetch, 3),
+                                  ref_batches)):
+    shapes = {k: tuple(v.shape) for k, v in sorted(gb.items())}
+    print(f"LOCKSTEP batch {i} shapes {shapes}", flush=True)
+    for k, refv in ref.items():
+        assert tuple(gb[k].shape) == refv.shape, (k, gb[k].shape, refv.shape)
+
+    # permutation-invariant checksums of the assembled global array vs the
+    # single-process reference (replicated scalars are fetchable everywhere;
+    # fp32 accumulation order differs between the sharded and host arrays,
+    # hence the tolerance)
+    @jax.jit
+    def sums(x):
+        x = x.astype(jnp.float32)
+        return jnp.sum(x), jnp.sum(x * x), jnp.sum(jnp.sum(x, axis=tuple(
+            range(1, x.ndim))) ** 2)
+    for k, refv in ref.items():
+        got = tuple(float(v) for v in sums(gb[k]))
+        want = tuple(float(v) for v in sums(jnp.asarray(refv)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, err_msg=k)
+
+    state, metrics = train_step(cfg, trainer.tx, state, gb)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), loss
+    print(f"LOCKSTEP batch {i} loss {loss:.6f}", flush=True)
+
+print("WORKER_OK", flush=True)
