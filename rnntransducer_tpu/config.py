@@ -183,6 +183,11 @@ class TrainConfig:
     # frames so the full (B,T,U,V) logits never materialize (0 = disabled).
     # Numerically identical to the unfused path; controls peak HBM.
     joint_chunk_frames: int = 64
+    # param/grad histogram logging every N steps (0 = off) — the
+    # wandb.watch(model, log="all") equivalent (reference train.py:27);
+    # histograms are computed on device and cost one extra fwd+bwd per
+    # watch step
+    watch_every_steps: int = 0
     # decode during validation
     greedy_max_symbols: int = 3  # reference max_iters=3 (model.py:76)
     # "greedy" (reference parity) or "beam" (batched device beam; measurably

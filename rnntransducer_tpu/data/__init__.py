@@ -1,15 +1,16 @@
 from rnntransducer_tpu.data.bucketing import LengthBucketSampler, bucket_for
 from rnntransducer_tpu.data.collate import collate, collate_waveforms
 from rnntransducer_tpu.data.dataset import (
-    ArrowAudioDataset, SyntheticAudioDataset, load_shards, logmel_np,
-    prepare_logmel_dataset, read_ledger, shard_dirs, spec_augment_np,
+    ArrowAudioDataset, PatternedWaveformDataset, SyntheticAudioDataset,
+    load_shards, logmel_np, prepare_logmel_dataset, read_ledger, shard_dirs, spec_augment_np,
     write_ledger_entry,
 )
 from rnntransducer_tpu.data.prefetch import DevicePrefetcher
 
 __all__ = [
     "LengthBucketSampler", "bucket_for", "collate", "collate_waveforms",
-    "ArrowAudioDataset", "SyntheticAudioDataset", "load_shards", "logmel_np",
+    "ArrowAudioDataset", "PatternedWaveformDataset", "SyntheticAudioDataset",
+    "load_shards", "logmel_np",
     "prepare_logmel_dataset", "read_ledger", "shard_dirs", "spec_augment_np",
     "write_ledger_entry", "DevicePrefetcher",
 ]

@@ -16,8 +16,13 @@ Here streaming is a first-class path (SURVEY.md §5 long-context plan):
 
 Per-utterance mean-var normalization needs the whole utterance by definition;
 streaming offers ``normalize="none"`` (default; match a model trained without
-norm) or ``"running"`` (causal running mean/var, documented divergence from
-the offline ``datamodule.py:87-90`` semantics).
+norm), ``"running"`` (causal running mean/var — converges to the offline
+statistics as the stream lengthens), or ``"fixed"`` (calibrated corpus-level
+mean/var, i.e. global CMVN).  Validated against the offline
+``datamodule.py:87-90`` semantics on the waveform testbed by
+``examples/streaming_norm_validation.py`` (numbers in BASELINE.md): for
+models trained with per-utterance norm, use ``"running"``; ``"none"`` is
+only correct for models trained without norm.
 """
 
 from __future__ import annotations
@@ -45,10 +50,15 @@ class StreamingFrontend:
     """Incremental log-mel. feed(samples) -> (n, n_mels) new frames;
     flush() -> trailing frames (with the right-side reflect pad)."""
 
-    def __init__(self, cfg: AudioConfig, normalize: str = "none"):
-        assert normalize in ("none", "running")
+    def __init__(self, cfg: AudioConfig, normalize: str = "none",
+                 norm_mean: float = 0.0, norm_var: float = 1.0):
+        assert normalize in ("none", "running", "fixed")
         self.cfg = cfg
         self.normalize = normalize
+        # "fixed": calibrated (corpus-level) statistics — the global-CMVN
+        # stand-in for the offline per-utterance norm (datamodule.py:87-90)
+        self.norm_mean = norm_mean
+        self.norm_var = norm_var
         self.window = WINDOWS[cfg.window](cfg.win_length)
         self.fb = mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels,
                                  cfg.sample_rate)
@@ -65,8 +75,11 @@ class StreamingFrontend:
     def _normalize(self, x: np.ndarray) -> np.ndarray:
         if self.normalize == "none" or self._total == 0:
             return x
-        mean = self._sum / self._total
-        var = max(self._sumsq / self._total - mean * mean, 0.0)
+        if self.normalize == "fixed":
+            mean, var = self.norm_mean, self.norm_var
+        else:
+            mean = self._sum / self._total
+            var = max(self._sumsq / self._total - mean * mean, 0.0)
         return (x - mean) / np.sqrt(var + 1e-7)
 
     def _frames_between(self, first: int, last: int) -> np.ndarray:
@@ -159,7 +172,8 @@ class StreamingRecognizer:
                  blank_id: int = 0, chunk_frames: int = 64,
                  max_symbols: int = 3, max_output_len: int = 512,
                  normalize: str = "none", decoder: str = "greedy",
-                 beam_width: int = 4):
+                 beam_width: int = 4, norm_mean: float = 0.0,
+                 norm_var: float = 1.0):
         if model.cfg.transnet.bidirectional:
             raise ValueError(
                 "streaming requires a unidirectional encoder "
@@ -173,7 +187,9 @@ class StreamingRecognizer:
         self.max_symbols = max_symbols
         self.decoder = decoder
         self.beam_width = beam_width
-        self.frontend = StreamingFrontend(audio_cfg, normalize)
+        self.frontend = StreamingFrontend(audio_cfg, normalize,
+                                          norm_mean=norm_mean,
+                                          norm_var=norm_var)
         self._feat_buf = np.zeros((0, audio_cfg.n_mels), np.float32)
         self._enc_state: Optional[RNNState] = None
         if decoder == "beam":

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.profiler
 import numpy as np
 
 from rnntransducer_tpu.config import Config
@@ -29,6 +30,7 @@ from rnntransducer_tpu.train.metrics import char_error_rate, word_error_rate
 from rnntransducer_tpu.train.optim import make_optimizer
 from rnntransducer_tpu.train.state import (
     TrainState, build_model, eval_step, learning_rate_at, train_step,
+    watch_step,
 )
 from rnntransducer_tpu.utils.logging import MetricsLogger
 from rnntransducer_tpu.utils.profiling import StepTimer
@@ -169,9 +171,16 @@ class Trainer:
                 if (self.profile_dir and not profiling
                         and step >= self.profile_steps[0]
                         and step < self.profile_steps[1]):
-                    import jax.profiler
                     jax.profiler.start_trace(self.profile_dir)
                     profiling = True
+                if (cfg.train.watch_every_steps
+                        and step % cfg.train.watch_every_steps == 0):
+                    # before train_step: its buffers are donated
+                    hists = watch_step(
+                        cfg, self.state.params, batch,
+                        jax.random.fold_in(self.state.rng, self.state.step),
+                        loss_backend=self.loss_backend)
+                    self.logger.log_histograms(step, jax.device_get(hists))
                 self.state, metrics = train_step(
                     cfg, self.tx, self.state, batch,
                     loss_backend=self.loss_backend)
@@ -192,7 +201,6 @@ class Trainer:
                                     step_ms=round(step_ms * 1e3, 1),
                                     epoch=epoch)
                 if profiling and step >= self.profile_steps[1]:
-                    import jax.profiler
                     jax.profiler.stop_trace()
                     profiling = False
                     self.logger.log(step, event="profile_written",
@@ -207,7 +215,6 @@ class Trainer:
                     f"({cfg.data.audio_buckets[-1]} frames)")
             epoch += 1
         if profiling:
-            import jax.profiler
             jax.profiler.stop_trace()
         # final save — unless this exact step was already checkpointed by the
         # in-loop validation branch

@@ -175,6 +175,31 @@ def train_step(cfg: Config, tx, state: TrainState, batch,
     return new_state, metrics
 
 
+@partial(jax.jit, static_argnames=("cfg", "loss_backend", "bins"))
+def watch_step(cfg: Config, params, batch, rng, loss_backend: str = "auto",
+               bins: int = 64):
+    """Param + grad histograms, the ``wandb.watch(model, log="all")``
+    equivalent (reference ``train.py:27``).  Histograms are reduced on
+    device (one fwd+bwd + O(bins) output per tensor) so the host fetch is
+    tiny regardless of model size.  Returns
+    ``{"params": {name: (counts, edges)}, "grads": {...}}``.
+    """
+    model = build_model(cfg)
+    grads = jax.grad(
+        lambda p: loss_fn(model, cfg, p, batch, rng, deterministic=False,
+                          loss_backend=loss_backend))(params)
+
+    def hists(tree):
+        out = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            name = "/".join(getattr(k, "key", str(k)) for k in path)
+            out[name] = jnp.histogram(leaf.astype(jnp.float32).ravel(),
+                                      bins=bins)
+        return out
+
+    return {"params": hists(params), "grads": hists(grads)}
+
+
 @partial(jax.jit, static_argnames=("cfg", "loss_backend", "reduction"))
 def eval_step(cfg: Config, params, batch, loss_backend: str = "auto",
               reduction: str = "mean"):

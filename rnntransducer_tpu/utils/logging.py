@@ -21,6 +21,8 @@ class MetricsLogger:
                  stdout: bool = True, wandb_project: Optional[str] = None):
         self.stdout = stdout
         self._fh = None
+        self._hist_fh = None
+        self._log_dir = log_dir
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._fh = open(os.path.join(log_dir, f"{name}.jsonl"), "a")
@@ -55,6 +57,33 @@ class MetricsLogger:
                 for k, v in rec.items() if k not in ("time",))
             print(f"[{rec['time']:9.1f}s] {parts}", file=sys.stderr)
 
+    def log_histograms(self, step: int, hists: dict):
+        """Param/grad histograms from ``train.state.watch_step`` — the
+        wandb.watch(model, log="all") equivalent (reference train.py:27).
+        Written to ``histograms.jsonl`` (kept out of metrics.jsonl: records
+        are O(tensors x bins)); mirrored to W&B as native histograms."""
+        rec = {"step": int(step)}
+        for group, tensors in hists.items():  # "params" / "grads"
+            rec[group] = {
+                name: {"counts": [int(c) for c in counts],
+                       "edges": [float(e) for e in edges]}
+                for name, (counts, edges) in tensors.items()}
+        if self._hist_fh is None and self._log_dir:
+            self._hist_fh = open(
+                os.path.join(self._log_dir, "histograms.jsonl"), "a")
+        if self._hist_fh:
+            self._hist_fh.write(json.dumps(rec) + "\n")
+            self._hist_fh.flush()
+        if self._wandb is not None:
+            self._wandb.log(
+                {f"{group}/{name}": self._wandb.Histogram(
+                    np_histogram=(h["counts"], h["edges"]))
+                 for group in ("params", "grads")
+                 for name, h in rec.get(group, {}).items()},
+                step=rec["step"])
+
     def close(self):
         if self._fh:
             self._fh.close()
+        if self._hist_fh:
+            self._hist_fh.close()

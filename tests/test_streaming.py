@@ -143,3 +143,49 @@ def test_streaming_frontend_large_hop_parity(stride_sec):
     assert got.shape[0] == int(lengths[0])
     np.testing.assert_allclose(got, np.asarray(offline[0]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_fixed_norm_matches_offline_when_calibrated_exactly():
+    """normalize="fixed" with the utterance's own stats must reproduce the
+    offline per-utterance norm (datamodule.py:87-90) bit-closely."""
+    cfg = AudioConfig(normalize=True)
+    rng = np.random.RandomState(3)
+    wav = (2.5 * rng.randn(7350) + 0.7).astype(np.float32)
+
+    offline, lengths = LogMelFrontend(cfg)(jnp.asarray(wav[None]))
+    offline = np.asarray(offline[0])
+
+    sf = StreamingFrontend(cfg, normalize="fixed",
+                           norm_mean=float(wav.mean()),
+                           norm_var=float(wav.var()))
+    frames = [sf.feed(wav[:4000]), sf.feed(wav[4000:]), sf.flush()]
+    got = np.concatenate([f for f in frames if len(f)])
+    assert got.shape == offline.shape == (int(lengths[0]), cfg.n_mels)
+    np.testing.assert_allclose(got, offline, rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_running_norm_converges_to_offline():
+    """For a statistically stationary stream, running-norm frames approach
+    the offline-norm frames as the stream lengthens (the tail frames see
+    near-complete statistics); "none" stays far off for scaled/offset audio."""
+    cfg = AudioConfig(normalize=True)
+    rng = np.random.RandomState(4)
+    wav = (3.0 * rng.randn(48000) + 1.0).astype(np.float32)
+
+    offline = np.asarray(LogMelFrontend(cfg)(jnp.asarray(wav[None]))[0][0])
+
+    def stream(mode):
+        sf = StreamingFrontend(cfg, normalize=mode)
+        frames = []
+        for s in range(0, len(wav), 1600):
+            frames.append(sf.feed(wav[s:s + 1600]))
+        frames.append(sf.flush())
+        return np.concatenate([f for f in frames if len(f)])
+
+    run = stream("running")
+    none = stream("none")
+    tail = slice(len(offline) // 2, None)
+    err_run = np.abs(run[tail] - offline[tail]).mean()
+    err_none = np.abs(none[tail] - offline[tail]).mean()
+    assert err_run < 0.05, err_run
+    assert err_none > 10 * err_run, (err_none, err_run)

@@ -155,3 +155,33 @@ def test_overlong_labels_raise_without_label_lengths(tmp_path):
     with pytest.raises(ValueError, match="corrupt supervision"):
         next(iter(trainer._host_batches(ds, 0, 2)))
     trainer.ckpt.close()
+
+
+def test_watch_histograms_logged(tmp_path):
+    """watch_every_steps writes param+grad histograms (the wandb.watch
+    log='all' equivalent, reference train.py:27) to histograms.jsonl."""
+    import json, os
+    cfg = _cfg(tmp_path, max_steps=2)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, watch_every_steps=1))
+    trainer = Trainer(cfg, _ds(6), val_dataset=None)
+    trainer.fit()
+    path = os.path.join(cfg.train.checkpoint_dir, "histograms.jsonl")
+    recs = [json.loads(l) for l in open(path)]
+    assert len(recs) == 2  # steps 0 and 1 (pre-step watch at every step)
+    rec = recs[0]
+    assert set(rec) == {"step", "params", "grads"}
+    assert rec["params"].keys() == rec["grads"].keys()
+    # histogram invariants on one tensor: 64 bins, counts sum to tensor size
+    name, h = next(iter(rec["params"].items()))
+    assert len(h["counts"]) == 64 and len(h["edges"]) == 65
+    import numpy as _np
+    import jax
+    leaf = trainer.state.params
+    for part in name.split("/"):
+        leaf = leaf[part]
+    assert sum(h["counts"]) == int(_np.prod(_np.asarray(jax.device_get(leaf)).shape))
+    # grads must not be all-zero histograms around a single spike at 0
+    gh = rec["grads"][name]
+    assert sum(gh["counts"]) == sum(h["counts"])
+    trainer.ckpt.close()
