@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--steps", type=int, default=5000)
     ap.add_argument("--ckpt", type=str, default="/tmp/stream_norm_ckpt")
     ap.add_argument("--n_eval", type=int, default=48)
     args = ap.parse_args()
@@ -65,7 +65,7 @@ def main():
                           log_every_steps=100, val_every_steps=args.steps,
                           checkpoint_dir=args.ckpt, warmup_ratio=0.1),
     )
-    train_ds = PatternedWaveformDataset(512, audio, seed=0)
+    train_ds = PatternedWaveformDataset(4096, audio, seed=0)
     heldout = PatternedWaveformDataset(args.n_eval, audio, seed=10_000)
 
     trainer = Trainer(cfg, train_ds, val_dataset=heldout)

@@ -326,6 +326,7 @@ class PatternedWaveformDataset:
             axis=1).astype(np.float32) / np.sqrt(tones_per_label)
         rng = np.random.RandomState(seed)
         self._n_labels = rng.randint(min_labels, max_labels + 1, n)
+        self._cache: dict = {}
 
     def __len__(self):
         return self.n
@@ -358,5 +359,11 @@ class PatternedWaveformDataset:
         return (gain * wav + offset).astype(np.float32), labels
 
     def __getitem__(self, i: int) -> dict:
-        wav, labels = self.waveform(i)
-        return {"feats": logmel_np(wav, self.cfg), "labels": labels}
+        # deterministic per index -> cache features across epochs (the
+        # offline-pipeline stand-in; ~30 KB/utterance)
+        hit = self._cache.get(i)
+        if hit is None:
+            wav, labels = self.waveform(i)
+            hit = {"feats": logmel_np(wav, self.cfg), "labels": labels}
+            self._cache[i] = hit
+        return hit

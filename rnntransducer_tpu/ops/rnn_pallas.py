@@ -11,15 +11,22 @@ recurrent GEMM.
 
 This kernel keeps W_hh resident in VMEM across the whole time grid (constant
 BlockSpec index -> fetched once), carries h in VMEM scratch, and streams only
-the per-step input projection / outputs through HBM:
+the per-step input projection / outputs through HBM.  Each grid step
+processes a BLOCK of ``k`` consecutive timesteps (k chosen per shape to fill
+the VMEM budget): the k recurrent GEMMs are inherently sequential, but one
+grid step amortizes the per-step grid/DMA overhead k-fold and moves k-times
+larger stream blocks per DMA — the dominant cost at the flagship shape, where
+the per-step GEMM is ~1.6 us against ~8 us/step measured at k=1.
 
-* forward: one MXU GEMM + VPU gates per step; saves the recurrent
+* forward: k x (MXU GEMM + VPU gates) per grid step; saves the recurrent
   pre-activations ``hw`` (needed to rebuild gates) alongside the outputs.
-* backward (custom VJP): reverse grid, rebuilds gates from the streamed
-  ``(xw, hw)``, one MXU GEMM per step for the dh chain, and writes per-step
-  ``dxw`` / ``dhw`` streams.  dW_hh / db_hh then reduce OUTSIDE the loop as
-  one large (H, T*B) x (T*B, G*H) MXU GEMM instead of a 12.6 MB fp32 HBM
-  accumulator touched every step.
+* backward (custom VJP): opposite-order grid, rebuilds gates from the
+  streamed ``(xw, hw, h_prev)``, one MXU GEMM per step for the dh chain, and
+  writes per-step ``dxw`` / ``dhw`` streams.  The predecessor-state stream is
+  precomputed outside the kernel (``_prev_all`` — also needed for the dW
+  reduction).  dW_hh / db_hh then reduce OUTSIDE the loop as one large
+  (H, T*B) x (T*B, G*H) MXU GEMM instead of a 12.6 MB fp32 HBM accumulator
+  touched every step.
 
 Masking semantics are identical to ``models/cells.py`` (pack_padded parity):
 a padded step (t >= length) leaves the carry unchanged and emits zeros.
@@ -71,41 +78,46 @@ def _lstm_gates(xw, hw, c_prev):
 
 
 # ---------------------------------------------------------------------------
-# forward kernels
+# forward kernels (k timesteps per grid step)
 # ---------------------------------------------------------------------------
 
 
-def _gru_fwd_kernel(reverse, len_ref, xw_ref, w_ref, b_ref, h0_ref,
+def _gru_fwd_kernel(reverse, k, len_ref, xw_ref, w_ref, b_ref, h0_ref,
                     hall_ref, hwsave_ref, hfin_ref, hstate):
     i = pl.program_id(0)
-    t = pl.num_programs(0) - 1 - i if reverse else i
+    nb = pl.num_programs(0)
+    blk = nb - 1 - i if reverse else i  # memory block this grid step covers
 
     @pl.when(i == 0)
     def _():
         hstate[:] = h0_ref[:].astype(jnp.float32)
 
     h = hstate[:]
-    hw = jnp.dot(h.astype(w_ref.dtype), w_ref[:],
-                 preferred_element_type=jnp.float32)
-    hw = hw + b_ref[:].astype(jnp.float32)
-    xw = xw_ref[0].astype(jnp.float32)
-    h_new, _ = _gru_gates(xw, hw, h)
-    m = len_ref[:] > t  # (B, 1) bool
-    h_next = jnp.where(m, h_new, h)
-    hstate[:] = h_next
-    hall_ref[0] = jnp.where(m, h_new, 0.0).astype(hall_ref.dtype)
-    hwsave_ref[0] = hw.astype(hwsave_ref.dtype)
+    for s in range(k):
+        jj = k - 1 - s if reverse else s  # in-block row, processing order
+        t = blk * k + jj
+        hw = jnp.dot(h.astype(w_ref.dtype), w_ref[:],
+                     preferred_element_type=jnp.float32)
+        hw = hw + b_ref[:].astype(jnp.float32)
+        xw = xw_ref[jj].astype(jnp.float32)
+        h_new, _ = _gru_gates(xw, hw, h)
+        m = len_ref[:] > t  # (B, 1) bool
+        h = jnp.where(m, h_new, h)
+        hall_ref[jj] = jnp.where(m, h_new, 0.0).astype(hall_ref.dtype)
+        hwsave_ref[jj] = hw.astype(hwsave_ref.dtype)
+    hstate[:] = h
 
-    @pl.when(i == pl.num_programs(0) - 1)
+    @pl.when(i == nb - 1)
     def _():
-        hfin_ref[:] = h_next.astype(hfin_ref.dtype)
+        hfin_ref[:] = hstate[:].astype(hfin_ref.dtype)
 
 
-def _lstm_fwd_kernel(reverse, len_ref, xw_ref, w_ref, b_ref, h0_ref, c0_ref,
-                     hall_ref, hwsave_ref, hfin_ref, cfin_ref,
+def _lstm_fwd_kernel(reverse, k, len_ref, xw_ref, w_ref, b_ref, h0_ref,
+                     c0_ref, hall_ref, hwsave_ref, hfin_ref, cfin_ref,
                      hstate, cstate):
     i = pl.program_id(0)
-    t = pl.num_programs(0) - 1 - i if reverse else i
+    nb = pl.num_programs(0)
+    blk = nb - 1 - i if reverse else i
 
     @pl.when(i == 0)
     def _():
@@ -113,87 +125,90 @@ def _lstm_fwd_kernel(reverse, len_ref, xw_ref, w_ref, b_ref, h0_ref, c0_ref,
         cstate[:] = c0_ref[:].astype(jnp.float32)
 
     h, c = hstate[:], cstate[:]
-    hw = jnp.dot(h.astype(w_ref.dtype), w_ref[:],
-                 preferred_element_type=jnp.float32)
-    hw = hw + b_ref[:].astype(jnp.float32)
-    xw = xw_ref[0].astype(jnp.float32)
-    h_new, c_new, _ = _lstm_gates(xw, hw, c)
-    m = len_ref[:] > t
-    h_next = jnp.where(m, h_new, h)
-    c_next = jnp.where(m, c_new, c)
-    hstate[:] = h_next
-    cstate[:] = c_next
-    hall_ref[0] = jnp.where(m, h_new, 0.0).astype(hall_ref.dtype)
-    hwsave_ref[0] = hw.astype(hwsave_ref.dtype)
+    for s in range(k):
+        jj = k - 1 - s if reverse else s
+        t = blk * k + jj
+        hw = jnp.dot(h.astype(w_ref.dtype), w_ref[:],
+                     preferred_element_type=jnp.float32)
+        hw = hw + b_ref[:].astype(jnp.float32)
+        xw = xw_ref[jj].astype(jnp.float32)
+        h_new, c_new, _ = _lstm_gates(xw, hw, c)
+        m = len_ref[:] > t
+        h = jnp.where(m, h_new, h)
+        c = jnp.where(m, c_new, c)
+        hall_ref[jj] = jnp.where(m, h_new, 0.0).astype(hall_ref.dtype)
+        hwsave_ref[jj] = hw.astype(hwsave_ref.dtype)
+    hstate[:] = h
+    cstate[:] = c
 
-    @pl.when(i == pl.num_programs(0) - 1)
+    @pl.when(i == nb - 1)
     def _():
-        hfin_ref[:] = h_next.astype(hfin_ref.dtype)
-        cfin_ref[:] = c_next.astype(cfin_ref.dtype)
+        hfin_ref[:] = hstate[:].astype(hfin_ref.dtype)
+        cfin_ref[:] = cstate[:].astype(cfin_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
-# backward kernels (reverse time grid)
+# backward kernels (opposite-order grid; predecessor states streamed in)
 # ---------------------------------------------------------------------------
 
 
-def _gru_bwd_kernel(reverse, len_ref, xw_ref, hwsave_ref, hprev_ref, h0_ref,
+def _gru_bwd_kernel(reverse, k, len_ref, xw_ref, hwsave_ref, hprev_ref,
                     w_ref, gout_ref, gfin_ref,
                     dxw_ref, dhw_ref, dh0_ref, dh_s):
     i = pl.program_id(0)
-    T = pl.num_programs(0)
-    t = i if reverse else T - 1 - i
+    nb = pl.num_programs(0)
+    desc = not reverse  # backward walks time opposite to the forward
+    blk = nb - 1 - i if desc else i
 
     @pl.when(i == 0)
     def _():
         dh_s[:] = gfin_ref[:].astype(jnp.float32)
 
     dh = dh_s[:]
-    xw = xw_ref[0].astype(jnp.float32)
-    hw = hwsave_ref[0].astype(jnp.float32)
     H = dh.shape[-1]
-    hn = hw[:, 2 * H :]
-    h0 = h0_ref[:].astype(jnp.float32)
-    if reverse:
-        # processing predecessor of t is t+1; every masked step (a PREFIX of
-        # the processing order: s >= length) left the carry at h0, so any
-        # row whose step t+1 is invalid reads h0, per-row.
-        h_prev = jnp.where(len_ref[:] > t + 1,
-                           hprev_ref[0].astype(jnp.float32), h0)
-    else:
-        h_prev = jnp.where(t == 0, h0, hprev_ref[0].astype(jnp.float32))
-    _, (r, z, n) = _gru_gates(xw, hw, h_prev)
+    for s in range(k):
+        jj = k - 1 - s if desc else s
+        t = blk * k + jj
+        xw = xw_ref[jj].astype(jnp.float32)
+        hw = hwsave_ref[jj].astype(jnp.float32)
+        hn = hw[:, 2 * H :]
+        # predecessor state, precomputed outside (_prev_all): exact at every
+        # valid step; garbage rows only where the step is masked, where every
+        # gate grad below is zeroed by m anyway.
+        h_prev = hprev_ref[jj].astype(jnp.float32)
+        _, (r, z, n) = _gru_gates(xw, hw, h_prev)
 
-    m = len_ref[:] > t
-    g_new = (dh + gout_ref[0].astype(jnp.float32)) * m  # grad into h_new
-    dz_pre = g_new * (h_prev - n) * z * (1.0 - z)
-    dn = g_new * (1.0 - z)
-    dn_pre = dn * (1.0 - n * n)
-    dr_pre = dn_pre * hn * r * (1.0 - r)
-    dxw = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
-    dhw = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
-    # dh chain: through the recurrent GEMM + the z*h_prev passthrough; at
-    # masked steps everything above is zero and dh carries through unchanged.
-    chain = jax.lax.dot_general(
-        dhw.astype(w_ref.dtype), w_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dh_new = chain + g_new * z + jnp.where(m, 0.0, dh)
-    dh_s[:] = dh_new
-    dxw_ref[0] = dxw.astype(dxw_ref.dtype)
-    dhw_ref[0] = dhw.astype(dhw_ref.dtype)
+        m = len_ref[:] > t
+        g_new = (dh + gout_ref[jj].astype(jnp.float32)) * m  # grad into h_new
+        dz_pre = g_new * (h_prev - n) * z * (1.0 - z)
+        dn = g_new * (1.0 - z)
+        dn_pre = dn * (1.0 - n * n)
+        dr_pre = dn_pre * hn * r * (1.0 - r)
+        dxw = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+        dhw = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
+        # dh chain: through the recurrent GEMM + the z*h_prev passthrough; at
+        # masked steps everything above is zero and dh carries through.
+        chain = jax.lax.dot_general(
+            dhw.astype(w_ref.dtype), w_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh = chain + g_new * z + jnp.where(m, 0.0, dh)
+        dxw_ref[jj] = dxw.astype(dxw_ref.dtype)
+        dhw_ref[jj] = dhw.astype(dhw_ref.dtype)
+    dh_s[:] = dh
 
-    @pl.when(i == T - 1)
+    @pl.when(i == nb - 1)
     def _():
-        dh0_ref[:] = dh_new.astype(dh0_ref.dtype)
+        dh0_ref[:] = dh_s[:].astype(dh0_ref.dtype)
 
 
-def _lstm_bwd_kernel(reverse, len_ref, xw_ref, hwsave_ref, hprev_ref,
-                     cprev_ref, h0_ref, c0_ref, w_ref, gout_ref, ghfin_ref,
-                     gcfin_ref, dxw_ref, dh0_ref, dc0_ref, dh_s, dc_s):
+def _lstm_bwd_kernel(reverse, k, len_ref, xw_ref, hwsave_ref, hprev_ref,
+                     cprev_ref, w_ref, gout_ref, ghfin_ref, gcfin_ref,
+                     dxw_ref, dh0_ref, dc0_ref, dh_s, dc_s):
     i = pl.program_id(0)
-    T = pl.num_programs(0)
-    t = i if reverse else T - 1 - i
+    nb = pl.num_programs(0)
+    desc = not reverse
+    blk = nb - 1 - i if desc else i
 
     @pl.when(i == 0)
     def _():
@@ -201,39 +216,35 @@ def _lstm_bwd_kernel(reverse, len_ref, xw_ref, hwsave_ref, hprev_ref,
         dc_s[:] = gcfin_ref[:].astype(jnp.float32)
 
     dh, dc = dh_s[:], dc_s[:]
-    xw = xw_ref[0].astype(jnp.float32)
-    hw = hwsave_ref[0].astype(jnp.float32)
-    h0 = h0_ref[:].astype(jnp.float32)
-    if reverse:
-        # see _gru_bwd_kernel: predecessor is t+1, h0 where it is invalid
-        valid_next = len_ref[:] > t + 1
-        h_prev = jnp.where(valid_next, hprev_ref[0].astype(jnp.float32), h0)
-    else:
-        h_prev = jnp.where(t == 0, h0, hprev_ref[0].astype(jnp.float32))
-    # c_prev_all is precomputed outside with the same predecessor/select
-    # logic, so it is read directly in both directions.
-    c_prev = cprev_ref[0].astype(jnp.float32)
-    _, c_new, (ig, fg, gg, og) = _lstm_gates(xw, hw, c_prev)
-    tc = jnp.tanh(c_new)
+    for s in range(k):
+        jj = k - 1 - s if desc else s
+        t = blk * k + jj
+        xw = xw_ref[jj].astype(jnp.float32)
+        hw = hwsave_ref[jj].astype(jnp.float32)
+        c_prev = cprev_ref[jj].astype(jnp.float32)
+        _, c_new, (ig, fg, gg, og) = _lstm_gates(xw, hw, c_prev)
+        tc = jnp.tanh(c_new)
 
-    m = len_ref[:] > t
-    g_h = (dh + gout_ref[0].astype(jnp.float32)) * m  # grad into h_new
-    g_c = dc * m                                      # grad into c_new
-    do_pre = g_h * tc * og * (1.0 - og)
-    dc_new = g_c + g_h * og * (1.0 - tc * tc)
-    di_pre = dc_new * gg * ig * (1.0 - ig)
-    df_pre = dc_new * c_prev * fg * (1.0 - fg)
-    dg_pre = dc_new * ig * (1.0 - gg * gg)
-    dgates = jnp.concatenate([di_pre, df_pre, dg_pre, do_pre], axis=1)
-    chain = jax.lax.dot_general(
-        dgates.astype(w_ref.dtype), w_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dh_s[:] = chain + jnp.where(m, 0.0, dh)
-    dc_s[:] = dc_new * fg + jnp.where(m, 0.0, dc)
-    dxw_ref[0] = dgates.astype(dxw_ref.dtype)
+        m = len_ref[:] > t
+        g_h = (dh + gout_ref[jj].astype(jnp.float32)) * m  # grad into h_new
+        g_c = dc * m                                       # grad into c_new
+        do_pre = g_h * tc * og * (1.0 - og)
+        dc_new = g_c + g_h * og * (1.0 - tc * tc)
+        di_pre = dc_new * gg * ig * (1.0 - ig)
+        df_pre = dc_new * c_prev * fg * (1.0 - fg)
+        dg_pre = dc_new * ig * (1.0 - gg * gg)
+        dgates = jnp.concatenate([di_pre, df_pre, dg_pre, do_pre], axis=1)
+        chain = jax.lax.dot_general(
+            dgates.astype(w_ref.dtype), w_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh = chain + jnp.where(m, 0.0, dh)
+        dc = dc_new * fg + jnp.where(m, 0.0, dc)
+        dxw_ref[jj] = dgates.astype(dxw_ref.dtype)
+    dh_s[:] = dh
+    dc_s[:] = dc
 
-    @pl.when(i == T - 1)
+    @pl.when(i == nb - 1)
     def _():
         dh0_ref[:] = dh_s[:].astype(dh0_ref.dtype)
         dc0_ref[:] = dc_s[:].astype(dc0_ref.dtype)
@@ -244,22 +255,13 @@ def _lstm_bwd_kernel(reverse, len_ref, xw_ref, hwsave_ref, hprev_ref,
 # ---------------------------------------------------------------------------
 
 
-def _stream(block, T, reverse=False):
-    """Per-step stream: grid step i touches time t=i (or T-1-i reversed)."""
-    if reverse:
-        return pl.BlockSpec(block, lambda i: (T - 1 - i, 0, 0),
+def _stream(block, nblocks, desc=False):
+    """Per-grid-step time-block stream: grid step i touches memory block i
+    ascending, or nblocks-1-i when processing time-descending."""
+    if desc:
+        return pl.BlockSpec(block, lambda i: (nblocks - 1 - i, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.BlockSpec(block, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-
-
-def _stream_prev(block, T, reverse=False):
-    """The processing-predecessor stream: t-1 forward, t+1 reversed (the
-    kernels substitute h0/c0 per-row where the predecessor is invalid)."""
-    if reverse:
-        return pl.BlockSpec(block, lambda i: (jnp.minimum(i + 1, T - 1), 0, 0),
-                            memory_space=pltpu.VMEM)
-    return pl.BlockSpec(block, lambda i: (jnp.maximum(T - 2 - i, 0), 0, 0),
-                        memory_space=pltpu.VMEM)
 
 
 def _const(shape):
@@ -268,24 +270,58 @@ def _const(shape):
     return pl.BlockSpec(shape, lambda t: zero, memory_space=pltpu.VMEM)
 
 
+_VMEM_BUDGET = 14 * 1024 * 1024  # ~16 MB physical minus compiler slack
+
+GATES = {"gru": 3, "lstm": 4}
+
+# HBM-streamed H-sized units per timestep row (double-buffered), by kernel:
+# fwd GRU: xw 3H in, hall H + hwsave 3H out                      -> 7
+# bwd GRU: xw 3H, hw 3H, hprev H, gout H in; dxw 3H + dhw 3H out -> 14
+# fwd LSTM: xw 4H in, hall H + hwsave 4H out                     -> 9
+# bwd LSTM: xw 4H, hw 4H, hprev H, cprev H, gout H in; dxw 4H    -> 15
+_STREAM_UNITS = {("gru", "fwd"): 7, ("gru", "bwd"): 14,
+                 ("lstm", "fwd"): 9, ("lstm", "bwd"): 15}
+
+
+def _kernel_vmem(rnn_type: str, phase: str, hidden: int, batch: int,
+                 k: int, itemsize: int) -> int:
+    g = GATES[rnn_type]
+    w = hidden * g * hidden * itemsize
+    streams = 2 * k * batch * _STREAM_UNITS[(rnn_type, phase)] * hidden * itemsize
+    scalars = 8 * batch * hidden * 4  # h0/c0/fin/grad consts + f32 scratch
+    return w + streams + scalars
+
+
+def _block_k(rnn_type: str, phase: str, T: int, hidden: int, batch: int,
+             itemsize: int) -> int:
+    """Largest timesteps-per-grid-step that divides T and fits VMEM."""
+    for k in (8, 4, 2, 1):
+        if T % k == 0 and _kernel_vmem(rnn_type, phase, hidden, batch, k,
+                                       itemsize) <= _VMEM_BUDGET:
+            return k
+    return 1
+
+
 def _gru_fwd_call(xw, w_hh, b_hh, h0, lengths, reverse, interpret):
     T, B, G3H = xw.shape
     H = h0.shape[-1]
     dt = xw.dtype
+    k = _block_k("gru", "fwd", T, H, B, dt.itemsize)
+    nb = T // k
     len_col = lengths.astype(jnp.int32).reshape(B, 1)
     return pl.pallas_call(
-        functools.partial(_gru_fwd_kernel, reverse),
-        grid=(T,),
+        functools.partial(_gru_fwd_kernel, reverse, k),
+        grid=(nb,),
         in_specs=[
             _const((B, 1)),                       # lengths
-            _stream((1, B, G3H), T, reverse),     # xw
+            _stream((k, B, G3H), nb, reverse),    # xw
             _const((H, G3H)),                     # w_hh (resident)
             _const((1, G3H)),                     # b_hh
             _const((B, H)),                       # h0
         ],
         out_specs=[
-            _stream((1, B, H), T, reverse),       # h_all
-            _stream((1, B, G3H), T, reverse),     # hw_save
+            _stream((k, B, H), nb, reverse),      # h_all
+            _stream((k, B, G3H), nb, reverse),    # hw_save
             _const((B, H)),                       # h_final
         ],
         out_shape=[
@@ -299,10 +335,10 @@ def _gru_fwd_call(xw, w_hh, b_hh, h0, lengths, reverse, interpret):
 
 
 def _prev_all(h_all, h0, lengths, reverse):
-    """Per-step predecessor states for the off-loop dW GEMM.  Forward: h0 then
-    h_all[:-1].  Reversed: h_all[t+1] where step t+1 is valid, else h0 (masked
-    steps form a prefix of reversed processing order and leave the carry at
-    h0)."""
+    """Per-step predecessor states (for both the in-kernel gate recompute and
+    the off-loop dW GEMM).  Forward: h0 then h_all[:-1].  Reversed: h_all[t+1]
+    where step t+1 is valid, else h0 (masked steps form a prefix of reversed
+    processing order and leave the carry at h0)."""
     T = h_all.shape[0]
     if not reverse:
         return jnp.concatenate([h0[None], h_all[:-1]], axis=0)
@@ -318,25 +354,27 @@ def _gru_bwd_call(residuals, cotangents, reverse, interpret):
     T, B, G3H = xw.shape
     H = h0.shape[-1]
     dt = xw.dtype
+    k = _block_k("gru", "bwd", T, H, B, dt.itemsize)
+    nb = T // k
     len_col = lengths.astype(jnp.int32).reshape(B, 1)
     # the backward pass walks time in the opposite order of the forward
-    bwd_rev = not reverse
+    desc = not reverse
+    h_prev_all = _prev_all(h_all, h0, lengths, reverse)
     dxw, dhw, dh0 = pl.pallas_call(
-        functools.partial(_gru_bwd_kernel, reverse),
-        grid=(T,),
+        functools.partial(_gru_bwd_kernel, reverse, k),
+        grid=(nb,),
         in_specs=[
             _const((B, 1)),
-            _stream((1, B, G3H), T, bwd_rev),       # xw
-            _stream((1, B, G3H), T, bwd_rev),       # hw
-            _stream_prev((1, B, H), T, reverse),    # h predecessor
-            _const((B, H)),            # h0
+            _stream((k, B, G3H), nb, desc),       # xw
+            _stream((k, B, G3H), nb, desc),       # hw
+            _stream((k, B, H), nb, desc),         # h predecessor (precomputed)
             _const((H, G3H)),          # w_hh (resident; contracted on dim 1)
-            _stream((1, B, H), T, bwd_rev),         # g_out
+            _stream((k, B, H), nb, desc),         # g_out
             _const((B, H)),            # g_final
         ],
         out_specs=[
-            _stream((1, B, G3H), T, bwd_rev),
-            _stream((1, B, G3H), T, bwd_rev),
+            _stream((k, B, G3H), nb, desc),
+            _stream((k, B, G3H), nb, desc),
             _const((B, H)),
         ],
         out_shape=[
@@ -346,11 +384,10 @@ def _gru_bwd_call(residuals, cotangents, reverse, interpret):
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
         interpret=interpret,
-    )(len_col, xw, hw_save, h_all, h0, w_hh, g_hall, g_hfin)
+    )(len_col, xw, hw_save, h_prev_all, w_hh, g_hall, g_hfin)
 
     # Off-loop reductions: one big MXU GEMM each instead of per-step HBM
     # accumulation (the measured 30+ us/step pathology of scan autodiff).
-    h_prev_all = _prev_all(h_all, h0, lengths, reverse)
     dw = jax.lax.dot_general(
         h_prev_all.reshape(T * B, H), dhw.reshape(T * B, G3H),
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -393,21 +430,23 @@ def _lstm_fwd_call(xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret):
     T, B, G4H = xw.shape
     H = h0.shape[-1]
     dt = xw.dtype
+    k = _block_k("lstm", "fwd", T, H, B, dt.itemsize)
+    nb = T // k
     len_col = lengths.astype(jnp.int32).reshape(B, 1)
     return pl.pallas_call(
-        functools.partial(_lstm_fwd_kernel, reverse),
-        grid=(T,),
+        functools.partial(_lstm_fwd_kernel, reverse, k),
+        grid=(nb,),
         in_specs=[
             _const((B, 1)),
-            _stream((1, B, G4H), T, reverse),
+            _stream((k, B, G4H), nb, reverse),
             _const((H, G4H)),
             _const((1, G4H)),
             _const((B, H)),
             _const((B, H)),
         ],
         out_specs=[
-            _stream((1, B, H), T, reverse),
-            _stream((1, B, G4H), T, reverse),
+            _stream((k, B, H), nb, reverse),
+            _stream((k, B, G4H), nb, reverse),
             _const((B, H)),
             _const((B, H)),
         ],
@@ -448,6 +487,8 @@ def _lstm_bwd(reverse, interpret, residuals, cotangents):
     T, B, G4H = xw.shape
     H = h0.shape[-1]
     dt = xw.dtype
+    k = _block_k("lstm", "bwd", T, H, B, dt.itemsize)
+    nb = T // k
     len_col = lengths.astype(jnp.int32).reshape(B, 1)
 
     # The LSTM backward needs the predecessor c per step; rather than saving
@@ -465,26 +506,25 @@ def _lstm_bwd(reverse, interpret, residuals, cotangents):
                             (xw, hw_save, len_m), reverse=reverse)
     c_all = c_all.astype(dt)
     c_prev_all = _prev_all(c_all, c0, lengths, reverse)
+    h_prev_all = _prev_all(h_all, h0, lengths, reverse)
 
-    bwd_rev = not reverse
+    desc = not reverse
     dxw, dh0, dc0 = pl.pallas_call(
-        functools.partial(_lstm_bwd_kernel, reverse),
-        grid=(T,),
+        functools.partial(_lstm_bwd_kernel, reverse, k),
+        grid=(nb,),
         in_specs=[
             _const((B, 1)),
-            _stream((1, B, G4H), T, bwd_rev),
-            _stream((1, B, G4H), T, bwd_rev),
-            _stream_prev((1, B, H), T, reverse),   # h predecessor
-            _stream((1, B, H), T, bwd_rev),        # c predecessor (prebuilt)
-            _const((B, H)),
-            _const((B, H)),
+            _stream((k, B, G4H), nb, desc),
+            _stream((k, B, G4H), nb, desc),
+            _stream((k, B, H), nb, desc),   # h predecessor (precomputed)
+            _stream((k, B, H), nb, desc),   # c predecessor (precomputed)
             _const((H, G4H)),
-            _stream((1, B, H), T, bwd_rev),
+            _stream((k, B, H), nb, desc),
             _const((B, H)),
             _const((B, H)),
         ],
         out_specs=[
-            _stream((1, B, G4H), T, bwd_rev),
+            _stream((k, B, G4H), nb, desc),
             _const((B, H)),
             _const((B, H)),
         ],
@@ -496,10 +536,9 @@ def _lstm_bwd(reverse, interpret, residuals, cotangents):
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((B, H), jnp.float32)],
         interpret=interpret,
-    )(len_col, xw, hw_save, h_all, c_prev_all, h0, c0, w_hh,
+    )(len_col, xw, hw_save, h_prev_all, c_prev_all, w_hh,
       g_hall, g_hfin, g_cfin)
 
-    h_prev_all = _prev_all(h_all, h0, lengths, reverse)
     dw = jax.lax.dot_general(
         h_prev_all.reshape(T * B, H), dxw.reshape(T * B, G4H),
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -517,28 +556,12 @@ lstm_scan.defvjp(_lstm_fwd_res, _lstm_bwd)
 # ---------------------------------------------------------------------------
 
 
-_VMEM_BUDGET = 14 * 1024 * 1024  # ~16 MB physical minus compiler slack
-
-GATES = {"gru": 3, "lstm": 4}
-
-
-def _vmem_bytes(rnn_type: str, hidden: int, batch: int, itemsize: int) -> int:
-    """Peak VMEM of the larger (backward) kernel: resident W_hh + the
-    double-buffered per-step streams.  Used to fall back to the XLA scan for
-    configurations that cannot fit (e.g. fp32 at the flagship shape)."""
-    g = GATES[rnn_type]
-    w = hidden * g * hidden * itemsize
-    gh_streams = {"gru": 4, "lstm": 3}[rnn_type]  # xw, hw, (dxw, dhw | dxw)
-    h_streams = {"gru": 2, "lstm": 4}[rnn_type]   # h_prev, gout (+c_prev...)
-    streams = 2 * batch * (gh_streams * g * hidden + h_streams * hidden) * itemsize
-    scalars = 6 * batch * hidden * 4  # h0/c0/gfin/dh0 consts + f32 scratch
-    return w + streams + scalars
-
-
 def supported(rnn_type: str, hidden: int, batch: int,
               itemsize: int = 2) -> bool:
     """Shapes the compiled TPU kernel handles well: lane-aligned hidden dims,
-    a batch that fills MXU sublanes, and a VMEM-resident weight + stream set.
-    Others use the XLA scan."""
+    a batch that fills MXU sublanes, and a VMEM-resident weight + stream set
+    at k=1 (larger k is an automatic per-call upgrade).  Others use the XLA
+    scan."""
     return (rnn_type in ("gru", "lstm") and hidden % 128 == 0 and batch >= 8
-            and _vmem_bytes(rnn_type, hidden, batch, itemsize) <= _VMEM_BUDGET)
+            and _kernel_vmem(rnn_type, "bwd", hidden, batch, 1,
+                             itemsize) <= _VMEM_BUDGET)

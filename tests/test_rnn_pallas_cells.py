@@ -229,3 +229,71 @@ def test_supported_gating_and_odd_shapes():
     params = rnn.init(jax.random.PRNGKey(7), x, lengths)
     out, _ = rnn.apply(params, x, lengths)
     assert out.shape == (2, T, 50)
+
+
+@pytest.mark.parametrize("rnn_type", ["gru", "lstm"])
+@pytest.mark.parametrize("Tk", [5, 4, 8, 12])  # k = 1, 4, 8, 4
+def test_time_block_unroll_matches_xla_all_k(rnn_type, Tk):
+    """The k-timesteps-per-grid-step unrolling (incl. the k=1 fallback for
+    odd T) is semantically invisible: fwd + grads match the XLA scan."""
+    G = 3 if rnn_type == "gru" else 4
+    ks = jax.random.split(jax.random.PRNGKey(20 + Tk), 5)
+    xw = _rand(ks[0], Tk, B, G * H, scale=1.0)
+    w = _rand(ks[1], H, G * H)
+    b = _rand(ks[2], G * H, scale=0.1)
+    h0 = _rand(ks[3], B, H)
+    c0 = _rand(ks[4], B, H)
+    lengths = jnp.array([Tk, max(Tk - 2, 1), 2, 1], jnp.float32)
+
+    def xla(args, rev):
+        xw_, w_, b_ = args[0], args[1], args[2]
+        if rev:
+            from rnntransducer_tpu.utils.masking import flip_sequences
+            xw_ = jnp.swapaxes(
+                flip_sequences(jnp.swapaxes(xw_, 0, 1),
+                               lengths.astype(jnp.int32)), 0, 1)
+
+        def body(carry, inp):
+            xw_t, t = inp
+            if rnn_type == "gru":
+                h = carry
+                h_new, _ = rp._gru_gates(xw_t, h @ w_ + b_, h)
+                m = (lengths > t)[:, None]
+                return jnp.where(m, h_new, h), jnp.where(m, h_new, 0.0)
+            h, c = carry
+            h_new, c_new, _ = rp._lstm_gates(xw_t, h @ w_ + b_, c)
+            m = (lengths > t)[:, None]
+            return ((jnp.where(m, h_new, h), jnp.where(m, c_new, c)),
+                    jnp.where(m, h_new, 0.0))
+        init = args[3] if rnn_type == "gru" else (args[3], args[4])
+        fin, hall = jax.lax.scan(
+            body, init, (xw_, jnp.arange(Tk, dtype=jnp.float32)))
+        if rev:
+            from rnntransducer_tpu.utils.masking import flip_sequences
+            hall = jnp.swapaxes(
+                flip_sequences(jnp.swapaxes(hall, 0, 1),
+                               lengths.astype(jnp.int32)), 0, 1)
+        if rnn_type == "gru":
+            return hall, fin
+        return hall, fin[0], fin[1]
+
+    for rev in (False, True):
+        if rnn_type == "gru":
+            args = (xw, w, b, h0)
+            got = rp.gru_scan(*args, lengths, rev, True)
+            fn = lambda a: rp.gru_scan(*a, lengths, rev, True)
+        else:
+            args = (xw, w, b, h0, c0)
+            got = rp.lstm_scan(*args, lengths, rev, True)
+            fn = lambda a: rp.lstm_scan(*a, lengths, rev, True)
+        want = xla(args, rev)
+        for g_, w_ in zip(got, want):
+            np.testing.assert_allclose(g_, w_, atol=1e-6, err_msg=f"rev={rev}")
+
+        def loss(f):
+            return lambda a: sum((i + 1.0) * jnp.sum(jnp.sin(o))
+                                 for i, o in enumerate(f(a)))
+        gp = jax.grad(loss(fn))(args)
+        gx = jax.grad(loss(lambda a: xla(a, rev)))(args)
+        for g_, w_ in zip(gp, gx):
+            np.testing.assert_allclose(g_, w_, atol=2e-5, err_msg=f"rev={rev}")
