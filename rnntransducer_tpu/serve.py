@@ -160,7 +160,11 @@ class Recognizer:
         (cfg.data.audio.normalize), the session defaults to the causal
         "running" normalization — an approximation of the offline statistics
         (exact per-utterance norm needs the whole utterance); pass
-        normalize="none"/"running" to override.
+        normalize="none"/"running"/"fixed" (with norm_mean/norm_var corpus
+        statistics) to override.  Measured on the waveform testbed
+        (examples/streaming_norm_validation.py, numbers in BASELINE.md):
+        "running" tracks offline decoding closely; "none" on a norm-trained
+        model pays a real CER penalty.
         """
         from rnntransducer_tpu.decode.streaming import StreamingRecognizer
         kw.setdefault("normalize",

@@ -67,3 +67,27 @@ def test_recognizer_end_to_end(tmp_path):
     assert rec2.transcribe(wav_path) == text
     import os
     assert os.path.exists(os.path.join(out, "params.msgpack"))
+
+
+def test_stream_session_normalization_modes(tmp_path):
+    """stream() defaults to 'running' for norm-trained models, 'none'
+    otherwise, and passes 'fixed' calibration through to the frontend."""
+    cfg = _cfg(tmp_path)  # AudioConfig default: normalize=True
+    ds = SyntheticAudioDataset(4, AudioConfig(), min_sec=0.3, max_sec=0.6,
+                               min_labels=3, max_labels=6, seed=1)
+    trainer = Trainer(cfg, ds, val_dataset=None)
+    trainer.fit()
+    trainer.ckpt.close()
+
+    rec = Recognizer.from_checkpoint(str(tmp_path / "ckpt"), decoder="greedy")
+    assert rec.cfg.data.audio.normalize
+    s = rec.stream(chunk_frames=16)
+    assert s.frontend.normalize == "running"
+    s2 = rec.stream(chunk_frames=16, normalize="fixed", norm_mean=0.5,
+                    norm_var=2.0)
+    assert s2.frontend.normalize == "fixed"
+    assert s2.frontend.norm_mean == 0.5 and s2.frontend.norm_var == 2.0
+    rng = np.random.RandomState(2)
+    s2.feed(rng.randn(3200).astype(np.float32))
+    out = s2.flush()
+    assert isinstance(out, list)
