@@ -42,6 +42,20 @@ def parse_args():
     p.add_argument("--hotwords", type=str, nargs="*", default=None)
     p.add_argument("--hotword_weight", type=float, default=None)
     p.add_argument("--max_output_len", type=int, default=256)
+    p.add_argument("--stream", action="store_true",
+                   help="simulate real-time streaming: feed the wav in "
+                        "--chunk_ms chunks through the incremental frontend "
+                        "+ carried encoder state, printing partials "
+                        "(requires a unidirectional encoder)")
+    p.add_argument("--chunk_ms", type=int, default=100)
+    p.add_argument("--normalize", type=str, default=None,
+                   choices=["none", "running", "fixed"],
+                   help="streaming normalization (default: 'running' when "
+                        "the model was trained with per-utterance norm)")
+    p.add_argument("--norm_mean", type=float, default=0.0,
+                   help="--normalize fixed calibration mean")
+    p.add_argument("--norm_var", type=float, default=1.0,
+                   help="--normalize fixed calibration variance")
     return p.parse_args()
 
 
@@ -86,6 +100,29 @@ def main():
     variables = {"params": state.params}
 
     wavs = [read_wav(p, cfg.data.audio.sample_rate) for p in args.wav]
+
+    if args.stream:
+        from rnntransducer_tpu.decode.streaming import StreamingRecognizer
+        norm = args.normalize or (
+            "running" if cfg.data.audio.normalize else "none")
+        chunk = max(1, cfg.data.audio.sample_rate * args.chunk_ms // 1000)
+        use_beam = args.decoder in ("beam", "beam_batched")
+        for path, wav in zip(args.wav, wavs):
+            rec = StreamingRecognizer(
+                model, variables, cfg.data.audio,
+                blank_id=tok.blank_token_id,
+                max_symbols=cfg.train.greedy_max_symbols,
+                max_output_len=args.max_output_len, normalize=norm,
+                decoder="beam" if use_beam else "greedy",
+                beam_width=args.beam_width,
+                norm_mean=args.norm_mean, norm_var=args.norm_var)
+            for s in range(0, len(wav), chunk):
+                rec.feed(wav[s:s + chunk])
+                partial = tok.decode(rec.tokens, group_tokens=False)
+                print(f"\r{path}\t{partial}", end="", flush=True)
+            rec.flush()
+            print(f"\r{path}\t{tok.decode(rec.tokens, group_tokens=False)}")
+        return
     S = max(len(w) for w in wavs)
     batch = np.zeros((len(wavs), S), np.float32)
     lengths = np.zeros((len(wavs),), np.int32)

@@ -95,6 +95,23 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        # Abstract templates (jax.eval_shape — the inference/serve restore
+        # path) carry no sharding, and orbax then refuses to deserialize when
+        # the current device topology differs from save time (train on an
+        # N-device mesh -> infer on one device).  Attach a concrete
+        # single-device sharding so restore is topology-independent; concrete
+        # templates (the Trainer's live state) keep their own shardings.
+        import jax
+
+        dev = jax.devices()[0]
+        one = jax.sharding.SingleDeviceSharding(dev)
+
+        def _concrete(x):
+            if isinstance(x, jax.ShapeDtypeStruct) and x.sharding is None:
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=one)
+            return x
+
+        state_template = jax.tree.map(_concrete, state_template)
         return self._mgr.restore(step,
                                  args=ocp.args.StandardRestore(state_template))
 
