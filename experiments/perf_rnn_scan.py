@@ -5,7 +5,11 @@ input 2048) forward and forward+backward, against HBM/MXU rooflines, to test
 the hypothesis that the XLA scan backward's per-step dW_hh accumulation
 (12.6 MB fp32 read+write per timestep) dominates the training step.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
