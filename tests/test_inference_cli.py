@@ -59,7 +59,7 @@ def test_inference_cli_offline_and_stream(tmp_path):
             [sys.executable, os.path.join(REPO, "inference.py"),
              "--checkpoint_dir", str(tmp_path / "ckpt"),
              "--wav", wav_path, *extra],
-            env=env, cwd=REPO, capture_output=True, text=True, timeout=420)
+            env=env, cwd=REPO, capture_output=True, text=True, timeout=560)
         assert r.returncode == 0, r.stderr[-2000:]
         return r.stdout
 
