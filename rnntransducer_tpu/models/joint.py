@@ -53,9 +53,30 @@ class JointNetwork(nn.Module):
             enc, dec = self.enc_proj(enc), self.dec_proj(dec)
             enc, dec = self._broadcast(enc, dec)
             x = enc + dec
-        else:
-            enc, dec = self._broadcast(enc, dec)
-            x = jnp.concatenate([enc, dec], axis=-1)
+            x = jax.nn.gelu(x, approximate=True)
+            return self.fc(x)
+        if enc.ndim == dec.ndim and enc.ndim >= 3:
+            # Rank-decomposed concat joint.  GELU is elementwise and the
+            # concat halves never mix before the (linear) fc, so
+            #   fc(gelu(concat(e, d))) = gelu(e) @ W_enc + gelu(d) @ W_dec + b
+            # — two per-SEQUENCE projections of the tiny (B,T,De)/(B,U,Dd)
+            # tensors instead of one per-LATTICE-POINT GEMM: the broadcast
+            # lattice carries V (=num_classes) logits, never the De+Dd
+            # hidden.  Exact (same math, float reassociation only); measured
+            # the difference on the flagship step in BASELINE.md.  The fc
+            # parameter layout is unchanged (checkpoint-compatible): the
+            # split is realized by zero-padding the absent half.
+            ge = jax.nn.gelu(enc, approximate=True)
+            gd = jax.nn.gelu(dec, approximate=True)
+            De, Dd = ge.shape[-1], gd.shape[-1]
+            A = self.fc(jnp.concatenate(
+                [ge, jnp.zeros(ge.shape[:-1] + (Dd,), ge.dtype)], axis=-1))
+            C = self.fc(jnp.concatenate(
+                [jnp.zeros(gd.shape[:-1] + (De,), gd.dtype), gd], axis=-1))
+            bias = self.fc(jnp.zeros((De + Dd,), ge.dtype))
+            return A[..., :, None, :] + C[..., None, :, :] - bias
+        enc, dec = self._broadcast(enc, dec)
+        x = jnp.concatenate([enc, dec], axis=-1)
         # GELU(approximate="tanh") — networks/transducer.py:38,68
         x = jax.nn.gelu(x, approximate=True)
         return self.fc(x)

@@ -79,3 +79,38 @@ def test_joint_add_mode():
     out = model.apply(v, audio, jnp.array([6, 6]), text, jnp.array([4, 4]))
     assert out.shape == (2, 6, 4, 9)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_rank_decomposed_concat_joint_matches_naive():
+    """The lattice-mode concat joint computes
+    fc(gelu(concat(bcast(e), bcast(d)))) via the rank decomposition
+    gelu(e)@W_enc + gelu(d)@W_dec + b; must match the naive broadcast-concat
+    computation to float tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rnntransducer_tpu.config import JointNetConfig
+    from rnntransducer_tpu.models.joint import JointNetwork
+
+    B, T, U, De, Dd, V = 2, 5, 4, 8, 6, 11
+    cfg = JointNetConfig(num_classes=V, combine="concat")
+    m = JointNetwork(cfg)
+    rng = jax.random.PRNGKey(0)
+    enc = jax.random.normal(rng, (B, T, De))
+    dec = jax.random.normal(jax.random.PRNGKey(1), (B, U, Dd))
+    params = m.init(jax.random.PRNGKey(2), enc, dec)
+
+    got = m.apply(params, enc, dec)
+    W = params["params"]["fc"]["kernel"]
+    b = params["params"]["fc"]["bias"]
+    ebc = jnp.broadcast_to(enc[:, :, None, :], (B, T, U, De))
+    dbc = jnp.broadcast_to(dec[:, None, :, :], (B, T, U, Dd))
+    want = jax.nn.gelu(jnp.concatenate([ebc, dbc], -1), approximate=True) @ W + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+    # single-step (decode) mode keeps the direct path and must agree with a
+    # one-frame lattice slice
+    step = m.apply(params, enc[:, 0], dec[:, 0])
+    np.testing.assert_allclose(np.asarray(step), np.asarray(got[:, 0, 0]),
+                               rtol=2e-5, atol=2e-6)
