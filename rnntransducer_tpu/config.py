@@ -182,7 +182,7 @@ class TrainConfig:
     # fused joint+loss: compute the joint lattice in T-chunks of this many
     # frames so the full (B,T,U,V) logits never materialize (0 = disabled).
     # Numerically identical to the unfused path; controls peak HBM.
-    joint_chunk_frames: int = 64
+    joint_chunk_frames: int = 256
     # param/grad histogram logging every N steps (0 = off) — the
     # wandb.watch(model, log="all") equivalent (reference train.py:27);
     # histograms are computed on device and cost one extra fwd+bwd per
