@@ -1,0 +1,198 @@
+"""Streaming recognition over TCP — the network serving layer.
+
+The reference has **no serving layer at all** (SURVEY.md §1: "no serving
+layer"); its inference surface is a one-wav script
+(``/root/reference/inference.py:13-66``).  This module turns the
+``Recognizer``/``StreamingRecognizer`` session API into a long-lived network
+service a production client can stream microphone audio to.
+
+Protocol (one session per TCP connection, little-endian):
+
+    client -> server:  [int32 n][n bytes]   raw PCM chunk — int16 samples at
+                                            the model sample rate
+                       [int32 0]            end of stream
+    server -> client:  newline-delimited JSON after every chunk:
+                       {"partial": "<best text so far>"}
+                       and on end of stream:
+                       {"final": "<text>", "tokens": [...]}\n
+
+Concurrency: sessions run on independent threads; device work (the chunked
+encoder/decode steps) serializes through a process-wide lock — one TPU chip
+executes one program at a time anyway, so the lock adds ordering, not cost.
+Each connection owns its own streaming state (frontend buffer, encoder
+carry, decode carry), so interleaved sessions never share state.
+
+    server = StreamingServer(recognizer, port=0)        # 0 = ephemeral
+    server.start()                                      # background thread
+    ... server.port ...
+    server.stop()
+
+CLI: ``python -m rnntransducer_tpu.serve_socket --checkpoint_dir ckpts
+--port 7070 [--decoder greedy|beam] [--normalize running]``.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+import threading
+from typing import Optional
+
+import numpy as np
+
+
+def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
+    buf = b""
+    while len(buf) < n:
+        part = conn.recv(n - len(buf))
+        if not part:
+            return None
+        buf += part
+    return buf
+
+
+class StreamingServer:
+    def __init__(self, recognizer, host: str = "127.0.0.1", port: int = 0,
+                 chunk_frames: Optional[int] = None, **session_kw):
+        self.recognizer = recognizer
+        self.host = host
+        self._requested_port = port
+        self.chunk_frames = chunk_frames
+        self.session_kw = session_kw
+        self._device_lock = threading.Lock()
+        self._sock: Optional[socket.socket] = None
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
+        self.port: Optional[int] = None
+
+    # ------------------------------------------------------------- session
+    def _serve_conn(self, conn: socket.socket) -> None:
+        sess = self.recognizer.stream(chunk_frames=self.chunk_frames,
+                                      **self.session_kw)
+        tok = self.recognizer.tokenizer
+        try:
+            while True:
+                hdr = _recv_exact(conn, 4)
+                if hdr is None:
+                    return  # client vanished mid-stream: no final
+                (n,) = struct.unpack("<i", hdr)
+                if n <= 0:
+                    break  # end of stream
+                payload = _recv_exact(conn, n)
+                if payload is None:
+                    return
+                pcm = np.frombuffer(payload, dtype="<i2").astype(np.float32)
+                pcm /= 32768.0
+                with self._device_lock:
+                    sess.feed(pcm)
+                    partial = self.recognizer._decode_text(sess.tokens)
+                conn.sendall((json.dumps({"partial": partial}) + "\n")
+                             .encode())
+            with self._device_lock:
+                sess.flush()
+                tokens = list(sess.tokens)
+                final = self.recognizer._decode_text(tokens)
+            conn.sendall((json.dumps(
+                {"final": final, "tokens": [int(t) for t in tokens]}) + "\n")
+                .encode())
+        except (ConnectionError, BrokenPipeError):
+            pass
+        finally:
+            conn.close()
+
+    # -------------------------------------------------------------- server
+    def _accept_loop(self) -> None:
+        while self._running:
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return  # socket closed by stop()
+            t = threading.Thread(target=self._serve_conn, args=(conn,),
+                                 daemon=True)
+            t.start()
+
+    def start(self) -> "StreamingServer":
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((self.host, self._requested_port))
+        self._sock.listen(16)
+        self.port = self._sock.getsockname()[1]
+        self._running = True
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._running = False
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+# ------------------------------------------------------------------ client
+def stream_wav(host: str, port: int, wav: np.ndarray,
+               chunk_samples: int = 1600):
+    """Reference client: stream float32 PCM in int16 chunks; returns
+    (partials list, final dict)."""
+    pcm16 = np.clip(wav * 32768.0, -32768, 32767).astype("<i2")
+    partials, final = [], None
+    with socket.socket() as s:
+        s.connect((host, port))
+        f = s.makefile("rb")
+        for i in range(0, len(pcm16), chunk_samples):
+            chunk = pcm16[i:i + chunk_samples].tobytes()
+            s.sendall(struct.pack("<i", len(chunk)) + chunk)
+            msg = json.loads(f.readline())
+            partials.append(msg["partial"])
+        s.sendall(struct.pack("<i", 0))
+        final = json.loads(f.readline())
+    return partials, final
+
+
+def main():
+    import argparse
+
+    from rnntransducer_tpu.serve import Recognizer
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint_dir", type=str, required=True)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7070)
+    p.add_argument("--decoder", type=str, default="greedy",
+                   choices=["greedy", "beam"])
+    p.add_argument("--beam_width", type=int, default=4)
+    p.add_argument("--normalize", type=str, default=None,
+                   choices=["none", "running", "fixed"])
+    p.add_argument("--chunk_frames", type=int, default=None)
+    args = p.parse_args()
+
+    rec = Recognizer.from_checkpoint(args.checkpoint_dir,
+                                     decoder=args.decoder,
+                                     beam_width=args.beam_width)
+    kw = {}
+    if args.normalize:
+        kw["normalize"] = args.normalize
+    server = StreamingServer(rec, host=args.host, port=args.port,
+                             chunk_frames=args.chunk_frames, **kw)
+    server.start()
+    print(f"streaming on {args.host}:{server.port} "
+          f"(decoder={args.decoder})", flush=True)
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -91,3 +91,52 @@ def test_stream_session_normalization_modes(tmp_path):
     s2.feed(rng.randn(3200).astype(np.float32))
     out = s2.flush()
     assert isinstance(out, list)
+
+
+def test_streaming_socket_server(tmp_path):
+    """TCP streaming service: per-chunk partials, final result, and two
+    interleaved sessions with independent state."""
+    import threading
+
+    from rnntransducer_tpu.serve_socket import StreamingServer, stream_wav
+
+    cfg = _cfg(tmp_path)
+    ds = SyntheticAudioDataset(4, AudioConfig(), min_sec=0.3, max_sec=0.6,
+                               min_labels=3, max_labels=6, seed=2)
+    trainer = Trainer(cfg, ds, val_dataset=None)
+    trainer.fit()
+    trainer.ckpt.close()
+
+    rec = Recognizer.from_checkpoint(str(tmp_path / "ckpt"), decoder="greedy")
+    rng = np.random.RandomState(1)
+    wav = rng.randn(9600).astype(np.float32) * 0.1
+
+    with StreamingServer(rec, port=0, chunk_frames=16) as server:
+        partials, final = stream_wav("127.0.0.1", server.port, wav)
+        assert len(partials) == 6  # 9600 / 1600 chunks, one reply each
+        assert isinstance(final["final"], str)
+        assert isinstance(final["tokens"], list)
+        # session-equivalence: a direct session fed the same int16-quantized
+        # audio in the same 1600-sample pieces matches exactly.  (Same pieces
+        # matters: this model is norm-trained, so the session defaults to
+        # "running" normalization, whose early-frame statistics depend on
+        # feed granularity by design.)
+        wav_q = (np.clip(wav * 32768.0, -32768, 32767).astype("<i2")
+                 .astype(np.float32) / 32768.0)
+        direct = rec.stream(chunk_frames=16)
+        for i in range(0, len(wav_q), 1600):
+            direct.feed(wav_q[i:i + 1600])
+        direct.flush()
+        assert final["tokens"] == [int(t) for t in direct.tokens]
+
+        # two interleaved sessions (threads) don't corrupt each other
+        wav2 = rng.randn(8000).astype(np.float32) * 0.1
+        out = {}
+
+        def client(name, w):
+            out[name] = stream_wav("127.0.0.1", server.port, w)
+
+        t1 = threading.Thread(target=client, args=("a", wav))
+        t2 = threading.Thread(target=client, args=("b", wav2))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert out["a"][1]["tokens"] == final["tokens"]
