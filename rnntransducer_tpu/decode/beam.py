@@ -28,6 +28,20 @@ Faithful reference quirks kept (documented):
   blank (``transducer.py:360``);
 * duplicate hypotheses are not merged (scores are per-expansion, not
   marginalized).
+
+Deliberate divergences from the reference (CTC-isms corrected for RNN-T):
+* hypothesis texts decode with ``group_tokens=False`` — the reference's
+  ``tokenizer.decode`` inherits Wav2Vec2CTC's default consecutive-repeat
+  merging (``transducer.py:170``), but RNN-T emissions are real tokens, not
+  CTC frame repeats, so merging would silently delete legitimate repeated
+  graphemes;
+* the no-LM hotword branch scores ``score_partial_token`` on the LAST word
+  (the in-progress one) rather than the full text
+  (``transducer.py:172-174``) — partial-token boosting is defined on the
+  word being typed, and pyctcdecode's own LM branch does exactly that
+  (mirrored at ``transducer.py:205-210``);
+* a missing ``current_text`` LM-cache entry falls back to the LM start
+  state instead of raising ``KeyError`` (``transducer.py:198``).
 """
 
 from __future__ import annotations
