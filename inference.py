@@ -102,6 +102,17 @@ def main():
     wavs = [read_wav(p, cfg.data.audio.sample_rate) for p in args.wav]
 
     if args.stream:
+        if args.lm_path or args.hotwords:
+            # fusion lives in the host A/B-set decoder; the streaming path
+            # uses the device batched beam, which has none — refusing beats
+            # silently transcribing without the LM the user asked for (these
+            # flags may also arrive via the checkpoint's persisted
+            # InferenceConfig, hence the check after the config fallback)
+            raise SystemExit(
+                "--stream has no LM/hotword shallow fusion (the streaming "
+                "decoder is the device-side batched beam). Drop --stream, "
+                "or drop --lm_path/--hotwords (pass --lm_path '' to "
+                "override a checkpoint-persisted LM path).")
         from rnntransducer_tpu.decode.streaming import StreamingRecognizer
         norm = args.normalize or (
             "running" if cfg.data.audio.normalize else "none")
@@ -116,9 +127,12 @@ def main():
                 decoder="beam" if use_beam else "greedy",
                 beam_width=args.beam_width,
                 norm_mean=args.norm_mean, norm_var=args.norm_var)
+            emitted = []  # greedy: accumulate feed()'s returns — a .tokens
+            # poll would re-fetch the whole buffer every chunk
             for s in range(0, len(wav), chunk):
-                rec.feed(wav[s:s + chunk])
-                partial = tok.decode(rec.tokens, group_tokens=False)
+                emitted += rec.feed(wav[s:s + chunk])
+                toks = rec.tokens if use_beam else emitted
+                partial = tok.decode(toks, group_tokens=False)
                 print(f"\r{path}\t{partial}", end="", flush=True)
             rec.flush()
             print(f"\r{path}\t{tok.decode(rec.tokens, group_tokens=False)}")

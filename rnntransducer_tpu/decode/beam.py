@@ -241,9 +241,14 @@ class BeamSearchDecoder:
                     # scoring all of them wastes device work when pruning is
                     # weak and A grows large. most_prob_A is the global max,
                     # hence the unscored max, hence always in the wave.
-                    unscored = [h for h in A_hyps if h.cache is None]
+                    unscored = [h for h in A_hyps
+                                if h.cache is None and h is not most_prob_A]
                     unscored.sort(key=self._key, reverse=True)
-                    self._score_wave(unscored[:self.wave_size], enc_t)
+                    # most_prob_A goes in explicitly: under NaN scores the
+                    # sort order is undefined and "max == top of sort" no
+                    # longer holds — it must be scored regardless.
+                    self._score_wave([most_prob_A]
+                                     + unscored[:self.wave_size - 1], enc_t)
                 A_hyps.remove(most_prob_A)
 
                 log_probs, new_state = most_prob_A.cache
@@ -267,18 +272,19 @@ class BeamSearchDecoder:
                         cand.state = new_state
                         new_A.append(cand)
                 A_hyps.extend(new_A)
+                if self._use_lm and new_A:
+                    self._score_lm_beams(A_hyps, cached_lm, cached_partial,
+                                         is_eos=False)
                 if len(A_hyps) > self.max_live:
                     # safety valve (not in reference): when pruning is weak
                     # (flat distributions) A grows without bound and the
                     # host-side max/remove go O(|A|); keep the top of the
-                    # pop order. No effect in the trained-model regime,
+                    # pop order. Runs AFTER LM rescoring so fresh expansions
+                    # rank by their real key, not the parent's stale
+                    # lm_score. No effect in the trained-model regime,
                     # where |A| stays near the beam width.
                     A_hyps.sort(key=self._key, reverse=True)
                     del A_hyps[self.max_live:]
-
-                if self._use_lm and new_A:
-                    self._score_lm_beams(A_hyps, cached_lm, cached_partial,
-                                         is_eos=False)
                 best_next_A = max((self._key(h) for h in A_hyps),
                                   default=float("-inf"))
                 best_next_B = max(self._key(h) for h in B_hyps)

@@ -68,10 +68,17 @@ class StreamingServer:
 
     # ------------------------------------------------------------- session
     def _serve_conn(self, conn: socket.socket) -> None:
-        sess = self.recognizer.stream(chunk_frames=self.chunk_frames,
-                                      **self.session_kw)
-        tok = self.recognizer.tokenizer
         try:
+            try:
+                sess = self.recognizer.stream(chunk_frames=self.chunk_frames,
+                                              **self.session_kw)
+            except Exception as e:  # e.g. bidirectional encoder
+                conn.sendall((json.dumps({"error": str(e)}) + "\n").encode())
+                return
+            beam = getattr(sess, "decoder", "greedy") == "beam"
+            emitted: list = []  # greedy partials accumulate from feed()'s
+            # returns; a .tokens poll would re-fetch the whole buffer per
+            # chunk (one extra device round trip)
             while True:
                 hdr = _recv_exact(conn, 4)
                 if hdr is None:
@@ -82,11 +89,17 @@ class StreamingServer:
                 payload = _recv_exact(conn, n)
                 if payload is None:
                     return
+                if n % 2:
+                    conn.sendall((json.dumps(
+                        {"error": f"odd payload length {n}: samples are "
+                                  "int16"}) + "\n").encode())
+                    return
                 pcm = np.frombuffer(payload, dtype="<i2").astype(np.float32)
                 pcm /= 32768.0
                 with self._device_lock:
-                    sess.feed(pcm)
-                    partial = self.recognizer._decode_text(sess.tokens)
+                    emitted += sess.feed(pcm)
+                    toks = sess.tokens if beam else emitted
+                    partial = self.recognizer._decode_text(toks)
                 conn.sendall((json.dumps({"partial": partial}) + "\n")
                              .encode())
             with self._device_lock:
@@ -98,6 +111,12 @@ class StreamingServer:
                 .encode())
         except (ConnectionError, BrokenPipeError):
             pass
+        except Exception as e:
+            # never leave the client hanging on an unreplied readline
+            try:
+                conn.sendall((json.dumps({"error": str(e)}) + "\n").encode())
+            except OSError:
+                pass
         finally:
             conn.close()
 

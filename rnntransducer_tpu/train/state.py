@@ -99,7 +99,14 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
     feats = feats.astype(compute_dtype)
     blank = cfg.data.text.pad_token_id
 
-    if cfg.train.joint_chunk_frames > 0:
+    chunk_frames = cfg.train.joint_chunk_frames
+    if chunk_frames > 0 and cfg.model.jointnet.combine == "add":
+        # the 256-frame default is sized for the rank-decomposed concat
+        # joint, whose chunks carry only V logits; an additive joint does
+        # NOT factor (gelu of the sum) and rebuilds a (B, Tc, U+1, hidden)
+        # lattice per chunk — keep its transient at the old bound
+        chunk_frames = min(chunk_frames, 64)
+    if chunk_frames > 0:
         # fused path: joint computed per T-chunk inside the loss, the full
         # (B,T,U,V) lattice never materializes (ops.rnnt_loss_fused)
         enc, _ = m.apply(variables, feats, feat_lengths,
@@ -113,7 +120,7 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
                                feat_lengths, batch["target_lengths"],
                                blank=blank, reduction=reduction,
                                backend=loss_backend,
-                               chunk_frames=cfg.train.joint_chunk_frames)
+                               chunk_frames=chunk_frames)
     else:
         logits = m.apply(variables, feats, feat_lengths, batch["text_in"],
                          batch["text_lengths"], deterministic=deterministic,
