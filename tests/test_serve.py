@@ -140,3 +140,32 @@ def test_streaming_socket_server(tmp_path):
         t2 = threading.Thread(target=client, args=("b", wav2))
         t1.start(); t2.start(); t1.join(); t2.join()
         assert out["a"][1]["tokens"] == final["tokens"]
+
+
+def test_streaming_socket_server_beam(tmp_path):
+    """Beam-decoder sessions over the socket: partials poll the ranked best,
+    final matches a direct beam session."""
+    from rnntransducer_tpu.serve_socket import StreamingServer, stream_wav
+
+    cfg = _cfg(tmp_path)
+    ds = SyntheticAudioDataset(4, AudioConfig(), min_sec=0.3, max_sec=0.6,
+                               min_labels=3, max_labels=6, seed=4)
+    trainer = Trainer(cfg, ds, val_dataset=None)
+    trainer.fit()
+    trainer.ckpt.close()
+
+    rec = Recognizer.from_checkpoint(str(tmp_path / "ckpt"), decoder="beam",
+                                     beam_width=2)
+    rng = np.random.RandomState(3)
+    wav = rng.randn(8000).astype(np.float32) * 0.1
+    with StreamingServer(rec, port=0, chunk_frames=16) as server:
+        partials, final = stream_wav("127.0.0.1", server.port, wav)
+        assert len(partials) == 5
+        assert all(isinstance(p, str) for p in partials)
+        wav_q = (np.clip(wav * 32768.0, -32768, 32767).astype("<i2")
+                 .astype(np.float32) / 32768.0)
+        direct = rec.stream(chunk_frames=16)
+        for i in range(0, len(wav_q), 1600):
+            direct.feed(wav_q[i:i + 1600])
+        direct.flush()
+        assert final["tokens"] == [int(t) for t in direct.tokens]
