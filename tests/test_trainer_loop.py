@@ -4,6 +4,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 import rnntransducer_tpu as rt
 from rnntransducer_tpu.config import (
@@ -185,3 +186,85 @@ def test_watch_histograms_logged(tmp_path):
     gh = rec["grads"][name]
     assert sum(gh["counts"]) == sum(h["counts"])
     trainer.ckpt.close()
+
+
+def test_preemption_flag_checkpoints_and_exits(tmp_path):
+    """The preemption flag (set by the SIGTERM handler on real runs) stops
+    the step loop at the next boundary, saves a consistent checkpoint, logs
+    the event, and fit(resume=True) continues from there."""
+    import json
+    import os
+    import threading
+    import time
+
+    cfg = _cfg(tmp_path, max_steps=500)  # far more steps than we'll run
+    trainer = Trainer(cfg, _ds(12), val_dataset=None)
+
+    def preempt_soon():
+        while getattr(trainer, "_preempted", "absent") in ("absent",) or \
+                trainer._host_step < 1:
+            time.sleep(0.05)
+        trainer._preempted = "SIGTERM"
+
+    t = threading.Thread(target=preempt_soon, daemon=True)
+    t.start()
+    state = trainer.fit()
+    t.join(timeout=5)
+    stopped_at = int(state.step)
+    assert 1 <= stopped_at < 500
+    assert trainer.ckpt.latest_step() == stopped_at
+
+    path = os.path.join(cfg.train.checkpoint_dir, "metrics.jsonl")
+    events = [json.loads(l) for l in open(path)]
+    assert any(r.get("event") == "preempted" for r in events)
+
+    # resume picks up exactly where preemption left off
+    cfg2 = _cfg(tmp_path, max_steps=stopped_at + 2)
+    trainer2 = Trainer(cfg2, _ds(12), val_dataset=None)
+    state2 = trainer2.fit(resume=True)
+    assert int(state2.step) == stopped_at + 2
+    trainer.ckpt.close()
+    trainer2.ckpt.close()
+
+
+@pytest.mark.slow
+def test_sigterm_preempts_real_training_process(tmp_path):
+    """Real signal path: SIGTERM to a train.py subprocess checkpoints and
+    exits 0 within the grace period."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    ckpt = str(tmp_path / "ckpt")
+    p = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "train.py"), "--synthetic", "16",
+         "--max_steps", "10000", "--checkpoint_dir", ckpt,
+         "--per_device_train_batch_size", "1", "--precision", "fp32"],
+        env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    # wait for training to actually step (metrics.jsonl appears + grows)
+    metrics = os.path.join(ckpt, "metrics.jsonl")
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if os.path.exists(metrics) and any(
+                '"split": "train"' in l for l in open(metrics)):
+            break
+        time.sleep(1)
+        assert p.poll() is None, p.communicate()[0][-2000:]
+    else:
+        p.kill()
+        raise AssertionError("training never produced a step")
+    p.send_signal(signal.SIGTERM)
+    out, _ = p.communicate(timeout=180)
+    assert p.returncode == 0, out[-2000:]
+    assert any('"event": "preempted"' in l for l in open(metrics)), out[-1000:]
+    from rnntransducer_tpu.train import CheckpointManager
+    mgr = CheckpointManager(ckpt, save_top_k=3)
+    assert mgr.latest_step() is not None and mgr.latest_step() >= 1
+    mgr.close()
