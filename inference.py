@@ -90,6 +90,12 @@ def main():
            else GraphemeTokenizer.default(cfg.model.jointnet.num_classes))
 
     import jax
+    # restore standard JAX_PLATFORMS env semantics: third-party PJRT plugins
+    # (e.g. the axon TPU tunnel) can ignore the env var, so pin it via
+    # config before backend init — JAX_PLATFORMS=cpu must mean cpu
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     mgr = CheckpointManager(args.checkpoint_dir, save_top_k=cfg.train.save_top_k)
     step = args.step if args.step is not None else mgr.best_or_latest_step()
     # abstract template: restore allocates only what comes off disk, with no

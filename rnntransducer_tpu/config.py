@@ -222,11 +222,16 @@ class Config:
 
     @staticmethod
     def from_dict(d: dict) -> "Config":
+        ikw = _filter_kwargs(InferenceConfig, d.get("inference", {}))
+        if "hotwords" in ikw:
+            # JSON round-trips tuples as lists; the Config is a jit static
+            # argument, so every field must stay hashable
+            ikw["hotwords"] = tuple(ikw["hotwords"])
         return Config(
             model=ModelConfig.from_dict(d.get("model", {})),
             data=DataConfig.from_dict(d.get("data", {})),
             train=TrainConfig(**_filter_kwargs(TrainConfig, d.get("train", {}))),
-            inference=InferenceConfig(**_filter_kwargs(InferenceConfig, d.get("inference", {}))),
+            inference=InferenceConfig(**ikw),
             vocab_path=d.get("vocab_path"),
         )
 

@@ -181,6 +181,14 @@ def stream_wav(host: str, port: int, wav: np.ndarray,
 
 def main():
     import argparse
+    import os
+
+    import jax
+
+    # JAX_PLATFORMS=cpu must mean cpu even under PJRT plugins that ignore
+    # the env var (same pinning as train.py / inference.py)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from rnntransducer_tpu.serve import Recognizer
 

@@ -130,3 +130,22 @@ def test_hangul_tokenizer_end_to_end():
     assert all(i != tok.unk_token_id for i in ids)
     back = compose_jamo(tok.decode(ids, group_tokens=False))
     assert back == text
+
+
+def test_config_json_round_trip_stays_hashable(tmp_path):
+    """Regression: a Config serialized with to_json and reloaded must remain
+    hashable — it is a jit static argument, and JSON turns tuples (e.g.
+    inference.hotwords) into lists. A round-tripped config broke train.py
+    with 'unhashable type: list'."""
+    import dataclasses
+
+    from rnntransducer_tpu.config import Config, InferenceConfig
+
+    cfg = Config()
+    cfg = dataclasses.replace(cfg, inference=InferenceConfig(
+        hotwords=("foo", "bar")))
+    path = str(tmp_path / "cfg.json")
+    cfg.to_json(path)
+    back = Config.from_json(path)
+    assert hash(back) == hash(cfg)
+    assert back == cfg

@@ -52,6 +52,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--val_every_steps", type=int, default=None)
     p.add_argument("--log_every_steps", type=int, default=None)
+    p.add_argument("--watch_every_steps", type=int, default=None,
+                   help="param/grad histograms every N steps "
+                        "(wandb.watch equivalent; 0 = off)")
     p.add_argument("--checkpoint_dir", type=str, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--loss_backend", type=str, default="auto",
@@ -75,7 +78,8 @@ def build_config(args) -> Config:
         "learning_rate", "weight_decay", "warmup_ratio", "max_steps",
         "per_device_train_batch_size", "per_device_eval_batch_size",
         "accumulate_grad_batches", "precision", "seed", "val_every_steps",
-        "log_every_steps", "checkpoint_dir") if getattr(args, k) is not None}
+        "log_every_steps", "watch_every_steps",
+        "checkpoint_dir") if getattr(args, k) is not None}
     train = dataclasses.replace(cfg.train, **overrides)
     return dataclasses.replace(cfg, train=train,
                                vocab_path=args.vocab_path or cfg.vocab_path)
@@ -86,6 +90,12 @@ def main():
     cfg = build_config(args)
 
     import jax
+    # restore standard JAX_PLATFORMS env semantics: third-party PJRT plugins
+    # (e.g. the axon TPU tunnel) can ignore the env var, so pin it via
+    # config before backend init — JAX_PLATFORMS=cpu must mean cpu
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     if args.debug_nans:
