@@ -179,6 +179,12 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     save_top_k: int = 3  # top-k by val_cer (train.py:31-37)
     grad_clip_norm: Optional[float] = None
+    # skip the optimizer update when the gradient is non-finite (inf/nan)
+    # instead of poisoning the params — standard large-run hygiene for long
+    # bf16 schedules; the step counter still advances and the event is
+    # visible as metrics["nonfinite_grad"]. Off by default (reference
+    # faithfulness: it has no such guard).
+    skip_nonfinite_grads: bool = False
     # fused joint+loss: compute the joint lattice in T-chunks of this many
     # frames so the full (B,T,U,V) logits never materialize (0 = disabled).
     # Numerically identical to the unfused path; controls peak HBM.

@@ -196,11 +196,14 @@ class Trainer:
                     now = _time.perf_counter()
                     step_ms = (now - last_log_t) / max(step - last_log_step, 1)
                     last_log_t, last_log_step = now, step
+                    extra = {}
+                    if int(metrics.get("nonfinite_grad", 0)):
+                        extra["nonfinite_grad"] = 1
                     self.logger.log(step, split="train", loss=loss,
                                     grad_norm=float(metrics["grad_norm"]),
                                     lr=learning_rate_at(cfg, step),
                                     step_ms=round(step_ms * 1e3, 1),
-                                    epoch=epoch)
+                                    epoch=epoch, **extra)
                 if profiling and step >= self.profile_steps[1]:
                     jax.profiler.stop_trace()
                     profiling = False

@@ -176,9 +176,20 @@ def train_step(cfg: Config, tx, state: TrainState, batch,
     grads = _cast(grads, jnp.float32)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
+    grad_norm = optax.global_norm(grads)
+    nonfinite = jnp.logical_not(jnp.isfinite(grad_norm))
+    if cfg.train.skip_nonfinite_grads:
+        # keep params AND optimizer state untouched on a bad step (the
+        # moments must not ingest inf/nan either); the step still advances
+        # so schedules and data order stay aligned across replicas
+        keep = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(nonfinite, o, n), new, old)
+        new_params = keep(new_params, state.params)
+        new_opt = keep(new_opt, state.opt_state)
     new_state = state.replace(step=state.step + 1, params=new_params,
                               opt_state=new_opt)
-    metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+    metrics = {"loss": loss, "grad_norm": grad_norm,
+               "nonfinite_grad": nonfinite.astype(jnp.int32)}
     return new_state, metrics
 
 

@@ -228,3 +228,58 @@ def test_long_form_audio_trains():
     state = TrainState.create(cfg)
     state, m = train_step(cfg, tx, state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_skip_nonfinite_grads_guards_params_and_moments():
+    """With skip_nonfinite_grads, a NaN-producing batch leaves params AND
+    optimizer state bit-identical (step still advances); without the flag the
+    NaN poisons the params. Finite batches update identically either way."""
+    import dataclasses
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from rnntransducer_tpu.train import TrainState, make_optimizer, train_step
+
+    cfg = _tiny_cfg()
+    cfg_guard = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, skip_nonfinite_grads=True))
+    batch = _batch(cfg)
+    bad = dict(batch)
+    bad["feats"] = batch["feats"].at[0, 0, 0].set(jnp.nan)
+
+    for c in (cfg, cfg_guard):
+        tx = make_optimizer(c.train)
+        state = TrainState.create(c)
+        p0 = jax.tree.map(np.asarray, state.params)
+        o0 = jax.tree.map(np.asarray, state.opt_state)
+        new_state, m = train_step(c, tx, state, bad)
+        assert int(m["nonfinite_grad"]) == 1
+        assert int(new_state.step) == 1
+        leaves_same = all(
+            np.array_equal(a, b) for a, b in zip(
+                jax.tree_util.tree_leaves(
+                    jax.tree.map(np.asarray, new_state.params)),
+                jax.tree_util.tree_leaves(p0)))
+        if c.train.skip_nonfinite_grads:
+            assert leaves_same, "guarded step must not touch params"
+            opt_same = all(
+                np.array_equal(a, b) for a, b in zip(
+                    jax.tree_util.tree_leaves(
+                        jax.tree.map(np.asarray, new_state.opt_state)),
+                    jax.tree_util.tree_leaves(o0)))
+            assert opt_same, "guarded step must not touch optimizer moments"
+        else:
+            assert not leaves_same, "unguarded NaN should poison params"
+
+    # finite batch: guarded == unguarded update
+    tx = make_optimizer(cfg.train)
+    s1, m1 = train_step(cfg, tx, TrainState.create(cfg), batch)
+    tx2 = make_optimizer(cfg_guard.train)
+    s2, m2 = train_step(cfg_guard, tx2, TrainState.create(cfg_guard), batch)
+    assert int(m1["nonfinite_grad"]) == int(m2["nonfinite_grad"]) == 0
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
