@@ -1,0 +1,235 @@
+"""Continuous batching for streaming sessions: one device call serves many
+live sessions.
+
+``StreamingRecognizer`` runs one device program per session per chunk — fine
+for one microphone, wasteful for a serving fleet: B=1 encoder chunks leave
+the MXU idle and every session pays its own dispatch round trip.  This
+module multiplexes up to ``max_sessions`` concurrent sessions onto ONE
+compiled (max_sessions, chunk_frames) program:
+
+* every session owns a batch SLOT; its encoder ``RNNState`` and
+  ``GreedyCarry`` live as one lane of persistent device-side batched state;
+* a TICK gathers one pending chunk from every ready session, runs one
+  encode + greedy-decode step over the full width, and fetches all token
+  buffers with a single transfer;
+* sessions with nothing pending ride along as provable no-ops: their
+  ``n_valid`` is 0, and both the masked encoder scan and the
+  ``frame_valid = t < enc_lengths`` gate in ``greedy_decode_frames`` leave
+  a zero-length lane's state bit-identical (asserted by tests).
+
+Per-session results are token-exact vs an independent ``StreamingRecognizer``
+fed the same audio in the same pieces (same frontend, same kernels — only
+the batching differs).  Greedy decode only (the latency path); batch beam
+serving should use ``batched_beam_decode`` on whole utterances.
+
+Thread-safe: feeds buffer under a lock; ticks serialize device work exactly
+like the socket server's device lock.
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rnntransducer_tpu.config import AudioConfig
+from rnntransducer_tpu.decode.greedy import (
+    GreedyCarry, greedy_decode_frames, init_greedy_carry,
+)
+from rnntransducer_tpu.decode.streaming import (
+    StreamingFrontend, _zero_encoder_state,
+)
+from rnntransducer_tpu.models.cells import RNNState
+from rnntransducer_tpu.models.transducer import RNNTransducer
+
+
+@partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols"))
+def _batched_chunk_step(model: RNNTransducer, variables, feats, n_valid,
+                        enc_state, carry: GreedyCarry, blank_id: int,
+                        max_symbols: int):
+    """One tick: encode a chunk for every slot + advance the greedy carry.
+    feats: (S, chunk, mels); n_valid: (S,) frames valid per slot (0 = idle).
+    """
+    enc, new_enc_state = model.apply(variables, feats, n_valid,
+                                     enc_state, method=model.encode)
+    new_carry = greedy_decode_frames(model, variables, enc, n_valid, carry,
+                                     blank_id, max_symbols)
+    return new_enc_state, new_carry
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _reset_slot(model: RNNTransducer, variables, enc_state,
+                carry: GreedyCarry, slot, blank_id):
+    """Return (enc_state, carry) with one slot re-initialized (batch axis is
+    2 for recurrent states, 0 for carry leaves)."""
+    z = jnp.zeros_like(enc_state.h[:, :, 0])
+    h = enc_state.h.at[:, :, slot].set(z)
+    c = None if enc_state.c is None else enc_state.c.at[:, :, slot].set(z)
+    blank1 = jnp.full((1,), blank_id, jnp.int32)
+    dec_out0, state0 = model.apply(variables, blank1, None,
+                                   method=model.predict_step)
+    new_carry = GreedyCarry(
+        dec_out=carry.dec_out.at[slot].set(dec_out0[0]),
+        state=RNNState(
+            carry.state.h.at[:, :, slot].set(state0.h[:, :, 0]),
+            None if carry.state.c is None
+            else carry.state.c.at[:, :, slot].set(state0.c[:, :, 0])),
+        last_appended=carry.last_appended.at[slot].set(blank_id),
+        tokens=carry.tokens.at[slot].set(blank_id),
+        lengths=carry.lengths.at[slot].set(0))
+    return RNNState(h, c), new_carry
+
+
+class BatchedSession:
+    """One lane of a :class:`BatchedStreamingRunner`.  API mirrors
+    ``StreamingRecognizer``: feed / flush / tokens."""
+
+    def __init__(self, runner: "BatchedStreamingRunner", slot: int,
+                 frontend: StreamingFrontend):
+        self._runner = runner
+        self.slot = slot
+        self.frontend = frontend
+        self._feat_buf = np.zeros((0, frontend.cfg.n_mels), np.float32)
+        self._emitted = 0
+        self._closed = False
+
+    # -- internal: one pending chunk (or final partial), None if not ready
+    def _take_chunk(self, final: bool):
+        cf = self._runner.chunk_frames
+        if len(self._feat_buf) >= cf:
+            chunk, self._feat_buf = self._feat_buf[:cf], self._feat_buf[cf:]
+            return chunk, cf
+        if final and len(self._feat_buf) > 0:
+            n = len(self._feat_buf)
+            chunk = np.zeros((cf, self._feat_buf.shape[1]), np.float32)
+            chunk[:n] = self._feat_buf
+            self._feat_buf = self._feat_buf[:0]
+            return chunk, n
+        return None
+
+    def _new_tokens(self) -> List[int]:
+        toks, total = self._runner.slot_tokens(self.slot)
+        out = [int(t) for t in toks[self._emitted:total]]
+        self._emitted = total
+        return out
+
+    # ------------------------------------------------------------- public
+    def feed(self, samples: np.ndarray) -> List[int]:
+        """Feed PCM; returns newly emitted token ids (after any ticks this
+        feed made ready — other sessions' pending chunks ride along)."""
+        if self._closed:
+            raise ValueError("session is closed")
+        feats = self.frontend.feed(samples)
+        if len(feats):
+            self._feat_buf = np.concatenate([self._feat_buf, feats])
+        self._runner.drain()
+        return self._new_tokens()
+
+    def flush(self) -> List[int]:
+        """End of stream: drain trailing frames, free the slot, and return
+        the remaining newly emitted tokens."""
+        if self._closed:
+            return []
+        feats = self.frontend.flush()
+        if len(feats):
+            self._feat_buf = np.concatenate([self._feat_buf, feats])
+        self._runner.drain(final_session=self)
+        out = self._new_tokens()
+        self._runner._release(self)
+        self._closed = True
+        return out
+
+    @property
+    def tokens(self) -> List[int]:
+        toks, total = self._runner.slot_tokens(self.slot)
+        return [int(t) for t in toks[:total]]
+
+
+class BatchedStreamingRunner:
+    def __init__(self, model: RNNTransducer, variables,
+                 audio_cfg: AudioConfig, max_sessions: int = 8,
+                 chunk_frames: int = 64, blank_id: int = 0,
+                 max_symbols: int = 3, max_output_len: int = 512):
+        if model.cfg.transnet.bidirectional:
+            raise ValueError("streaming requires a unidirectional encoder")
+        self.model = model
+        self.variables = variables
+        self.audio_cfg = audio_cfg
+        self.max_sessions = max_sessions
+        self.chunk_frames = chunk_frames
+        self.blank_id = blank_id
+        self.max_symbols = max_symbols
+        self._lock = threading.RLock()
+        self._free = list(range(max_sessions))
+        self._live: dict[int, BatchedSession] = {}
+        self._enc_state = _zero_encoder_state(model, variables, max_sessions)
+        self._carry = init_greedy_carry(model, variables, max_sessions,
+                                        blank_id, max_output_len)
+        # host mirror of (tokens, lengths), refreshed once per tick
+        self._tokens = np.full((max_sessions, max_output_len), blank_id,
+                               np.int32)
+        self._lengths = np.zeros((max_sessions,), np.int32)
+
+    # ------------------------------------------------------------ sessions
+    def open(self, normalize: str = "none", norm_mean: float = 0.0,
+             norm_var: float = 1.0) -> BatchedSession:
+        with self._lock:
+            if not self._free:
+                raise RuntimeError(
+                    f"all {self.max_sessions} session slots in use")
+            slot = self._free.pop()
+            self._enc_state, self._carry = _reset_slot(
+                self.model, self.variables, self._enc_state, self._carry,
+                slot, self.blank_id)
+            self._tokens[slot] = self.blank_id
+            self._lengths[slot] = 0
+            sess = BatchedSession(
+                self, slot, StreamingFrontend(self.audio_cfg, normalize,
+                                              norm_mean=norm_mean,
+                                              norm_var=norm_var))
+            self._live[slot] = sess
+            return sess
+
+    def _release(self, sess: BatchedSession) -> None:
+        with self._lock:
+            self._live.pop(sess.slot, None)
+            self._free.append(sess.slot)
+
+    def slot_tokens(self, slot: int):
+        with self._lock:
+            return self._tokens[slot], int(self._lengths[slot])
+
+    # ---------------------------------------------------------------- tick
+    def drain(self, final_session: Optional[BatchedSession] = None) -> int:
+        """Tick until no session has a full chunk pending (plus the final
+        partial chunk of ``final_session``). Returns the number of ticks."""
+        ticks = 0
+        with self._lock:
+            while True:
+                feats = np.zeros(
+                    (self.max_sessions, self.chunk_frames,
+                     self.audio_cfg.n_mels), np.float32)
+                n_valid = np.zeros((self.max_sessions,), np.int32)
+                any_work = False
+                for slot, sess in self._live.items():
+                    taken = sess._take_chunk(final=(sess is final_session))
+                    if taken is not None:
+                        feats[slot], n_valid[slot] = taken
+                        any_work = True
+                if not any_work:
+                    return ticks
+                self._enc_state, self._carry = _batched_chunk_step(
+                    self.model, self.variables, feats, n_valid,
+                    self._enc_state, self._carry, self.blank_id,
+                    self.max_symbols)
+                # one transfer refreshes every session's partials (copy:
+                # device_get returns read-only buffers; open() writes slots)
+                t, l = jax.device_get((self._carry.tokens,
+                                       self._carry.lengths))
+                self._tokens, self._lengths = np.array(t), np.array(l)
+                ticks += 1

@@ -54,7 +54,12 @@ def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
 
 class StreamingServer:
     def __init__(self, recognizer, host: str = "127.0.0.1", port: int = 0,
-                 chunk_frames: Optional[int] = None, **session_kw):
+                 chunk_frames: Optional[int] = None, batch_sessions: int = 0,
+                 **session_kw):
+        """batch_sessions > 0 enables continuous batching: up to that many
+        concurrent connections share ONE compiled device program per tick
+        (decode/session_batch) instead of one B=1 program per session —
+        greedy decoding only."""
         self.recognizer = recognizer
         self.host = host
         self._requested_port = port
@@ -65,14 +70,36 @@ class StreamingServer:
         self._thread: Optional[threading.Thread] = None
         self._running = False
         self.port: Optional[int] = None
+        self._runner = None
+        if batch_sessions > 0:
+            from rnntransducer_tpu.decode.session_batch import (
+                BatchedStreamingRunner,
+            )
+            rec = recognizer
+            cf = chunk_frames or rec.cfg.inference.streaming_chunk_frames
+            self._runner = BatchedStreamingRunner(
+                rec.model, rec.variables, rec.cfg.data.audio,
+                max_sessions=batch_sessions, chunk_frames=cf,
+                blank_id=rec.tokenizer.blank_token_id,
+                max_symbols=rec.cfg.train.greedy_max_symbols,
+                max_output_len=rec.max_output_len)
 
     # ------------------------------------------------------------- session
     def _serve_conn(self, conn: socket.socket) -> None:
         try:
             try:
-                sess = self.recognizer.stream(chunk_frames=self.chunk_frames,
-                                              **self.session_kw)
-            except Exception as e:  # e.g. bidirectional encoder
+                if self._runner is not None:
+                    kw = {k: v for k, v in self.session_kw.items()
+                          if k in ("normalize", "norm_mean", "norm_var")}
+                    kw.setdefault(
+                        "normalize",
+                        "running" if self.recognizer.cfg.data.audio.normalize
+                        else "none")
+                    sess = self._runner.open(**kw)
+                else:
+                    sess = self.recognizer.stream(
+                        chunk_frames=self.chunk_frames, **self.session_kw)
+            except Exception as e:  # e.g. bidirectional encoder, slots full
                 conn.sendall((json.dumps({"error": str(e)}) + "\n").encode())
                 return
             beam = getattr(sess, "decoder", "greedy") == "beam"
@@ -103,8 +130,14 @@ class StreamingServer:
                 conn.sendall((json.dumps({"partial": partial}) + "\n")
                              .encode())
             with self._device_lock:
-                sess.flush()
-                tokens = list(sess.tokens)
+                fin = sess.flush()
+                if beam:
+                    tokens = list(sess.tokens)
+                else:
+                    # greedy accumulates; batched sessions free their slot
+                    # on flush, so .tokens must not be read afterwards
+                    emitted += fin
+                    tokens = list(emitted)
                 final = self.recognizer._decode_text(tokens)
             conn.sendall((json.dumps(
                 {"final": final, "tokens": [int(t) for t in tokens]}) + "\n")
@@ -202,6 +235,10 @@ def main():
     p.add_argument("--normalize", type=str, default=None,
                    choices=["none", "running", "fixed"])
     p.add_argument("--chunk_frames", type=int, default=None)
+    p.add_argument("--batch_sessions", type=int, default=0,
+                   help="continuous batching: serve up to N concurrent "
+                        "sessions with one device program per tick "
+                        "(greedy decoding)")
     args = p.parse_args()
 
     rec = Recognizer.from_checkpoint(args.checkpoint_dir,
@@ -211,7 +248,8 @@ def main():
     if args.normalize:
         kw["normalize"] = args.normalize
     server = StreamingServer(rec, host=args.host, port=args.port,
-                             chunk_frames=args.chunk_frames, **kw)
+                             chunk_frames=args.chunk_frames,
+                             batch_sessions=args.batch_sessions, **kw)
     server.start()
     print(f"streaming on {args.host}:{server.port} "
           f"(decoder={args.decoder})", flush=True)

@@ -169,3 +169,46 @@ def test_streaming_socket_server_beam(tmp_path):
             direct.feed(wav_q[i:i + 1600])
         direct.flush()
         assert final["tokens"] == [int(t) for t in direct.tokens]
+
+
+def test_streaming_socket_server_batched_sessions(tmp_path):
+    """Continuous batching: concurrent connections share the runner; results
+    match the unbatched server for identical audio."""
+    import threading
+
+    from rnntransducer_tpu.serve_socket import StreamingServer, stream_wav
+
+    cfg = _cfg(tmp_path)
+    ds = SyntheticAudioDataset(4, AudioConfig(), min_sec=0.3, max_sec=0.6,
+                               min_labels=3, max_labels=6, seed=5)
+    trainer = Trainer(cfg, ds, val_dataset=None)
+    trainer.fit()
+    trainer.ckpt.close()
+
+    rec = Recognizer.from_checkpoint(str(tmp_path / "ckpt"), decoder="greedy")
+    rng = np.random.RandomState(6)
+    wavs = [rng.randn(8000).astype(np.float32) * 0.1 for _ in range(3)]
+
+    with StreamingServer(rec, port=0, chunk_frames=16) as plain:
+        want = [stream_wav("127.0.0.1", plain.port, w)[1]["tokens"]
+                for w in wavs]
+
+    with StreamingServer(rec, port=0, chunk_frames=16,
+                         batch_sessions=4) as server:
+        out = {}
+
+        def client(i):
+            out[i] = stream_wav("127.0.0.1", server.port, wavs[i])
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(3):
+            assert out[i][1]["tokens"] == want[i], i
+        # slots freed: more sessions than max concurrently-alive work serially
+        for i in range(3):
+            assert stream_wav("127.0.0.1", server.port,
+                              wavs[i])[1]["tokens"] == want[i]

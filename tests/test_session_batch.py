@@ -1,0 +1,121 @@
+"""Continuous batching (decode/session_batch): batched sessions are
+token-exact vs independent StreamingRecognizer sessions; idle lanes are
+no-ops; slots recycle cleanly."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import rnntransducer_tpu as rt
+from rnntransducer_tpu.config import AudioConfig
+from rnntransducer_tpu.decode.session_batch import BatchedStreamingRunner
+from rnntransducer_tpu.decode.streaming import StreamingRecognizer
+from rnntransducer_tpu.models import RNNTransducer
+
+
+def _uni_model(seed=0):
+    cfg = rt.config.ModelConfig(
+        transnet=rt.config.TransNetConfig(input_size=80, hidden_size=16,
+                                          output_size=12, num_layers=2,
+                                          rnn_type="lstm", dropout=0.0,
+                                          bidirectional=False),
+        prednet=rt.config.PredNetConfig(embedding_size=32, hidden_size=16,
+                                        output_size=12, num_layers=1,
+                                        rnn_type="lstm", dropout=0.0),
+        jointnet=rt.config.JointNetConfig(num_classes=32),
+    )
+    model = RNNTransducer(cfg)
+    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 4, 80)),
+                           jnp.array([4]), jnp.zeros((1, 2), jnp.int32),
+                           jnp.array([2]))
+    return model, variables
+
+
+def _wavs(n, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randn(rng.randint(4000, 12000)).astype(np.float32) * 0.3
+            for _ in range(n)]
+
+
+def _reference_tokens(model, variables, wav, pieces):
+    rec = StreamingRecognizer(model, variables, AudioConfig(normalize=False),
+                              chunk_frames=16, max_symbols=2,
+                              normalize="none")
+    for i in range(0, len(wav), pieces):
+        rec.feed(wav[i:i + pieces])
+    rec.flush()
+    return list(rec.tokens)
+
+
+def test_batched_sessions_match_independent_streaming():
+    """Three interleaved sessions (different lengths, staggered arrival)
+    produce exactly the tokens of three independent StreamingRecognizers."""
+    model, variables = _uni_model()
+    runner = BatchedStreamingRunner(model, variables,
+                                    AudioConfig(normalize=False),
+                                    max_sessions=4, chunk_frames=16,
+                                    max_symbols=2)
+    wavs = _wavs(3, seed=1)
+    want = [_reference_tokens(model, variables, w, 1600) for w in wavs]
+
+    sessions = [runner.open() for _ in wavs]
+    got = [[] for _ in wavs]
+    # staggered interleaving: session i feeds its k-th piece on round k+i
+    pos = [0, 0, 0]
+    rounds = 0
+    while any(pos[i] < len(wavs[i]) for i in range(3)):
+        for i, s in enumerate(sessions):
+            if rounds >= i and pos[i] < len(wavs[i]):
+                got[i] += s.feed(wavs[i][pos[i]:pos[i] + 1600])
+                pos[i] += 1600
+        rounds += 1
+    for i, s in enumerate(sessions):
+        got[i] += s.flush()
+    assert got == want
+
+
+def test_idle_lanes_are_noops_and_slots_recycle():
+    """A session ticking alone in a mostly-idle runner matches the
+    independent path, and a freed slot serves a second session correctly."""
+    model, variables = _uni_model()
+    runner = BatchedStreamingRunner(model, variables,
+                                    AudioConfig(normalize=False),
+                                    max_sessions=4, chunk_frames=16,
+                                    max_symbols=2)
+    wav1, wav2 = _wavs(2, seed=7)
+    want1 = _reference_tokens(model, variables, wav1, 2000)
+    want2 = _reference_tokens(model, variables, wav2, 2000)
+
+    s1 = runner.open()
+    got = []
+    for i in range(0, len(wav1), 2000):
+        got += s1.feed(wav1[i:i + 2000])
+    got += s1.flush()
+    assert got == want1
+
+    # slot reuse: open a fresh session (may land on the freed slot)
+    s2 = runner.open()
+    got2 = []
+    for i in range(0, len(wav2), 2000):
+        got2 += s2.feed(wav2[i:i + 2000])
+    got2 += s2.flush()
+    assert got2 == want2
+
+
+def test_slot_exhaustion_raises():
+    import pytest
+
+    model, variables = _uni_model()
+    runner = BatchedStreamingRunner(model, variables,
+                                    AudioConfig(normalize=False),
+                                    max_sessions=2, chunk_frames=16)
+    a = runner.open()
+    b = runner.open()
+    with pytest.raises(RuntimeError, match="slots in use"):
+        runner.open()
+    a.flush()  # frees a slot
+    c = runner.open()
+    assert c.slot == a.slot
+    b.flush()
+    c.flush()
