@@ -119,14 +119,19 @@ class BatchedSession:
         return out
 
     # ------------------------------------------------------------- public
-    def feed(self, samples: np.ndarray) -> List[int]:
+    def feed(self, samples: np.ndarray, drain: bool = True) -> List[int]:
         """Feed PCM; returns newly emitted token ids (after any ticks this
-        feed made ready — other sessions' pending chunks ride along)."""
+        feed made ready — other sessions' pending chunks ride along).
+        drain=False only buffers: callers coordinating many sessions can
+        feed them all first and then call ``runner.drain()`` once, so every
+        lane fills in the same tick."""
         if self._closed:
             raise ValueError("session is closed")
         feats = self.frontend.feed(samples)
         if len(feats):
             self._feat_buf = np.concatenate([self._feat_buf, feats])
+        if not drain:
+            return []
         self._runner.drain()
         return self._new_tokens()
 
