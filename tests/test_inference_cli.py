@@ -74,3 +74,46 @@ def test_inference_cli_offline_and_stream(tmp_path):
               "--normalize", "fixed", "--norm_mean", "0.0",
               "--norm_var", "1.0")
     assert wav_path in out
+
+
+@pytest.mark.slow
+def test_stream_refuses_lm_fusion(tmp_path):
+    """--stream with --lm_path must refuse loudly (the streaming decoder has
+    no shallow fusion) rather than silently dropping the LM."""
+    cfg = Config(
+        data=DataConfig(audio=AudioConfig(spec_augment=False),
+                        audio_buckets=(64,), label_buckets=(16,)),
+        model=ModelConfig(
+            transnet=TransNetConfig(input_size=80, hidden_size=16,
+                                    output_size=12, num_layers=1,
+                                    rnn_type="lstm", dropout=0.0,
+                                    bidirectional=False),
+            prednet=PredNetConfig(embedding_size=72, hidden_size=16,
+                                  output_size=12, num_layers=1,
+                                  rnn_type="lstm", dropout=0.0),
+            jointnet=JointNetConfig(num_classes=72),
+        ),
+        train=TrainConfig(max_steps=1, per_device_train_batch_size=1,
+                          precision="fp32",
+                          checkpoint_dir=str(tmp_path / "ckpt")),
+    )
+    ds = SyntheticAudioDataset(2, AudioConfig(), min_sec=0.3, max_sec=0.5,
+                               min_labels=3, max_labels=5, seed=9)
+    trainer = Trainer(cfg, ds, val_dataset=None)
+    trainer.fit()
+    trainer.ckpt.close()
+    wav_path = str(tmp_path / "u.wav")
+    write_wav(wav_path, np.random.RandomState(0).randn(4800) * 0.1)
+    lm_path = str(tmp_path / "lm.arpa")
+    open(lm_path, "w").write("\\data\\\nngram 1=1\n\n\\1-grams:\n-1.0 a\n\n\\end\\\n")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "inference.py"),
+         "--checkpoint_dir", str(tmp_path / "ckpt"), "--wav", wav_path,
+         "--stream", "--decoder", "beam", "--lm_path", lm_path],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=300)
+    assert r.returncode != 0
+    assert "no LM/hotword shallow fusion" in (r.stderr + r.stdout)
