@@ -19,8 +19,10 @@ compiled (max_sessions, chunk_frames) program:
 
 Per-session results are token-exact vs an independent ``StreamingRecognizer``
 fed the same audio in the same pieces (same frontend, same kernels — only
-the batching differs).  Greedy decode only (the latency path); batch beam
-serving should use ``batched_beam_decode`` on whole utterances.
+the batching differs).  Both streaming decoders are supported:
+``decoder="greedy"`` (monotone emission from ``feed``) and
+``decoder="beam"`` (frame-synchronous batched beam lanes of ``beam_width``
+hypotheses each; poll ``.tokens`` for the ranked best, which can rewrite).
 
 Thread-safe: feeds buffer under a lock; ticks serialize device work exactly
 like the socket server's device lock.
@@ -38,6 +40,9 @@ import jax
 import jax.numpy as jnp
 
 from rnntransducer_tpu.config import AudioConfig
+from rnntransducer_tpu.decode.beam_batched import (
+    BeamCarry, beam_decode_frames, init_beam_carry,
+)
 from rnntransducer_tpu.decode.greedy import (
     GreedyCarry, greedy_decode_frames, init_greedy_carry,
 )
@@ -60,6 +65,51 @@ def _batched_chunk_step(model: RNNTransducer, variables, feats, n_valid,
     new_carry = greedy_decode_frames(model, variables, enc, n_valid, carry,
                                      blank_id, max_symbols)
     return new_enc_state, new_carry
+
+
+@partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols"))
+def _batched_chunk_step_beam(model: RNNTransducer, variables, feats, n_valid,
+                             enc_state, carry: BeamCarry, blank_id: int,
+                             max_symbols: int):
+    enc, new_enc_state = model.apply(variables, feats, n_valid,
+                                     enc_state, method=model.encode)
+    new_carry = beam_decode_frames(model, variables, enc, n_valid, carry,
+                                   blank_id, max_symbols)
+    return new_enc_state, new_carry
+
+
+@partial(jax.jit, static_argnames=("model", "beam_width"))
+def _reset_slot_beam(model: RNNTransducer, variables, enc_state,
+                     carry: BeamCarry, slot, blank_id, beam_width: int):
+    """Re-initialize one beam lane: B-dims at row ``slot``, flat (B*K)
+    dims at rows [slot*K, (slot+1)*K)."""
+    K = beam_width
+    z = jnp.zeros_like(enc_state.h[:, :, 0])
+    h = enc_state.h.at[:, :, slot].set(z)
+    c = None if enc_state.c is None else enc_state.c.at[:, :, slot].set(z)
+    blank_k = jnp.full((K,), blank_id, jnp.int32)
+    dec_out0, state0 = model.apply(variables, blank_k, None,
+                                   method=model.predict_step)
+    flat0 = slot * K
+
+    def put_flat(a, v):  # a: (L, D, B*K, H); v: (L, D, K, H)
+        return jax.lax.dynamic_update_slice(
+            a, v.astype(a.dtype), (0, 0, flat0, 0))
+
+    new_carry = BeamCarry(
+        scores=carry.scores.at[slot].set(
+            jnp.full((K,), -1e30).at[0].set(0.0)),
+        tokens=carry.tokens.at[slot].set(blank_id),
+        lens=carry.lens.at[slot].set(0),
+        last=carry.last.at[slot].set(blank_id),
+        dec_out=jax.lax.dynamic_update_slice(
+            carry.dec_out, dec_out0.astype(carry.dec_out.dtype),
+            (flat0, 0)),
+        state=RNNState(
+            put_flat(carry.state.h, state0.h),
+            None if carry.state.c is None
+            else put_flat(carry.state.c, state0.c)))
+    return RNNState(h, c), new_carry
 
 
 @partial(jax.jit, static_argnames=("model",))
@@ -119,9 +169,13 @@ class BatchedSession:
         return out
 
     # ------------------------------------------------------------- public
+    @property
+    def decoder(self) -> str:
+        return self._runner.decoder
+
     def feed(self, samples: np.ndarray, drain: bool = True) -> List[int]:
-        """Feed PCM; returns newly emitted token ids (after any ticks this
-        feed made ready — other sessions' pending chunks ride along).
+        """Feed PCM; returns newly emitted token ids (greedy; beam returns
+        [] — poll ``.tokens`` for the ranked best, which can rewrite).
         drain=False only buffers: callers coordinating many sessions can
         feed them all first and then call ``runner.drain()`` once, so every
         lane fills in the same tick."""
@@ -133,6 +187,8 @@ class BatchedSession:
         if not drain:
             return []
         self._runner.drain()
+        if self._runner.decoder == "beam":
+            return []
         return self._new_tokens()
 
     def flush(self) -> List[int]:
@@ -144,7 +200,10 @@ class BatchedSession:
         if len(feats):
             self._feat_buf = np.concatenate([self._feat_buf, feats])
         self._runner.drain(final_session=self)
-        out = self._new_tokens()
+        if self._runner.decoder == "beam":
+            out = self.tokens  # final ranked best
+        else:
+            out = self._new_tokens()
         self._runner._release(self)
         self._closed = True
         return out
@@ -159,9 +218,12 @@ class BatchedStreamingRunner:
     def __init__(self, model: RNNTransducer, variables,
                  audio_cfg: AudioConfig, max_sessions: int = 8,
                  chunk_frames: int = 64, blank_id: int = 0,
-                 max_symbols: int = 3, max_output_len: int = 512):
+                 max_symbols: int = 3, max_output_len: int = 512,
+                 decoder: str = "greedy", beam_width: int = 4):
         if model.cfg.transnet.bidirectional:
             raise ValueError("streaming requires a unidirectional encoder")
+        if decoder not in ("greedy", "beam"):
+            raise ValueError(f"unknown decoder: {decoder}")
         self.model = model
         self.variables = variables
         self.audio_cfg = audio_cfg
@@ -169,12 +231,19 @@ class BatchedStreamingRunner:
         self.chunk_frames = chunk_frames
         self.blank_id = blank_id
         self.max_symbols = max_symbols
+        self.decoder = decoder
+        self.beam_width = beam_width
         self._lock = threading.RLock()
         self._free = list(range(max_sessions))
         self._live: dict[int, BatchedSession] = {}
         self._enc_state = _zero_encoder_state(model, variables, max_sessions)
-        self._carry = init_greedy_carry(model, variables, max_sessions,
-                                        blank_id, max_output_len)
+        if decoder == "beam":
+            self._carry = init_beam_carry(model, variables, max_sessions,
+                                          beam_width, blank_id,
+                                          max_output_len)
+        else:
+            self._carry = init_greedy_carry(model, variables, max_sessions,
+                                            blank_id, max_output_len)
         # host mirror of (tokens, lengths), refreshed once per tick
         self._tokens = np.full((max_sessions, max_output_len), blank_id,
                                np.int32)
@@ -188,9 +257,14 @@ class BatchedStreamingRunner:
                 raise RuntimeError(
                     f"all {self.max_sessions} session slots in use")
             slot = self._free.pop()
-            self._enc_state, self._carry = _reset_slot(
-                self.model, self.variables, self._enc_state, self._carry,
-                slot, self.blank_id)
+            if self.decoder == "beam":
+                self._enc_state, self._carry = _reset_slot_beam(
+                    self.model, self.variables, self._enc_state, self._carry,
+                    slot, self.blank_id, self.beam_width)
+            else:
+                self._enc_state, self._carry = _reset_slot(
+                    self.model, self.variables, self._enc_state, self._carry,
+                    slot, self.blank_id)
             self._tokens[slot] = self.blank_id
             self._lengths[slot] = 0
             sess = BatchedSession(
@@ -228,13 +302,26 @@ class BatchedStreamingRunner:
                         any_work = True
                 if not any_work:
                     return ticks
-                self._enc_state, self._carry = _batched_chunk_step(
+                step = (_batched_chunk_step_beam if self.decoder == "beam"
+                        else _batched_chunk_step)
+                self._enc_state, self._carry = step(
                     self.model, self.variables, feats, n_valid,
                     self._enc_state, self._carry, self.blank_id,
                     self.max_symbols)
                 # one transfer refreshes every session's partials (copy:
                 # device_get returns read-only buffers; open() writes slots)
-                t, l = jax.device_get((self._carry.tokens,
-                                       self._carry.lengths))
-                self._tokens, self._lengths = np.array(t), np.array(l)
+                if self.decoder == "beam":
+                    t, l, sc = jax.device_get(
+                        (self._carry.tokens, self._carry.lens,
+                         self._carry.scores))
+                    # host-side rank: best hypothesis per lane (score with
+                    # the reference's length normalization, transducer.py:360)
+                    best = np.argmax(sc / (l + 1.0), axis=1)
+                    rows = np.arange(t.shape[0])
+                    self._tokens = np.array(t[rows, best])
+                    self._lengths = np.array(l[rows, best])
+                else:
+                    t, l = jax.device_get((self._carry.tokens,
+                                           self._carry.lengths))
+                    self._tokens, self._lengths = np.array(t), np.array(l)
                 ticks += 1

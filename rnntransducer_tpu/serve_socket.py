@@ -58,8 +58,8 @@ class StreamingServer:
                  **session_kw):
         """batch_sessions > 0 enables continuous batching: up to that many
         concurrent connections share ONE compiled device program per tick
-        (decode/session_batch) instead of one B=1 program per session —
-        greedy decoding only."""
+        (decode/session_batch) instead of one B=1 program per session;
+        follows the recognizer's decoder (greedy or batched beam)."""
         self.recognizer = recognizer
         self.host = host
         self._requested_port = port
@@ -82,7 +82,9 @@ class StreamingServer:
                 max_sessions=batch_sessions, chunk_frames=cf,
                 blank_id=rec.tokenizer.blank_token_id,
                 max_symbols=rec.cfg.train.greedy_max_symbols,
-                max_output_len=rec.max_output_len)
+                max_output_len=rec.max_output_len,
+                decoder="beam" if rec.decoder != "greedy" else "greedy",
+                beam_width=rec.beam_width)
 
     # ------------------------------------------------------------- session
     def _serve_conn(self, conn: socket.socket) -> None:

@@ -212,3 +212,27 @@ def test_streaming_socket_server_batched_sessions(tmp_path):
         for i in range(3):
             assert stream_wav("127.0.0.1", server.port,
                               wavs[i])[1]["tokens"] == want[i]
+
+
+def test_streaming_socket_server_batched_beam(tmp_path):
+    """Continuous batching with the beam decoder: batched server results
+    match the unbatched beam server."""
+    from rnntransducer_tpu.serve_socket import StreamingServer, stream_wav
+
+    cfg = _cfg(tmp_path)
+    ds = SyntheticAudioDataset(4, AudioConfig(), min_sec=0.3, max_sec=0.6,
+                               min_labels=3, max_labels=6, seed=6)
+    trainer = Trainer(cfg, ds, val_dataset=None)
+    trainer.fit()
+    trainer.ckpt.close()
+
+    rec = Recognizer.from_checkpoint(str(tmp_path / "ckpt"), decoder="beam",
+                                     beam_width=2)
+    rng = np.random.RandomState(8)
+    wav = rng.randn(8000).astype(np.float32) * 0.1
+    with StreamingServer(rec, port=0, chunk_frames=16) as plain:
+        want = stream_wav("127.0.0.1", plain.port, wav)[1]["tokens"]
+    with StreamingServer(rec, port=0, chunk_frames=16,
+                         batch_sessions=3) as server:
+        got = stream_wav("127.0.0.1", server.port, wav)[1]["tokens"]
+    assert got == want

@@ -119,3 +119,40 @@ def test_slot_exhaustion_raises():
     assert c.slot == a.slot
     b.flush()
     c.flush()
+
+
+def test_batched_beam_sessions_match_independent_streaming():
+    """Beam lanes: interleaved batched beam sessions match independent
+    StreamingRecognizer beam sessions exactly (final best hypothesis)."""
+    model, variables = _uni_model()
+    runner = BatchedStreamingRunner(model, variables,
+                                    AudioConfig(normalize=False),
+                                    max_sessions=4, chunk_frames=16,
+                                    max_symbols=2, decoder="beam",
+                                    beam_width=3)
+    wavs = _wavs(3, seed=11)
+
+    def ref_beam(wav):
+        rec = StreamingRecognizer(model, variables,
+                                  AudioConfig(normalize=False),
+                                  chunk_frames=16, max_symbols=2,
+                                  normalize="none", decoder="beam",
+                                  beam_width=3)
+        for i in range(0, len(wav), 1600):
+            rec.feed(wav[i:i + 1600])
+        rec.flush()
+        return list(rec.tokens)
+
+    want = [ref_beam(w) for w in wavs]
+    sessions = [runner.open() for _ in wavs]
+    assert all(s.decoder == "beam" for s in sessions)
+    pos = [0, 0, 0]
+    rounds = 0
+    while any(pos[i] < len(wavs[i]) for i in range(3)):
+        for i, s in enumerate(sessions):
+            if rounds >= i and pos[i] < len(wavs[i]):
+                assert s.feed(wavs[i][pos[i]:pos[i] + 1600]) == []
+                pos[i] += 1600
+        rounds += 1
+    got = [s.flush() for s in sessions]
+    assert got == want
