@@ -281,7 +281,9 @@ class BatchedStreamingRunner:
 
     def slot_tokens(self, slot: int):
         with self._lock:
-            return self._tokens[slot], int(self._lengths[slot])
+            # copy: callers iterate after the lock is released, and a
+            # concurrent open() reusing the slot rewrites the live row
+            return self._tokens[slot].copy(), int(self._lengths[slot])
 
     # ---------------------------------------------------------------- tick
     def drain(self, final_session: Optional[BatchedSession] = None) -> int:

@@ -276,7 +276,28 @@ _VMEM_BUDGET = 14 * 1024 * 1024  # ~16 MB physical minus compiler slack
 # Measured on v5e at the flagship GRU shape: bwd k=2 (est. 15.7 MB) compiles
 # and trains ~8% faster than k=1, while fwd k=4 (same estimate) compiles but
 # runs SLOWER than k=2 — so only the bwd phase gets the relaxed budget.
-_VMEM_BUDGET_BWD = 16 * 1024 * 1024
+# The relaxation is validated only on v5e; on other generations (or when
+# detection fails) stay with the conservative budget so a Mosaic that DOES
+# double-buffer those streams never sees a k whose real footprint overflows.
+_VMEM_BUDGET_BWD_V5E = 16 * 1024 * 1024
+_RELAXED_BWD_KINDS = ("v5 lite", "v5e", "v5litepod")
+
+
+def _vmem_budget_bwd() -> int:
+    global _BWD_BUDGET_CACHE
+    if _BWD_BUDGET_CACHE is None:
+        budget = _VMEM_BUDGET
+        try:
+            kind = jax.local_devices()[0].device_kind.lower()
+            if any(k in kind for k in _RELAXED_BWD_KINDS):
+                budget = _VMEM_BUDGET_BWD_V5E
+        except Exception:
+            pass  # no devices / backend init failure: conservative
+        _BWD_BUDGET_CACHE = budget
+    return _BWD_BUDGET_CACHE
+
+
+_BWD_BUDGET_CACHE: int | None = None
 
 GATES = {"gru": 3, "lstm": 4}
 
@@ -301,7 +322,7 @@ def _kernel_vmem(rnn_type: str, phase: str, hidden: int, batch: int,
 def _block_k(rnn_type: str, phase: str, T: int, hidden: int, batch: int,
              itemsize: int) -> int:
     """Largest timesteps-per-grid-step that divides T and fits VMEM."""
-    budget = _VMEM_BUDGET_BWD if phase == "bwd" else _VMEM_BUDGET
+    budget = _vmem_budget_bwd() if phase == "bwd" else _VMEM_BUDGET
     for k in (8, 4, 2, 1):
         if T % k == 0 and _kernel_vmem(rnn_type, phase, hidden, batch, k,
                                        itemsize) <= budget:

@@ -133,11 +133,13 @@ class StreamingServer:
                              .encode())
             with self._device_lock:
                 fin = sess.flush()
+                # flush() frees a batched session's slot, so .tokens must
+                # never be read afterwards (another connection's open() can
+                # reuse the slot).  For beam, flush() returns the final
+                # ranked-best sequence; for greedy, the trailing emission.
                 if beam:
-                    tokens = list(sess.tokens)
+                    tokens = list(fin)
                 else:
-                    # greedy accumulates; batched sessions free their slot
-                    # on flush, so .tokens must not be read afterwards
                     emitted += fin
                     tokens = list(emitted)
                 final = self.recognizer._decode_text(tokens)
@@ -180,12 +182,23 @@ class StreamingServer:
     def stop(self) -> None:
         self._running = False
         if self._sock is not None:
+            # shutdown() before close(): closing an fd another thread is
+            # blocked in accept() on does not reliably wake that thread, so
+            # without this the accept loop leaks and join() times out
+            try:
+                self._sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass  # not connected / already shut down — fine
             try:
                 self._sock.close()
             except OSError:
                 pass
         if self._thread is not None:
             self._thread.join(timeout=5)
+            if self._thread.is_alive():
+                raise RuntimeError("StreamingServer accept loop failed to "
+                                   "exit within 5 s of stop()")
+            self._thread = None
 
     def __enter__(self):
         return self.start()
@@ -208,9 +221,13 @@ def stream_wav(host: str, port: int, wav: np.ndarray,
             chunk = pcm16[i:i + chunk_samples].tobytes()
             s.sendall(struct.pack("<i", len(chunk)) + chunk)
             msg = json.loads(f.readline())
+            if "error" in msg:  # slots full, odd payload, bidi encoder, ...
+                raise RuntimeError(msg["error"])
             partials.append(msg["partial"])
         s.sendall(struct.pack("<i", 0))
         final = json.loads(f.readline())
+        if "error" in final:
+            raise RuntimeError(final["error"])
     return partials, final
 
 

@@ -23,10 +23,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
 # ---------------------------------------------------------------------------
-# Fast profile: `pytest -m "not slow"` (< ~2 min) for iteration; the full
-# suite (~10 min, trace-bound) stays the CI gate. Membership is measured by
-# --durations (tests >= ~6 s on the 8-virtual-device CPU conftest), kept here
-# centrally so re-tiering after a perf change is a one-list edit.
+# Fast profile: `pytest -m "not slow"` for iteration; the full suite stays
+# the CI gate. Measured on this image (8-virtual-device CPU conftest):
+# fast profile ~7:30 warm cache / >10 min cold; full suite ~20+ min.
+# Membership is measured by --durations (tests >= ~6 s), kept here centrally
+# so re-tiering after a perf change is a one-list edit.
 import pytest  # noqa: E402
 
 _SLOW_TESTS = {
@@ -61,3 +62,23 @@ def pytest_collection_modifyitems(items):
     for item in items:
         if item.name.split("[")[0] in _SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+
+
+@pytest.fixture(autouse=True)
+def _no_leaked_server_threads():
+    """Fail any test that leaks a StreamingServer accept loop.  Round-2 crash
+    dumps showed six `_accept_loop` threads still blocked in accept() after
+    their `with StreamingServer(...)` blocks exited — stop() closed the fd
+    without shutdown(), which does not wake a thread blocked in accept()."""
+    import threading
+    import time
+
+    yield
+    deadline = time.monotonic() + 2.0
+    while time.monotonic() < deadline:
+        leaked = [t.name for t in threading.enumerate()
+                  if "_accept_loop" in t.name and t.is_alive()]
+        if not leaked:
+            return
+        time.sleep(0.05)
+    pytest.fail(f"leaked StreamingServer accept-loop threads: {leaked}")
