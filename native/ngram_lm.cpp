@@ -2,11 +2,22 @@
 // equivalent of the reference's KenLM dependency (used via pyctcdecode at
 // networks/transducer.py:22-24,168-213 and loaded at inference.py:29).
 //
-// Loads standard ARPA files; scoring follows the usual backoff recursion
+// Loads standard ARPA files AND kenlm "format version 5" PROBING binaries
+// (the default `build_binary` output, with trailing vocabulary strings);
+// scoring follows the usual backoff recursion
 //   P(w | ctx) = P(ctx+w)                     if the full n-gram exists
 //              = backoff(ctx) + P(w | ctx[1:]) otherwise
 // in log10 space (ARPA convention, same as KenLM). Exposed through a C ABI
 // consumed by ctypes (rnntransducer_tpu/decode/ngram_lm.py).
+//
+// The kenlm loader targets the probing-model layout (sanity header, fixed
+// params, per-order counts, murmur-hashed vocab table, unigram ProbBackoff
+// array, chained-hash middle/longest probing tables, '\0'-joined trailing
+// vocab strings). TRIE / quantized variants and files without trailing
+// vocabulary are refused with a distinct error code so the Python side can
+// print an ARPA-conversion hint; loaded tables are sanity-sampled (log10
+// probs must look like log-probs) so a layout mismatch fails loudly at load
+// rather than silently mis-scoring.
 //
 // Build: g++ -O2 -shared -fPIC -o libngram_lm.so ngram_lm.cpp
 
@@ -44,8 +55,11 @@ uint64_t HashIds(const int32_t* ids, int len) {
   return h;
 }
 
+uint64_t ChainHash(const int32_t* ids, int len);  // kenlm n-gram key (below)
+
 struct NGramLM {
   int order = 0;
+  bool kenlm_hashed = false;  // tables keyed by kenlm ChainHash, not HashIds
   std::unordered_map<std::string, int32_t> vocab;
   std::vector<std::string> sorted_words;              // for prefix queries
   std::vector<std::unordered_map<uint64_t, Entry>> tables;  // [n-1] -> grams
@@ -58,7 +72,8 @@ struct NGramLM {
   const Entry* Find(const int32_t* ids, int len) const {
     if (len <= 0 || len > order) return nullptr;
     const auto& t = tables[len - 1];
-    auto it = t.find(HashIds(ids, len));
+    uint64_t key = kenlm_hashed ? ChainHash(ids, len) : HashIds(ids, len);
+    auto it = t.find(key);
     return it == t.end() ? nullptr : &it->second;
   }
 
@@ -153,11 +168,205 @@ NGramLM* LoadArpa(const char* path) {
   return lm;
 }
 
+// --------------------------------------------------------------------------
+// kenlm binary (format version 5, PROBING) reader.
+//
+// Layout (lm/binary_format.cc, lm/vocab.cc, lm/search_hashed.hh as of the
+// kenlm tree the reference's pyctcdecode wheel bundles):
+//   Sanity        { char magic[ALIGN8(53)]; float 0.0f; double 1.0;
+//                   uint64 SIZE_MAX }                           (80 bytes)
+//   FixedWidth    { u8 order; f32 probing_multiplier; i32 model_type;
+//                   u8 has_vocabulary; u32 search_version }     (20 bytes)
+//   uint64 counts[order]
+//   pad to 8
+//   VocabHeader   { uint64 bound }                              (8 bytes)
+//   VocabTable    buckets(counts[0]) x { uint64 murmur64a(word); u32 id; pad }
+//   Unigrams      (counts[0] + 1) x { f32 prob; f32 backoff }
+//   Middle[n=2..order-1]  buckets(counts[n-1]) x { uint64 chain; f32 p; f32 b }
+//   Longest       buckets(counts[order-1]) x { uint64 chain; f32 p; pad }
+//   Vocab strings '\0'-joined words in id order (iff has_vocabulary)
+// where buckets(e) = max(e+1, (uint64)(probing_multiplier * e)), invalid
+// table slots hold key 0, and chain(w1..wn) folds right-to-left:
+//   h = wn; h = (h * 8978948897894561157) ^ ((1+w) * 17894857484156487943).
+
+constexpr uint64_t kChainMulA = 8978948897894561157ull;
+constexpr uint64_t kChainMulB = 17894857484156487943ull;
+
+uint64_t ChainCombine(uint64_t current, uint32_t next_word) {
+  return (current * kChainMulA) ^
+         ((static_cast<uint64_t>(next_word) + 1) * kChainMulB);
+}
+
+uint64_t ChainHash(const int32_t* ids, int len) {
+  uint64_t h = static_cast<uint64_t>(static_cast<uint32_t>(ids[len - 1]));
+  for (int i = len - 2; i >= 0; --i)
+    h = ChainCombine(h, static_cast<uint32_t>(ids[i]));
+  return h;
+}
+
+const char kKenlmMagic[] = "mmap lm http://kheafield.com/code format version 5\n";
+int g_kenlm_error = 0;  // 0 ok; see kKenlmErrors in ngram_lm.py
+
+uint64_t KenlmBuckets(uint64_t entries, float multiplier) {
+  uint64_t scaled = static_cast<uint64_t>(multiplier * static_cast<float>(entries));
+  return std::max(entries + 1, scaled);
+}
+
+template <typename T>
+bool ReadPod(std::ifstream& in, T* out) {
+  in.read(reinterpret_cast<char*>(out), sizeof(T));
+  return bool(in);
+}
+
+NGramLM* LoadKenlmProbing(const char* path) {
+  g_kenlm_error = 0;
+  std::ifstream in(path, std::ios::binary);
+  if (!in.is_open()) { g_kenlm_error = 1; return nullptr; }
+
+  char magic[56];
+  if (!in.read(magic, sizeof(magic))) { g_kenlm_error = 2; return nullptr; }
+  if (std::memcmp(magic, kKenlmMagic, sizeof(kKenlmMagic) - 1) != 0) {
+    g_kenlm_error = 2;  // not a version-5 kenlm binary
+    return nullptr;
+  }
+  float zero_f; double one_d; uint64_t max_sz;
+  char pad4[4];
+  if (!ReadPod(in, &zero_f) || !in.read(pad4, 4) || !ReadPod(in, &one_d) ||
+      !ReadPod(in, &max_sz) || zero_f != 0.0f || one_d != 1.0 ||
+      max_sz != UINT64_MAX) {
+    g_kenlm_error = 3;  // sanity block mismatch (32-bit build / endianness)
+    return nullptr;
+  }
+  unsigned char order_u8; char pad3[3];
+  float multiplier; int32_t model_type; unsigned char has_vocab;
+  uint32_t search_version;
+  if (!ReadPod(in, &order_u8) || !in.read(pad3, 3) ||
+      !ReadPod(in, &multiplier) || !ReadPod(in, &model_type) ||
+      !ReadPod(in, &has_vocab) || !in.read(pad3, 3) ||
+      !ReadPod(in, &search_version)) {
+    g_kenlm_error = 3;
+    return nullptr;
+  }
+  if (model_type != 0) { g_kenlm_error = 4; return nullptr; }  // PROBING only
+  if (!has_vocab) { g_kenlm_error = 5; return nullptr; }
+  int order = order_u8;
+  if (order < 1 || order > 12 || !(multiplier >= 1.0f)) {
+    g_kenlm_error = 3;
+    return nullptr;
+  }
+  std::vector<uint64_t> counts(order);
+  for (int n = 0; n < order; ++n)
+    if (!ReadPod(in, &counts[n]) || counts[n] == 0 || counts[n] > (1ull << 40)) {
+      g_kenlm_error = 3;
+      return nullptr;
+    }
+  // header is padded to 8 bytes: 80 + 20 + 8*order -> skip 4
+  uint64_t header = 80 + 20 + 8 * static_cast<uint64_t>(order);
+  if (header % 8) in.seekg((8 - header % 8), std::ios::cur);
+
+  auto lm = new NGramLM();
+  lm->order = order;
+  lm->kenlm_hashed = true;
+  lm->tables.resize(order);
+
+  // vocab probing table: skip (ids are recovered from the trailing strings,
+  // which are authoritative and also give us prefix queries)
+  uint64_t vocab_bound;
+  if (!ReadPod(in, &vocab_bound)) { g_kenlm_error = 3; delete lm; return nullptr; }
+  uint64_t vbuckets = KenlmBuckets(counts[0], multiplier);
+  in.seekg(static_cast<std::streamoff>(vbuckets * 16), std::ios::cur);
+
+  // unigrams, indexed by word id
+  std::vector<Entry> unigrams(counts[0] + 1);
+  for (uint64_t i = 0; i < counts[0] + 1; ++i) {
+    float pb[2];
+    if (!ReadPod(in, &pb)) { g_kenlm_error = 3; delete lm; return nullptr; }
+    unigrams[i] = Entry{pb[0], pb[1]};
+  }
+
+  // middle + longest probing tables -> per-order chain-hash maps
+  for (int n = 2; n <= order; ++n) {
+    bool longest = (n == order);
+    uint64_t buckets = KenlmBuckets(counts[n - 1], multiplier);
+    auto& table = lm->tables[n - 1];
+    table.reserve(counts[n - 1] * 2);
+    for (uint64_t b = 0; b < buckets; ++b) {
+      uint64_t key; float prob, backoff = 0.0f;
+      if (!ReadPod(in, &key) || !ReadPod(in, &prob) ||
+          (!longest && !ReadPod(in, &backoff)) ||
+          (longest && !in.read(pad4, 4))) {
+        g_kenlm_error = 3; delete lm; return nullptr;
+      }
+      if (key == 0) continue;  // empty slot
+      table.emplace(key, Entry{prob, backoff});
+    }
+    if (table.size() != counts[n - 1]) {
+      g_kenlm_error = 6;  // slot count mismatch -> layout drift
+      delete lm; return nullptr;
+    }
+  }
+
+  // trailing vocabulary strings, '\0'-joined, id order, starting with <unk>
+  std::string words((std::istreambuf_iterator<char>(in)),
+                    std::istreambuf_iterator<char>());
+  size_t pos = 0;
+  int32_t id = 0;
+  while (pos < words.size() && id < static_cast<int32_t>(counts[0])) {
+    size_t nul = words.find('\0', pos);
+    if (nul == std::string::npos) nul = words.size();
+    lm->vocab.emplace(words.substr(pos, nul - pos), id++);
+    pos = nul + 1;
+  }
+  if (lm->vocab.size() != counts[0] ||
+      lm->vocab.count("<unk>") == 0 || lm->vocab.at("<unk>") != 0) {
+    g_kenlm_error = 5;  // vocab strings missing/truncated
+    delete lm; return nullptr;
+  }
+
+  // unigram array -> tables[0] keyed the same way Find() will query
+  for (const auto& kv : lm->vocab) {
+    int32_t wid = kv.second;
+    lm->tables[0][static_cast<uint64_t>(static_cast<uint32_t>(wid))] =
+        unigrams[wid];
+  }
+
+  // layout-drift tripwire: sampled probs must look like log10-probs
+  int sampled = 0, plausible = 0;
+  for (int n = 0; n < order; ++n)
+    for (const auto& kv : lm->tables[n]) {
+      float p = kv.second.prob;
+      ++sampled;
+      if (std::isfinite(p) && p > -100.0f && p < 1.0f) ++plausible;
+      if (sampled >= 4096) break;
+    }
+  if (plausible < sampled * 9 / 10) {
+    g_kenlm_error = 6;
+    delete lm; return nullptr;
+  }
+
+  lm->sorted_words.reserve(lm->vocab.size());
+  for (const auto& kv : lm->vocab) lm->sorted_words.push_back(kv.first);
+  std::sort(lm->sorted_words.begin(), lm->sorted_words.end());
+  return lm;
+}
+
+bool IsKenlmBinary(const char* path) {
+  std::ifstream in(path, std::ios::binary);
+  char buf[8] = {0};
+  if (!in.read(buf, 8)) return false;
+  return std::memcmp(buf, "mmap lm ", 8) == 0;
+}
+
 }  // namespace
 
 extern "C" {
 
-void* ngram_load(const char* path) { return LoadArpa(path); }
+void* ngram_load(const char* path) {
+  if (IsKenlmBinary(path)) return LoadKenlmProbing(path);
+  return LoadArpa(path);
+}
+
+int ngram_kenlm_error() { return g_kenlm_error; }
 
 void ngram_free(void* lm) { delete static_cast<NGramLM*>(lm); }
 

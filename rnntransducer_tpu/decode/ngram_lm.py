@@ -35,7 +35,9 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 def _load_lib() -> ctypes.CDLL:
     so = os.path.join(_NATIVE_DIR, "libngram_lm.so")
-    if not os.path.exists(so):
+    cpp = os.path.join(_NATIVE_DIR, "ngram_lm.cpp")
+    stale = os.path.exists(so) and os.path.getmtime(so) < os.path.getmtime(cpp)
+    if not os.path.exists(so) or stale:
         # atomic build (concurrent first calls must not load a partial .so)
         tmp = f"{so}.build.{os.getpid()}"
         subprocess.run(
@@ -59,6 +61,8 @@ def _load_lib() -> ctypes.CDLL:
                                 ctypes.c_int, ctypes.c_int32]
     lib.ngram_has_prefix.restype = ctypes.c_int
     lib.ngram_has_prefix.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.ngram_kenlm_error.restype = ctypes.c_int
+    lib.ngram_kenlm_error.argtypes = []
     return lib
 
 
@@ -75,26 +79,104 @@ def _lib_handle() -> ctypes.CDLL:
 LMState = Tuple[int, ...]  # last (order-1) word ids
 
 
+def _resolve_pyctcdecode_dir(d: str) -> Tuple[str, dict]:
+    """Locate the LM file + attrs inside a pyctcdecode ``save_to_dir`` layout.
+
+    The layout (reference loads it at ``inference.py:29``) is a directory
+    holding the kenlm/arpa model under its original name plus ``attrs.json``
+    with the fusion weights.  Filenames drifted across pyctcdecode versions,
+    so match by extension rather than exact name.
+    """
+    import json
+
+    attrs: dict = {}
+    model = None
+    for name in sorted(os.listdir(d)):
+        p = os.path.join(d, name)
+        low = name.lower()
+        if low.endswith("attrs.json"):
+            with open(p) as f:
+                attrs = json.load(f)
+        elif low.endswith((".arpa", ".arpa.gz", ".bin", ".binary")) or (
+                low.endswith(".gz") and ".arpa" in low):
+            model = p
+    if model is None:
+        raise FileNotFoundError(
+            f"no .arpa/.bin LM file inside directory {d} (expected a "
+            "pyctcdecode save_to_dir layout)")
+    return model, attrs
+
+
+# error codes from native ngram_kenlm_error() when a kenlm binary refuses
+_KENLM_ERRORS = {
+    1: "cannot open file",
+    2: "not a kenlm 'format version 5' binary",
+    3: "sanity/header mismatch (32-bit or foreign-endian build?)",
+    4: "only PROBING-format kenlm binaries are supported (TRIE/quantized "
+       "models: rebuild with `build_binary probing lm.arpa lm.bin`, or pass "
+       "the .arpa directly — this loader reads ARPA natively)",
+    5: "binary lacks trailing vocabulary strings (rebuild without -w "
+       "suppression, or pass the .arpa directly)",
+    6: "table layout drift detected (entry counts / prob ranges implausible "
+       "for this kenlm version — pass the .arpa directly)",
+}
+
+
 class NGramLM:
-    """ARPA n-gram LM with KenLM-style shallow-fusion scoring."""
+    """N-gram LM with KenLM-style shallow-fusion scoring.
+
+    ``load`` accepts everything the reference's ``pyctcdecode``-based loader
+    (``/root/reference/inference.py:29``) accepts:
+
+    * a text ARPA file (optionally gzip-compressed ``.arpa.gz``),
+    * a kenlm ``format version 5`` PROBING binary (``.bin``/``.binary``),
+    * a pyctcdecode ``save_to_dir`` directory — ``attrs.json`` (alpha/beta/
+      unk_score_offset) + ``unigrams.txt`` + the kenlm/arpa file inside.
+    """
 
     def __init__(self, handle: int, alpha: float = DEFAULT_ALPHA,
-                 beta: float = DEFAULT_BETA):
+                 beta: float = DEFAULT_BETA,
+                 unk_offset: float = UNK_PENALTY):
         self._h = handle
         self._lib = _lib_handle()
         self.order = self._lib.ngram_order(self._h)
         self.alpha = alpha
         self.beta = beta
+        self.unk_offset = unk_offset
         self._bos = self.word_id("<s>")
         self._eos = self.word_id("</s>")
 
     @classmethod
-    def load(cls, arpa_path: str, weight: float = DEFAULT_ALPHA,
-             beta: float = DEFAULT_BETA) -> "NGramLM":
-        h = _lib_handle().ngram_load(arpa_path.encode())
-        if not h:
-            raise FileNotFoundError(f"cannot load ARPA LM: {arpa_path}")
-        return cls(h, alpha=weight, beta=beta)
+    def load(cls, path: str, weight: Optional[float] = None,
+             beta: Optional[float] = None) -> "NGramLM":
+        alpha_d, beta_d, unk_d = DEFAULT_ALPHA, DEFAULT_BETA, UNK_PENALTY
+        if os.path.isdir(path):
+            path, attrs = _resolve_pyctcdecode_dir(path)
+            alpha_d = attrs.get("alpha", alpha_d)
+            beta_d = attrs.get("beta", beta_d)
+            unk_d = attrs.get("unk_score_offset", unk_d)
+        tmp = None
+        if path.endswith(".gz"):
+            import gzip
+            import tempfile
+            with gzip.open(path, "rb") as f:
+                data = f.read()
+            tmp = tempfile.NamedTemporaryFile(suffix=".arpa", delete=False)
+            tmp.write(data)
+            tmp.close()
+            path = tmp.name
+        try:
+            lib = _lib_handle()
+            h = lib.ngram_load(path.encode())
+            if not h:
+                err = lib.ngram_kenlm_error()
+                detail = _KENLM_ERRORS.get(err, "unreadable ARPA file")
+                raise FileNotFoundError(f"cannot load LM {path}: {detail}")
+        finally:
+            if tmp is not None:
+                os.unlink(tmp.name)
+        return cls(h, alpha=alpha_d if weight is None else weight,
+                   beta=beta_d if beta is None else beta, unk_offset=unk_d)
 
     def __del__(self):
         if getattr(self, "_h", None) and self._lib is not None:
@@ -121,7 +203,7 @@ class NGramLM:
               is_last_word: bool = False) -> Tuple[float, LMState]:
         wid = self.word_id(word)
         if wid < 0:
-            lm_log10 = UNK_PENALTY / _LOG10  # fixed OOV penalty (natural -10)
+            lm_log10 = self.unk_offset / _LOG10  # OOV penalty (natural units)
             new_state = prev_state
         else:
             lm_log10 = self.raw_score(prev_state or (), wid)
@@ -137,7 +219,7 @@ class NGramLM:
         if self.has_prefix(partial):
             unk = 0.0
         else:
-            unk = UNK_PENALTY
+            unk = self.unk_offset
         if len(partial) > AVG_TOKEN_LEN:
             unk = unk * len(partial) / AVG_TOKEN_LEN
         return self.alpha * unk

@@ -220,3 +220,78 @@ def test_beam_requires_tokenizer_with_lm():
     model, variables = _make_model(seed=1)
     with pytest.raises(ValueError):
         BeamSearchDecoder(model, variables, hotwords=["x"], tokenizer=None)
+
+
+# ------------------------------------------------- kenlm binary / dir / gz
+def test_kenlm_probing_binary_matches_arpa(lm_path, tmp_path):
+    """The native kenlm-binary reader scores identically to the ARPA path.
+
+    kenlm itself is not installable in this image, so the fixture binary is
+    produced by utils/kenlm_binary.py, which writes the same format-version-5
+    probing layout the reader targets (layout spec in native/ngram_lm.cpp).
+    """
+    from rnntransducer_tpu.decode.ngram_lm import NGramLM
+    from rnntransducer_tpu.utils.kenlm_binary import write_probing_binary
+
+    bin_path = tmp_path / "test.bin"
+    write_probing_binary(ARPA, str(bin_path))
+    lm_a = NGramLM.load(lm_path, weight=1.0, beta=0.0)
+    lm_b = NGramLM.load(str(bin_path), weight=1.0, beta=0.0)
+    assert lm_b.order == lm_a.order == 2
+    # ids differ between loaders; query each with its own ids
+    for ctx_words, w in [((), "the"), (("the",), "cat"), (("the",), "dog"),
+                         (("cat",), "dog"), (("cat",), "sat"),
+                         (("<s>",), "the"), (("sat",), "</s>")]:
+        ca = tuple(lm_a.word_id(x) for x in ctx_words)
+        cb = tuple(lm_b.word_id(x) for x in ctx_words)
+        np.testing.assert_allclose(
+            lm_b.raw_score(cb, lm_b.word_id(w)),
+            lm_a.raw_score(ca, lm_a.word_id(w)), atol=1e-6,
+            err_msg=f"P({w} | {ctx_words})")
+    # pyctcdecode surface works off the binary too
+    s0 = lm_b.get_start_state()
+    score, _ = lm_b.score(s0, "the")
+    np.testing.assert_allclose(score, -0.3 * math.log(10), atol=1e-5)
+    assert lm_b.has_prefix("ca") and not lm_b.has_prefix("zz")
+
+
+def test_kenlm_binary_refuses_trie_with_hint(tmp_path):
+    from rnntransducer_tpu.decode.ngram_lm import NGramLM
+    from rnntransducer_tpu.utils.kenlm_binary import write_probing_binary
+
+    bin_path = tmp_path / "trie.bin"
+    write_probing_binary(ARPA, str(bin_path))
+    data = bytearray(bin_path.read_bytes())
+    # flip model_type (offset 88 in FixedWidthParameters) PROBING -> TRIE
+    import struct
+    assert struct.unpack_from("<i", data, 88)[0] == 0
+    struct.pack_into("<i", data, 88, 2)
+    bin_path.write_bytes(bytes(data))
+    with pytest.raises(FileNotFoundError, match="PROBING"):
+        NGramLM.load(str(bin_path))
+
+
+def test_pyctcdecode_dir_layout(lm_path, tmp_path):
+    """Directory layout the reference loads at inference.py:29: attrs.json +
+    unigrams + kenlm file; attrs provide default alpha/beta/unk offset."""
+    import gzip
+    import json
+    import shutil
+
+    from rnntransducer_tpu.decode.ngram_lm import NGramLM
+
+    d = tmp_path / "lmdir"
+    d.mkdir()
+    with open(lm_path, "rb") as f:
+        with gzip.open(d / "lm.arpa.gz", "wb") as g:
+            shutil.copyfileobj(f, g)
+    (d / "attrs.json").write_text(json.dumps(
+        {"alpha": 0.25, "beta": 0.75, "unk_score_offset": -5.0}))
+    (d / "unigrams.txt").write_text("the\ncat\ndog\nsat\n")
+    lm = NGramLM.load(str(d))
+    assert lm.alpha == 0.25 and lm.beta == 0.75 and lm.unk_offset == -5.0
+    # explicit weight wins over attrs
+    lm2 = NGramLM.load(str(d), weight=1.0, beta=0.0)
+    assert lm2.alpha == 1.0 and lm2.beta == 0.0
+    np.testing.assert_allclose(
+        lm2.raw_score((), lm2.word_id("the")), -0.6, atol=1e-6)
