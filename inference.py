@@ -108,17 +108,20 @@ def main():
     wavs = [read_wav(p, cfg.data.audio.sample_rate) for p in args.wav]
 
     if args.stream:
-        if args.lm_path or args.hotwords:
-            # fusion lives in the host A/B-set decoder; the streaming path
-            # uses the device batched beam, which has none — refusing beats
-            # silently transcribing without the LM the user asked for (these
-            # flags may also arrive via the checkpoint's persisted
-            # InferenceConfig, hence the check after the config fallback)
+        if (args.lm_path or args.hotwords) and args.decoder == "beam_batched":
+            # fusion lives in the host A/B-set decoder (decoder=beam); the
+            # device batched beam has none — refusing beats silently
+            # transcribing without the LM the user asked for (these flags may
+            # also arrive via the checkpoint's persisted InferenceConfig)
             raise SystemExit(
-                "--stream has no LM/hotword shallow fusion (the streaming "
-                "decoder is the device-side batched beam). Drop --stream, "
-                "or drop --lm_path/--hotwords (pass --lm_path '' to "
-                "override a checkpoint-persisted LM path).")
+                "--stream --decoder beam_batched has no LM/hotword fusion "
+                "(fusion runs in the host beam). Use --decoder beam, or drop "
+                "--lm_path/--hotwords (pass --lm_path '' to override a "
+                "checkpoint-persisted LM path).")
+        lm = None
+        if args.lm_path:
+            from rnntransducer_tpu.decode.ngram_lm import NGramLM
+            lm = NGramLM.load(args.lm_path, weight=args.lm_weight)
         from rnntransducer_tpu.decode.streaming import StreamingRecognizer
         norm = args.normalize or (
             "running" if cfg.data.audio.normalize else "none")
@@ -132,7 +135,11 @@ def main():
                 max_output_len=args.max_output_len, normalize=norm,
                 decoder="beam" if use_beam else "greedy",
                 beam_width=args.beam_width,
-                norm_mean=args.norm_mean, norm_var=args.norm_var)
+                norm_mean=args.norm_mean, norm_var=args.norm_var,
+                lm=lm, hotwords=args.hotwords,
+                hotword_weight=args.hotword_weight, tokenizer=tok,
+                improved=args.improved, state_beam=args.state_beam,
+                expand_beam=args.expand_beam)
             emitted = []  # greedy: accumulate feed()'s returns — a .tokens
             # poll would re-fetch the whole buffer every chunk
             for s in range(0, len(wav), chunk):

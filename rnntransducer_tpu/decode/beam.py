@@ -97,6 +97,16 @@ class _Hyp:
         self.cache = cache      # (log_probs (V,), new_state) for this frame
 
 
+class HostBeamSession:
+    """Resumable A/B-set search state (see BeamSearchDecoder.open_session)."""
+    __slots__ = ("B_hyps", "cached_lm", "cached_partial")
+
+    def __init__(self, B_hyps, cached_lm, cached_partial):
+        self.B_hyps = B_hyps
+        self.cached_lm = cached_lm
+        self.cached_partial = cached_partial
+
+
 class BeamSearchDecoder:
     def __init__(self, model: RNNTransducer, variables, blank_id: int = 0,
                  tokenizer=None, beam_width: int = 5, improved: bool = True,
@@ -200,6 +210,37 @@ class BeamSearchDecoder:
                        None if nc is None else nc[:, :, i:i + 1])
             hyp.cache = (log_probs[i].astype(np.float64), state_i)
 
+    # ------------------------------------------------------------ session
+    def open_session(self) -> "HostBeamSession":
+        """Resumable search state: feed encoder frames in arbitrary chunk
+        sizes via ``decode_frames`` and settle with ``finalize`` — the frame
+        loop is identical to ``decode``'s, so chunked decoding is equal to
+        offline decoding by construction (used by the streaming path,
+        decode/streaming.py, for LM/hotword fusion)."""
+        start_lm_state = self.lm.get_start_state() if self.lm else None
+        zero_state = _zero_prednet_state(self.model)
+        return HostBeamSession(
+            B_hyps=[_Hyp(0.0, [self.blank_id], zero_state, 0.0,
+                         start_lm_state)],
+            cached_lm={"": (0.0, 0.0, start_lm_state)},
+            cached_partial={})
+
+    def current_best(self, session: "HostBeamSession") -> List[int]:
+        """Best-so-far tokens for streaming partials (no EOS settling)."""
+        best = max(session.B_hyps, key=self._key)
+        return best.y_star[1:]
+
+    def finalize(self, session: "HostBeamSession",
+                 n_best: Optional[int] = None) -> List[List[int]]:
+        B_hyps = session.B_hyps
+        if self._use_lm:
+            self._score_lm_beams(B_hyps, session.cached_lm,
+                                 session.cached_partial, is_eos=True)
+        nbest = sorted(B_hyps, key=lambda h: self._key(h) / len(h.y_star),
+                       reverse=True)[:(n_best or self.beam_width)]
+        # strip the leading blank seed token
+        return [h.y_star[1:] for h in nbest]
+
     # ------------------------------------------------------------- decode
     def decode(self, feats, feat_lengths, n_best: Optional[int] = None
                ) -> List[List[int]]:
@@ -207,19 +248,19 @@ class BeamSearchDecoder:
         batch-1 by design (transducer.py:267). Returns n-best token lists."""
         model, variables = self.model, self.variables
         enc = np.asarray(_encode(model, variables, feats, feat_lengths)[0])
-        T = int(feat_lengths[0])
+        session = self.open_session()
+        self.decode_frames(session, enc[:int(feat_lengths[0])])
+        return self.finalize(session, n_best)
 
-        start_lm_state = self.lm.get_start_state() if self.lm else None
-        cached_lm = {"": (0.0, 0.0, start_lm_state)}
-        cached_partial: dict = {}
+    def decode_frames(self, session: "HostBeamSession",
+                      enc_frames: np.ndarray) -> None:
+        """Advance the search over encoder frames (T, De), resumable."""
+        cached_lm = session.cached_lm
+        cached_partial = session.cached_partial
+        B_hyps = session.B_hyps
 
-        # zero prednet state template (== feeding with None in the reference)
-        zero_state = _zero_prednet_state(model)
-
-        B_hyps = [_Hyp(0.0, [self.blank_id], zero_state, 0.0, start_lm_state)]
-
-        for t in range(T):
-            enc_t = enc[t:t + 1]  # numpy; transfers with the wave dispatch
+        for t in range(len(enc_frames)):
+            enc_t = enc_frames[t:t + 1]  # numpy; transfers with the wave dispatch
             A_hyps = B_hyps
             B_hyps = []
             for hyp in A_hyps:
@@ -291,9 +332,4 @@ class BeamSearchDecoder:
                 if len(B_hyps) >= self.beam_width and best_next_B > best_next_A:
                     break
 
-        if self._use_lm:
-            self._score_lm_beams(B_hyps, cached_lm, cached_partial, is_eos=True)
-        nbest = sorted(B_hyps, key=lambda h: self._key(h) / len(h.y_star),
-                       reverse=True)[:(n_best or self.beam_width)]
-        # strip the leading blank seed token
-        return [h.y_star[1:] for h in nbest]
+        session.B_hyps = B_hyps

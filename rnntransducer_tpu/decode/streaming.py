@@ -166,6 +166,14 @@ class StreamingRecognizer:
     would cost one device->host round trip each); poll the current best via
     the .tokens property at whatever cadence the UI needs. flush() returns
     the final best hypothesis.
+
+    LM / hotword shallow fusion: pass ``lm`` (decode/ngram_lm.NGramLM) and/or
+    ``hotwords`` with ``decoder="beam"`` and a ``tokenizer``.  Fusion runs the
+    host A/B-set decoder (decode/beam.py — the same search the offline
+    ``--decoder beam`` path uses, made resumable over encoder chunks), so
+    streaming beam+LM output equals offline beam+LM output by construction.
+    The reference only fuses offline (``transducer.py:147-213``); here the
+    capability extends to the streaming surface.
     """
 
     def __init__(self, model: RNNTransducer, variables, audio_cfg: AudioConfig,
@@ -173,13 +181,19 @@ class StreamingRecognizer:
                  max_symbols: int = 3, max_output_len: int = 512,
                  normalize: str = "none", decoder: str = "greedy",
                  beam_width: int = 4, norm_mean: float = 0.0,
-                 norm_var: float = 1.0):
+                 norm_var: float = 1.0, lm=None,
+                 hotwords=None, hotword_weight: Optional[float] = None,
+                 tokenizer=None, improved: bool = True,
+                 state_beam: float = 4.6, expand_beam: float = 2.3):
         if model.cfg.transnet.bidirectional:
             raise ValueError(
                 "streaming requires a unidirectional encoder "
                 "(transnet.bidirectional=false)")
         if decoder not in ("greedy", "beam"):
             raise ValueError(f"unknown streaming decoder: {decoder}")
+        fused = lm is not None or bool(hotwords)
+        if fused and decoder != "beam":
+            raise ValueError("LM/hotword fusion requires decoder='beam'")
         self.model = model
         self.variables = variables
         self.blank_id = blank_id
@@ -192,7 +206,22 @@ class StreamingRecognizer:
                                           norm_var=norm_var)
         self._feat_buf = np.zeros((0, audio_cfg.n_mels), np.float32)
         self._enc_state: Optional[RNNState] = None
-        if decoder == "beam":
+        self._host_beam = None
+        self._final_tokens: Optional[List[int]] = None
+        if fused:
+            from rnntransducer_tpu.decode.beam import BeamSearchDecoder
+            from rnntransducer_tpu.decode.hotwords import (
+                DEFAULT_HOTWORD_WEIGHT,
+            )
+            self._host_beam = BeamSearchDecoder(
+                model, variables, blank_id=blank_id, tokenizer=tokenizer,
+                beam_width=beam_width, improved=improved,
+                state_beam=state_beam, expand_beam=expand_beam, lm=lm,
+                hotwords=hotwords,
+                hotword_weight=(DEFAULT_HOTWORD_WEIGHT if hotword_weight
+                                is None else hotword_weight))
+            self._carry = self._host_beam.open_session()
+        elif decoder == "beam":
             from rnntransducer_tpu.decode.beam_batched import init_beam_carry
             self._carry = init_beam_carry(model, variables, 1, beam_width,
                                           blank_id, max_output_len)
@@ -217,7 +246,12 @@ class StreamingRecognizer:
             enc, self._enc_state = _encode_chunk(
                 self.model, self.variables, jnp.asarray(chunk[None]),
                 jnp.array([n_valid], jnp.int32), self._enc_state)
-            if self.decoder == "beam":
+            if self._host_beam is not None:
+                # fused beam: the search itself is host-side (A/B sets, LM
+                # caches); fetch the chunk's valid frames in one transfer
+                enc_host = np.asarray(enc[0, :n_valid])
+                self._host_beam.decode_frames(self._carry, enc_host)
+            elif self.decoder == "beam":
                 from rnntransducer_tpu.decode.beam_batched import (
                     beam_decode_frames,
                 )
@@ -237,6 +271,9 @@ class StreamingRecognizer:
                 new_tokens.extend(int(t) for t in toks[self._emitted:total])
                 self._emitted = total
         if final and self.decoder == "beam":
+            if self._host_beam is not None and self._final_tokens is None:
+                # settle EOS LM scoring once; .tokens serves it afterwards
+                self._final_tokens = self._host_beam.finalize(self._carry)[0]
             new_tokens = self.tokens
         return new_tokens
 
@@ -256,6 +293,10 @@ class StreamingRecognizer:
 
     @property
     def tokens(self) -> List[int]:
+        if self._host_beam is not None:
+            if self._final_tokens is not None:
+                return list(self._final_tokens)
+            return self._host_beam.current_best(self._carry)
         if self.decoder == "beam":
             from rnntransducer_tpu.decode.beam_batched import best_hyp
             # one jitted call + one combined transfer per poll

@@ -62,7 +62,11 @@ class Recognizer:
     def __init__(self, cfg: Config, params, tokenizer: GraphemeTokenizer,
                  decoder: str = "beam_batched",
                  beam_width: Optional[int] = None,
-                 max_output_len: int = 512, compose_hangul: bool = True):
+                 max_output_len: int = 512, compose_hangul: bool = True,
+                 lm_path: Optional[str] = None,
+                 lm_weight: Optional[float] = None,
+                 hotwords: Optional[Sequence[str]] = None,
+                 hotword_weight: Optional[float] = None):
         from rnntransducer_tpu.frontend import LogMelFrontend
         from rnntransducer_tpu.train import build_model
 
@@ -77,6 +81,21 @@ class Recognizer:
         self.max_output_len = max_output_len
         self.compose_hangul = compose_hangul
         self.frontend = LogMelFrontend(cfg.data.audio)
+        # LM / hotword shallow fusion (reference: transducer.py:147-213,
+        # offline only there; here it also reaches stream()): fused decodes
+        # route through the host A/B-set beam (decode/beam.py)
+        self.lm = None
+        if lm_path:
+            from rnntransducer_tpu.decode.ngram_lm import NGramLM
+            self.lm = NGramLM.load(lm_path, weight=lm_weight)
+        self.hotwords = list(hotwords) if hotwords else None
+        self.hotword_weight = hotword_weight
+        if (self.lm is not None or self.hotwords) and decoder == "greedy":
+            raise ValueError("LM/hotword fusion requires a beam decoder")
+
+    @property
+    def fused(self) -> bool:
+        return self.lm is not None or bool(self.hotwords)
 
     # -- constructors --------------------------------------------------
     @classmethod
@@ -135,6 +154,24 @@ class Recognizer:
         feats, feat_lengths = self.frontend(jnp.asarray(batch),
                                             jnp.asarray(lengths))
         blank = self.tokenizer.blank_token_id
+        if self.fused:
+            from rnntransducer_tpu.decode.beam import BeamSearchDecoder
+            from rnntransducer_tpu.decode.hotwords import (
+                DEFAULT_HOTWORD_WEIGHT,
+            )
+            dec = BeamSearchDecoder(
+                self.model, self.variables, blank_id=blank,
+                tokenizer=self.tokenizer, beam_width=self.beam_width,
+                improved=self.cfg.inference.improved,
+                state_beam=self.cfg.inference.state_beam,
+                expand_beam=self.cfg.inference.expand_beam, lm=self.lm,
+                hotwords=self.hotwords,
+                hotword_weight=(DEFAULT_HOTWORD_WEIGHT
+                                if self.hotword_weight is None
+                                else self.hotword_weight))
+            return [self._decode_text(
+                        dec.decode(feats[i:i + 1], feat_lengths[i:i + 1])[0])
+                    for i in range(len(waves))]
         if self.decoder == "greedy" or self.beam_width <= 1:
             toks, lens = greedy_decode(
                 self.model, self.variables, feats, feat_lengths,
@@ -169,6 +206,14 @@ class Recognizer:
         from rnntransducer_tpu.decode.streaming import StreamingRecognizer
         kw.setdefault("normalize",
                       "running" if self.cfg.data.audio.normalize else "none")
+        if self.fused:
+            kw.setdefault("lm", self.lm)
+            kw.setdefault("hotwords", self.hotwords)
+            kw.setdefault("hotword_weight", self.hotword_weight)
+            kw.setdefault("tokenizer", self.tokenizer)
+            kw.setdefault("improved", self.cfg.inference.improved)
+            kw.setdefault("state_beam", self.cfg.inference.state_beam)
+            kw.setdefault("expand_beam", self.cfg.inference.expand_beam)
         return StreamingRecognizer(
             self.model, self.variables, self.cfg.data.audio,
             blank_id=self.tokenizer.blank_token_id,

@@ -71,6 +71,14 @@ class StreamingServer:
         self._running = False
         self.port: Optional[int] = None
         self._runner = None
+        if batch_sessions > 0 and getattr(recognizer, "fused", False):
+            # batched lanes share one compiled device program; LM/hotword
+            # fusion runs in the per-session host beam — refuse loudly
+            # instead of silently dropping the LM from batched sessions
+            raise ValueError(
+                "--batch_sessions has no LM/hotword fusion (fusion runs in "
+                "the host beam, one session per device program); drop "
+                "--batch_sessions or the LM/hotword flags")
         if batch_sessions > 0:
             from rnntransducer_tpu.decode.session_batch import (
                 BatchedStreamingRunner,
@@ -258,11 +266,22 @@ def main():
                    help="continuous batching: serve up to N concurrent "
                         "sessions with one device program per tick "
                         "(greedy decoding)")
+    p.add_argument("--lm_path", type=str, default=None,
+                   help="ARPA / kenlm-binary / pyctcdecode-dir LM for "
+                        "shallow fusion (requires --decoder beam, no "
+                        "--batch_sessions)")
+    p.add_argument("--lm_weight", type=float, default=None)
+    p.add_argument("--hotwords", type=str, nargs="*", default=None)
+    p.add_argument("--hotword_weight", type=float, default=None)
     args = p.parse_args()
 
     rec = Recognizer.from_checkpoint(args.checkpoint_dir,
                                      decoder=args.decoder,
-                                     beam_width=args.beam_width)
+                                     beam_width=args.beam_width,
+                                     lm_path=args.lm_path,
+                                     lm_weight=args.lm_weight,
+                                     hotwords=args.hotwords,
+                                     hotword_weight=args.hotword_weight)
     kw = {}
     if args.normalize:
         kw["normalize"] = args.normalize

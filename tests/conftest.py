@@ -55,6 +55,8 @@ _SLOW_TESTS = {
     "test_fit_no_double_save_when_max_steps_hits_val_interval",
     "test_loss_decreases",
     "test_convert_to_orbax_roundtrip",
+    "test_streaming_beam_lm_matches_offline_beam_lm",
+    "test_streaming_socket_server_lm_fusion",
 }
 
 

@@ -77,9 +77,10 @@ def test_inference_cli_offline_and_stream(tmp_path):
 
 
 @pytest.mark.slow
-def test_stream_refuses_lm_fusion(tmp_path):
-    """--stream with --lm_path must refuse loudly (the streaming decoder has
-    no shallow fusion) rather than silently dropping the LM."""
+def test_stream_lm_fusion_cli(tmp_path):
+    """--stream --decoder beam --lm_path runs host-beam fusion streaming;
+    --decoder beam_batched (no fusion there) still refuses loudly rather
+    than silently dropping the LM."""
     cfg = Config(
         data=DataConfig(audio=AudioConfig(spec_augment=False),
                         audio_buckets=(64,), label_buckets=(16,)),
@@ -113,7 +114,17 @@ def test_stream_refuses_lm_fusion(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "inference.py"),
          "--checkpoint_dir", str(tmp_path / "ckpt"), "--wav", wav_path,
-         "--stream", "--decoder", "beam", "--lm_path", lm_path],
+         "--stream", "--decoder", "beam", "--lm_path", lm_path,
+         "--hotwords", "cat", "--beam_width", "2"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert wav_path in r.stdout
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "inference.py"),
+         "--checkpoint_dir", str(tmp_path / "ckpt"), "--wav", wav_path,
+         "--stream", "--decoder", "beam_batched", "--lm_path", lm_path],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=300)
     assert r.returncode != 0
-    assert "no LM/hotword shallow fusion" in (r.stderr + r.stdout)
+    out = r.stderr + r.stdout
+    assert "no shallow fusion" in out or "no LM/hotword fusion" in out

@@ -236,3 +236,57 @@ def test_streaming_socket_server_batched_beam(tmp_path):
                          batch_sessions=3) as server:
         got = stream_wav("127.0.0.1", server.port, wav)[1]["tokens"]
     assert got == want
+
+
+def test_streaming_socket_server_lm_fusion(tmp_path):
+    """LM+hotword fusion over the socket: sessions run the host fused beam;
+    final matches a direct fused session; batched mode refuses fusion."""
+    import textwrap
+
+    import pytest
+
+    from rnntransducer_tpu.serve_socket import StreamingServer, stream_wav
+
+    cfg = _cfg(tmp_path)
+    ds = SyntheticAudioDataset(4, AudioConfig(), min_sec=0.3, max_sec=0.6,
+                               min_labels=3, max_labels=6, seed=11)
+    trainer = Trainer(cfg, ds, val_dataset=None)
+    trainer.fit()
+    trainer.ckpt.close()
+
+    arpa = textwrap.dedent(r"""
+    \data\
+    ngram 1=5
+
+    \1-grams:
+    -1.0    <s>
+    -1.0    </s>
+    -0.8    at
+    -1.1    it
+    -2.0    <unk>
+
+    \end\
+    """).strip()
+    lm_path = tmp_path / "lm.arpa"
+    lm_path.write_text(arpa)
+
+    rec = Recognizer.from_checkpoint(str(tmp_path / "ckpt"), decoder="beam",
+                                     beam_width=2, lm_path=str(lm_path),
+                                     lm_weight=0.5, hotwords=["at"],
+                                     hotword_weight=2.0)
+    assert rec.fused
+    rng = np.random.RandomState(5)
+    wav = rng.randn(6400).astype(np.float32) * 0.1
+    with StreamingServer(rec, port=0, chunk_frames=16) as server:
+        partials, final = stream_wav("127.0.0.1", server.port, wav)
+        assert all(isinstance(p, str) for p in partials)
+        wav_q = (np.clip(wav * 32768.0, -32768, 32767).astype("<i2")
+                 .astype(np.float32) / 32768.0)
+        direct = rec.stream(chunk_frames=16)
+        for i in range(0, len(wav_q), 1600):
+            direct.feed(wav_q[i:i + 1600])
+        direct.flush()
+        assert final["tokens"] == [int(t) for t in direct.tokens]
+
+    with pytest.raises(ValueError, match="no LM/hotword fusion"):
+        StreamingServer(rec, port=0, batch_sessions=4)

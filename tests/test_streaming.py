@@ -189,3 +189,63 @@ def test_streaming_running_norm_converges_to_offline():
     err_none = np.abs(none[tail] - offline[tail]).mean()
     assert err_run < 0.05, err_run
     assert err_none > 10 * err_run, (err_none, err_run)
+
+
+@pytest.mark.parametrize("chunk_frames", [16, 64])
+def test_streaming_beam_lm_matches_offline_beam_lm(chunk_frames, tmp_path):
+    """Streaming fused beam (host A/B-set search over carried encoder chunks)
+    == the offline host beam+LM decode, token for token — the fusion
+    capability the reference only offers offline (transducer.py:147-213)
+    extended to the streaming surface."""
+    import textwrap
+
+    from rnntransducer_tpu.decode.beam import BeamSearchDecoder
+    from rnntransducer_tpu.decode.ngram_lm import NGramLM
+    from rnntransducer_tpu.tokenizer import GraphemeTokenizer
+
+    arpa = textwrap.dedent(r"""
+    \data\
+    ngram 1=6
+    ngram 2=2
+
+    \1-grams:
+    -1.0    <s>    -0.5
+    -1.0    </s>
+    -0.8    at    -0.3
+    -1.1    it    -0.2
+    -1.3    to    -0.2
+    -2.0    <unk>
+
+    \2-grams:
+    -0.4    <s> at
+    -0.6    at it
+
+    \end\
+    """).strip()
+    lm_path = tmp_path / "lm.arpa"
+    lm_path.write_text(arpa)
+    lm = NGramLM.load(str(lm_path), weight=0.8, beta=0.5)
+
+    model, variables = _uni_model(seed=7)
+    tok = GraphemeTokenizer({"<pad>": 0, "<unk>": 1, "a": 2,
+                             "t": 3, "i": 4, "o": 5, "|": 6})
+    acfg = AudioConfig(normalize=False)
+    wav = (np.random.RandomState(6).randn(12800) * 2).astype(np.float32)
+
+    feats, lengths = LogMelFrontend(acfg)(jnp.asarray(wav[None]))
+    offline = BeamSearchDecoder(
+        model, variables, blank_id=0, tokenizer=tok, beam_width=4,
+        lm=lm, hotwords=["at"], hotword_weight=2.0)
+    want = offline.decode(feats, lengths)[0]
+
+    rec = StreamingRecognizer(
+        model, variables, acfg, decoder="beam", beam_width=4,
+        chunk_frames=chunk_frames, normalize="none", lm=lm,
+        hotwords=["at"], hotword_weight=2.0, tokenizer=tok)
+    partials = []
+    for s in range(0, len(wav), 3200):
+        rec.feed(wav[s:s + 3200])
+        partials.append(rec.tokens)  # poll partials mid-stream
+    final = rec.flush()
+    assert final == want, (chunk_frames, final[:20], want[:20])
+    assert rec.tokens == want
