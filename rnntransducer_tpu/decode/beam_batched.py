@@ -192,6 +192,19 @@ def rank_beam(carry: BeamCarry, length_norm: bool = True):
 
 
 @partial(jax.jit, static_argnames=("length_norm",))
+def best_hyp_all(carry: BeamCarry, length_norm: bool = True):
+    """Best hypothesis of EVERY lane: (tokens (B, L), lens (B,)).  The
+    continuous-batching tick fetches this instead of the full (B, K, L)
+    buffers — the ranking runs on device and the transfer shrinks K-fold."""
+    scores, tokens, lens = carry.scores, carry.tokens, carry.lens
+    rank = scores / (lens + 1) if length_norm else scores
+    k = jnp.argmax(rank, axis=1)  # (B,)
+    best_tokens = jnp.take_along_axis(tokens, k[:, None, None], axis=1)[:, 0]
+    best_lens = jnp.take_along_axis(lens, k[:, None], axis=1)[:, 0]
+    return best_tokens, best_lens
+
+
+@partial(jax.jit, static_argnames=("length_norm",))
 def best_hyp(carry: BeamCarry, length_norm: bool = True):
     """The single best hypothesis of utterance 0: (tokens (L,), len ()).
     One jitted call + one transfer — the cheapest streaming-partials poll."""

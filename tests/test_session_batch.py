@@ -156,3 +156,44 @@ def test_batched_beam_sessions_match_independent_streaming():
         rounds += 1
     got = [s.flush() for s in sessions]
     assert got == want
+
+
+def test_concurrent_feeds_are_exact_and_dont_corrupt():
+    """Hammer the runner from one thread per session (feed-with-drain, no
+    coordination) and require token-exact results vs serial independent
+    sessions — exercises the split tick/state locking (drain's device work
+    runs without the state lock, buffer appends take it)."""
+    import threading
+
+    model, variables = _uni_model(seed=3)
+    n = 6
+    wavs = _wavs(n, seed=13)
+    want = [_reference_tokens(model, variables, w, 1600) for w in wavs]
+
+    runner = BatchedStreamingRunner(model, variables,
+                                    AudioConfig(normalize=False),
+                                    max_sessions=n, chunk_frames=16,
+                                    max_symbols=2)
+    got = [None] * n
+    errors = []
+
+    def client(i):
+        try:
+            sess = runner.open(normalize="none")
+            out = []
+            for s in range(0, len(wavs[i]), 1600):
+                out += sess.feed(wavs[i][s:s + 1600])
+                sess.tokens  # concurrent partial polls under load
+            out += sess.flush()
+            got[i] = out
+        except Exception as e:  # pragma: no cover - surfaced via errors
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    for i in range(n):
+        assert got[i] == want[i], (i, got[i][:10], want[i][:10])
