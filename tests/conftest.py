@@ -67,6 +67,25 @@ def pytest_collection_modifyitems(items):
 
 
 @pytest.fixture(autouse=True)
+def _vm_map_guard():
+    """Keep the process under vm.max_map_count (65530).
+
+    Root cause of the round-2 full-suite SIGSEGV/SIGABRT at
+    ``test_fit_validate_checkpoint_resume`` (~test 171 of 179): every
+    XLA:CPU executable the suite compiles stays in jax's in-process caches
+    holding its JIT code mappings; the map count grows linearly with tests
+    (~33k after ~170) until mmap fails with ENOMEM and jaxlib dies throwing
+    ``std::bad_alloc`` mid-compile (core-dump analysis in
+    rnntransducer_tpu/utils/resource_guard.py).  Clearing jax's caches past
+    a threshold bounds the growth; the persistent compilation cache above
+    makes the re-compiles cheap."""
+    from rnntransducer_tpu.utils.resource_guard import maybe_clear_jax_caches
+
+    yield
+    maybe_clear_jax_caches()
+
+
+@pytest.fixture(autouse=True)
 def _no_leaked_server_threads():
     """Fail any test that leaks a StreamingServer accept loop.  Round-2 crash
     dumps showed six `_accept_loop` threads still blocked in accept() after

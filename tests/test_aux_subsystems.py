@@ -71,3 +71,19 @@ def test_distributed_info_single_host():
     assert info["process_index"] == 0
     assert info["process_count"] == 1
     assert info["global_devices"] == 8  # the CPU test mesh
+
+
+def test_vm_map_guard():
+    """resource_guard: map counting works and a forced clear runs cleanly."""
+    from rnntransducer_tpu.utils.resource_guard import (
+        maybe_clear_jax_caches, vm_map_count,
+    )
+
+    n = vm_map_count()
+    assert n > 100  # a live jax process always has many mappings
+    assert maybe_clear_jax_caches(threshold=10 ** 9) is False  # under limit
+    assert maybe_clear_jax_caches(threshold=1) is True  # forced clear
+    # process still functional after the clear: jit something
+    import jax
+    import jax.numpy as jnp
+    assert float(jax.jit(lambda x: x + 1)(jnp.zeros(()))) == 1.0
