@@ -40,6 +40,54 @@ BASELINE_UTT_PER_SEC = 8.0
 B, T, U = 64, 512, 48
 WARMUP, ITERS = 3, 20
 
+# bf16 dense peak by TPU generation (TFLOP/s) for the MFU denominator
+_PEAK_BF16 = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
+              "v5p": 459e12, "v6": 918e12}
+
+
+def _device_peak_flops() -> float:
+    try:
+        kind = jax.local_devices()[0].device_kind.lower()
+        for k, v in _PEAK_BF16.items():
+            if k in kind:
+                return v
+    except Exception:
+        pass
+    return 197e12  # assume v5e
+
+
+def step_model_flops(cfg, batch: int, t_frames: int, u_labels: int) -> float:
+    """Matmul FLOPs of one training step (fwd + bwd), from the config.
+
+    Counts 2*m*n*k per forward GEMM and 3x forward for training (dx + dW
+    each mirror a forward GEMM); elementwise gate math and the loss DP are
+    negligible against these at flagship scale.
+    """
+    tn, pn, jn = cfg.model.transnet, cfg.model.prednet, cfg.model.jointnet
+    gates = {"gru": 3, "lstm": 4}[tn.rnn_type.lower()]
+    H = tn.hidden_size
+    dirs = 2 if tn.bidirectional else 1
+    fwd = 0.0
+    in_size = tn.input_size
+    for _ in range(tn.num_layers):
+        fwd += dirs * 2 * batch * t_frames * gates * H * (in_size + H)
+        in_size = dirs * H
+    fwd += 2 * batch * t_frames * in_size * tn.output_size  # output proj
+    # prediction net over U+1 tokens
+    pg = {"gru": 3, "lstm": 4}[pn.rnn_type.lower()]
+    Hp, u1 = pn.hidden_size, u_labels + 1
+    in_p = Hp  # embedding lookup emits hidden_size vectors (no GEMM)
+    for _ in range(pn.num_layers):
+        fwd += 2 * batch * u1 * pg * Hp * (in_p + Hp)
+        in_p = Hp
+    fwd += 2 * batch * u1 * Hp * pn.output_size
+    # rank-decomposed concat joint: per-side projections + lattice classifier
+    Hj, V = jn.hidden_size, jn.num_classes
+    fwd += 2 * batch * t_frames * tn.output_size * Hj
+    fwd += 2 * batch * u1 * pn.output_size * Hj
+    fwd += 2 * batch * t_frames * u1 * Hj * V
+    return 3.0 * fwd
+
 
 def main():
     import rnntransducer_tpu as rt
@@ -78,11 +126,14 @@ def main():
     d_big = timed(ITERS)
     dt_per_step = (d_big - d_small) / (ITERS - ITERS // 4)
     utt_per_sec = B / dt_per_step
+    mfu = step_model_flops(cfg, B, T, U) / dt_per_step / _device_peak_flops()
     print(json.dumps({
         "metric": "train_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 2),
         "unit": "utt/s/chip (B=64, T=512 frames, U=48, bf16, incl. RNN-T loss fwd+bwd)",
         "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 2),
+        "step_ms": round(dt_per_step * 1000, 1),
+        "mfu": round(mfu, 3),
     }))
 
 

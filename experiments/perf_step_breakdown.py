@@ -1,11 +1,26 @@
-"""Flagship train-step composition on the real chip: encoder vs prednet vs
-joint+loss vs optimizer.  Guides where the next throughput work goes."""
+"""Attribute the flagship train step's time to its components (round-2
+verdict weakness 5: ~107 ms of the 264 ms step was unattributed encoder
+overhead beyond the Pallas kernel time).
+
+`jax.profiler` kills the axon TPU tunnel (memory: axon-tunnel-pathologies),
+so this measures hypothesis-sized sub-programs instead: each component is
+jitted alone and timed by the two-run-length slope method (cancels fixed
+dispatch overhead; value-fetch sync because block_until_ready returns early
+through the tunnel).  Sub-program times are *upper* bounds on in-graph times
+(XLA fuses more context in the full step), but their ratios locate the time.
+
+Run on the real chip: python experiments/perf_step_breakdown.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-
-import dataclasses
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -13,102 +28,161 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-import rnntransducer_tpu as rt
-from rnntransducer_tpu.config import TrainConfig
-from rnntransducer_tpu.ops.rnnt_loss import rnnt_loss_fused
-from rnntransducer_tpu.train import TrainState, make_optimizer, train_step
-from rnntransducer_tpu.train.state import build_model, _cast
-
 B, T, U = 64, 512, 48
 
 
-@jax.jit
-def _scalar(tree):
-    return sum(jnp.sum(l.astype(jnp.float32))
-               for l in jax.tree_util.tree_leaves(tree))
+def timed(fn, sync, iters):
+    fn()  # warm
+    sync()
 
+    def run(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fn()
+        sync()
+        return time.perf_counter() - t0
 
-def timed(fn, *args, iters=8, warmup=2):
-    for _ in range(warmup):
-        r = fn(*args)
-    float(_scalar(r))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*args)
-    float(_scalar(r))
-    return (time.perf_counter() - t0) / iters
+    small = max(1, iters // 4)
+    d_small = run(small)
+    d_big = run(iters)
+    return (d_big - d_small) / (iters - small)
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    iters = 4 if args.quick else 12
+
+    sys.path.insert(0, ".")
+    import rnntransducer_tpu as rt
+    from rnntransducer_tpu.config import TrainConfig
+    from rnntransducer_tpu.train import TrainState, make_optimizer, train_step
+    from rnntransducer_tpu.train.state import loss_fn
+    from rnntransducer_tpu.train import build_model
+    from __graft_entry__ import _example_batch
+
     cfg = rt.base_config()
     cfg = dataclasses.replace(cfg, train=TrainConfig(
         precision="bf16", accumulate_grad_batches=1, max_steps=1000))
-    from __graft_entry__ import _example_batch
+    model = build_model(cfg)
     batch = _example_batch(cfg, B, T, U)
     batch["feat_lengths"] = jnp.full((B,), T, jnp.int32)
 
     tx = make_optimizer(cfg.train)
     state = TrainState.create(cfg)
-    model = build_model(cfg)
+    params = state.params
+    results = {}
 
-    # train_step donates state: thread it manually
-    st = state
-    for _ in range(2):
-        st, m = train_step(cfg, tx, st, batch)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(8):
-        st, m = train_step(cfg, tx, st, batch)
-    float(m["loss"])
-    print(f"full train step      : {(time.perf_counter()-t0)/8*1e3:8.1f} ms")
-    state = st
+    # ---- full step ------------------------------------------------------
+    holder = {"s": state}
 
-    feats = batch["feats"].astype(jnp.bfloat16)
-    flen = batch["feat_lengths"]
-    p_bf = _cast(state.params, jnp.bfloat16)
+    def full():
+        holder["s"], holder["m"] = train_step(cfg, tx, holder["s"], batch)
 
-    def enc_fwd(p):
-        out, _ = model.apply({"params": p}, feats, flen, method=model.encode)
-        return out
+    results["full_step"] = timed(full, lambda: float(holder["m"]["loss"]),
+                                 iters)
 
-    def enc_loss(p):
-        return jnp.sum(enc_fwd(p).astype(jnp.float32))
-
-    print(f"encoder fwd          : {timed(jax.jit(enc_fwd), p_bf)*1e3:8.1f} ms")
-    print(f"encoder fwd+bwd      : {timed(jax.jit(jax.grad(enc_loss)), p_bf)*1e3:8.1f} ms")
-
-    def pred_fwd(p):
-        out, _ = model.apply({"params": p}, batch["text_in"],
-                             batch["text_lengths"], method=model.predict)
-        return out
-
-    def pred_loss(p):
-        return jnp.sum(pred_fwd(p).astype(jnp.float32))
-
-    print(f"prednet fwd+bwd      : {timed(jax.jit(jax.grad(pred_loss)), p_bf)*1e3:8.1f} ms")
-
-    enc = jax.jit(enc_fwd)(p_bf)
-    dec = jax.jit(pred_fwd)(p_bf)
-
-    def joint_loss(p, enc, dec):
-        joint_fn = lambda e, d: model.apply({"params": p}, e, d,
-                                            method=model.joint_step)
-        return rnnt_loss_fused(joint_fn, enc, dec, batch["targets"], flen,
-                               batch["target_lengths"], blank=0,
-                               chunk_frames=cfg.train.joint_chunk_frames)
-
-    jl = jax.jit(jax.grad(joint_loss, argnums=(0, 1, 2)))
-    print(f"joint+loss fwd+bwd   : {timed(jl, p_bf, enc, dec)*1e3:8.1f} ms")
-
-    grads = jax.tree.map(jnp.zeros_like, state.params)
+    # ---- encoder fwd / fwd+bwd -----------------------------------------
+    audio = batch["feats"].astype(jnp.bfloat16)
+    alen = batch["feat_lengths"]
 
     @jax.jit
-    def opt(state, grads):
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        import optax
-        return optax.apply_updates(state.params, updates)
+    def enc_fwd(p):
+        enc, _ = model.apply({"params": p}, audio, alen, method=model.encode)
+        return jnp.sum(enc.astype(jnp.float32))
 
-    print(f"optimizer update     : {timed(opt, state, grads)*1e3:8.1f} ms")
+    enc_bwd = jax.jit(jax.grad(enc_fwd))
+    out = {}
+    results["encoder_fwd"] = timed(lambda: out.update(v=enc_fwd(params)),
+                                   lambda: float(out["v"]), iters)
+
+    def ebwd():
+        out["g"] = enc_bwd(params)
+
+    def esync():
+        float(jax.tree.leaves(out["g"])[0].reshape(-1)[0])
+
+    results["encoder_fwd_bwd"] = timed(ebwd, esync, iters)
+
+    # ---- prednet fwd+bwd ------------------------------------------------
+    text = batch["text"]
+
+    @jax.jit
+    def pred_fwd(p):
+        dec, _ = model.apply({"params": p}, text, None,
+                             method=model.predict)
+        return jnp.sum(dec.astype(jnp.float32))
+
+    pred_bwd = jax.jit(jax.grad(pred_fwd))
+
+    def pbwd():
+        out["pg"] = pred_bwd(params)
+
+    results["prednet_fwd_bwd"] = timed(
+        pbwd, lambda: float(jax.tree.leaves(out["pg"])[0].reshape(-1)[0]),
+        iters)
+
+    # ---- joint + loss fwd+bwd on fixed enc/dec outputs ------------------
+    rng = jax.random.PRNGKey(0)
+    enc_out = jax.random.normal(rng, (B, T, cfg.model.transnet.output_size),
+                                jnp.bfloat16)
+    dec_out = jax.random.normal(rng, (B, U + 1,
+                                      cfg.model.prednet.output_size),
+                                jnp.bfloat16)
+
+    from rnntransducer_tpu.ops.rnnt_loss import rnnt_loss_fused
+
+    @jax.jit
+    def joint_loss(p):
+        def apply_joint(e, d):
+            return model.apply({"params": p}, e, d, method=model.joint_step)
+
+        return jnp.mean(rnnt_loss_fused(
+            apply_joint, enc_out, dec_out, batch["text"][:, 1:],
+            batch["feat_lengths"], batch["text_lengths"],
+            chunk_frames=cfg.train.joint_chunk_frames))
+
+    jl_bwd = jax.jit(jax.grad(joint_loss))
+
+    def jbwd():
+        out["jg"] = jl_bwd(params)
+
+    results["joint_loss_fwd_bwd"] = timed(
+        jbwd, lambda: float(jax.tree.leaves(out["jg"])[0].reshape(-1)[0]),
+        iters)
+
+    # ---- raw GEMM floors (what the MXU needs for the same math) --------
+    H, Din = 1024, 2048
+    x = jax.random.normal(rng, (B * T, Din), jnp.bfloat16)
+    w = jax.random.normal(rng, (Din, 3 * H), jnp.bfloat16)
+
+    @jax.jit
+    def big_gemms(x, w):
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(14):  # layers 1-7 x 2 directions input projections
+            acc += jnp.sum((x @ w).astype(jnp.float32)[:1, :1])
+        return acc
+
+    results["input_proj_gemms_14x"] = timed(
+        lambda: out.update(g1=big_gemms(x, w)), lambda: float(out["g1"]),
+        iters)
+
+    @jax.jit
+    def dw_gemms(x):
+        acc = jnp.zeros((), jnp.float32)
+        g = x  # stand-in upstream gradient (B*T, 3H) comes from x slices
+        dy = jnp.concatenate([x, x[:, :H]], axis=1)  # (B*T, 3H)
+        for _ in range(16):  # dW_ih for 8 layers x 2 dirs
+            acc += jnp.sum((g.T @ dy).astype(jnp.float32)[:1, :1])
+        return acc
+
+    results["dw_gemms_16x"] = timed(
+        lambda: out.update(g2=dw_gemms(x)), lambda: float(out["g2"]), iters)
+
+    for k, v in results.items():
+        print(f"{k:24s} {v * 1000:8.1f} ms")
+    print(json.dumps({k: round(v * 1000, 2) for k, v in results.items()}))
 
 
 if __name__ == "__main__":

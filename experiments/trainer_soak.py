@@ -1,0 +1,179 @@
+"""Sustained flagship Trainer soak (round-2 verdict item 2).
+
+Drives the REAL ``train/loop.py`` Trainer — bucketing, prefetch thread,
+logging, periodic val, checkpointing — on the raw-PCM path (on-device
+log-mel + SpecAugment) for ``--steps`` steps, SIGTERMs itself mid-run to
+exercise the preemption checkpoint, relaunches, resumes, and reports:
+
+  sustained utt/s, step_ms p50/p99 (steady-state), loss continuity across
+  the resume, and the host-pipeline share (sustained vs bench.py's
+  device-resident-batch microbenchmark).
+
+Run on the real chip:   python experiments/trainer_soak.py --steps 1000
+Harness check on CPU:   python experiments/trainer_soak.py --tiny
+
+The driver process forks a child (the actual training run) so the SIGTERM
+lands on a real separate process, exactly like a preemption notice.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_child(args):
+    """The actual training run (one process per launch, resume via orbax)."""
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    import rnntransducer_tpu as rt
+    from rnntransducer_tpu.config import AudioConfig, TrainConfig
+    from rnntransducer_tpu.data import SyntheticAudioDataset
+    from rnntransducer_tpu.train import Trainer
+
+    if args.tiny:
+        cfg = rt.tiny_config()
+        audio = AudioConfig(spec_augment=False)
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, audio=audio,
+                                          audio_buckets=(64, 128),
+                                          label_buckets=(16,)))
+        train = TrainConfig(
+            max_steps=args.steps, per_device_train_batch_size=2,
+            precision="fp32", log_every_steps=1,
+            val_every_steps=max(args.steps // 2, 1),
+            checkpoint_dir=args.ckpt_dir)
+        ds = SyntheticAudioDataset(64, audio, min_sec=0.3, max_sec=0.6,
+                                   min_labels=3, max_labels=6, seed=0)
+        val = None
+    else:
+        cfg = rt.base_config()
+        audio = cfg.data.audio  # flagship audio config incl. SpecAugment
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data,
+                                          audio_buckets=(512,),
+                                          label_buckets=(48,)))
+        train = TrainConfig(
+            max_steps=args.steps, per_device_train_batch_size=64,
+            precision="bf16", log_every_steps=10,
+            val_every_steps=args.steps // 2,
+            checkpoint_dir=args.ckpt_dir)
+        # ~5.1 s utterances, ~48 graphemes: the bench.py flagship shape
+        ds = SyntheticAudioDataset(4096, audio, min_sec=4.9, max_sec=5.2,
+                                   min_labels=40, max_labels=47, seed=0)
+        val = SyntheticAudioDataset(128, audio, min_sec=4.9, max_sec=5.2,
+                                    min_labels=40, max_labels=47, seed=1)
+    cfg = dataclasses.replace(cfg, train=train)
+    trainer = Trainer(cfg, ds, val_dataset=val, log_dir=args.ckpt_dir)
+    trainer.fit()
+    trainer.ckpt.close()
+
+
+def parse_metrics(log_dir):
+    rows = []
+    path = os.path.join(log_dir, "metrics.jsonl")
+    with open(path) as f:
+        for line in f:
+            try:
+                rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    return [r for r in rows if r.get("split") == "train"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--ckpt_dir", default="/tmp/soak_ckpt")
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--sigterm_after_frac", type=float, default=0.35,
+                    help="SIGTERM the first launch after this fraction of "
+                         "steps have logged")
+    args = ap.parse_args()
+    if args.tiny and args.steps == 1000:
+        args.steps = 8
+
+    if args.child:
+        run_child(args)
+        return
+
+    import shutil
+    shutil.rmtree(args.ckpt_dir, ignore_errors=True)
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+
+    base_cmd = [sys.executable, os.path.abspath(__file__),
+                "--child", "--steps", str(args.steps),
+                "--ckpt_dir", args.ckpt_dir] + (["--tiny"] if args.tiny else [])
+
+    # ---- launch 1: run until ~sigterm_after_frac, then SIGTERM ----------
+    t0 = time.time()
+    child = subprocess.Popen(base_cmd, cwd=REPO)
+    target = max(2, int(args.steps * args.sigterm_after_frac))
+    while child.poll() is None:
+        time.sleep(2)
+        try:
+            rows = parse_metrics(args.ckpt_dir)
+        except OSError:
+            rows = []
+        if rows and rows[-1].get("step", 0) >= target:
+            print(f"[soak] SIGTERM at step {rows[-1]['step']}", flush=True)
+            child.send_signal(signal.SIGTERM)
+            break
+    rc1 = child.wait()
+    rows1 = parse_metrics(args.ckpt_dir)
+    last1 = rows1[-1] if rows1 else {}
+    print(f"[soak] launch 1 exited rc={rc1} at step {last1.get('step')}",
+          flush=True)
+
+    # ---- launch 2: resume to completion ---------------------------------
+    child = subprocess.Popen(base_cmd, cwd=REPO)
+    rc2 = child.wait()
+    wall = time.time() - t0
+    rows = parse_metrics(args.ckpt_dir)
+    print(f"[soak] launch 2 exited rc={rc2}; total wall {wall:.0f}s", flush=True)
+    assert rc2 == 0, "resume run failed"
+
+    # ---- report ---------------------------------------------------------
+    steps = [r["step"] for r in rows]
+    assert max(steps) >= args.steps, (max(steps), args.steps)
+    resume_step = last1.get("step", 0)
+    before = [r for r in rows if r["step"] <= resume_step][-3:]
+    after = [r for r in rows if r["step"] > resume_step][:3]
+    step_ms = sorted(r["step_ms"] for r in rows
+                     if r.get("step_ms") and r["step"] > max(steps) * 0.1)
+    p50 = step_ms[len(step_ms) // 2] if step_ms else float("nan")
+    p99 = step_ms[min(len(step_ms) - 1, int(len(step_ms) * 0.99))] \
+        if step_ms else float("nan")
+    bsz = 2 if args.tiny else 64
+    report = {
+        "metric": "trainer_soak",
+        "steps": args.steps,
+        "batch": bsz,
+        "sustained_utt_per_sec": round(bsz / (p50 / 1000), 1),
+        "step_ms_p50": round(p50, 1),
+        "step_ms_p99": round(p99, 1),
+        "resume_at_step": resume_step,
+        "loss_before_resume": [r["loss"] for r in before],
+        "loss_after_resume": [r["loss"] for r in after],
+        "wall_s": round(wall, 1),
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
