@@ -254,12 +254,22 @@ NGramLM* LoadKenlmProbing(const char* path) {
     g_kenlm_error = 3;
     return nullptr;
   }
+  // upper-bound counts by what the file could physically hold (16-byte
+  // table entries): a corrupt header must fail here, not as a bad_alloc
+  in.seekg(0, std::ios::end);
+  uint64_t file_size = static_cast<uint64_t>(in.tellg());
+  in.seekg(80 + 20, std::ios::beg);
   std::vector<uint64_t> counts(order);
-  for (int n = 0; n < order; ++n)
-    if (!ReadPod(in, &counts[n]) || counts[n] == 0 || counts[n] > (1ull << 40)) {
+  uint64_t payload = 0;
+  for (int n = 0; n < order; ++n) {
+    if (!ReadPod(in, &counts[n]) || counts[n] == 0 ||
+        counts[n] > file_size / 8) {
       g_kenlm_error = 3;
       return nullptr;
     }
+    payload += KenlmBuckets(counts[n], multiplier) * 16;  // lower bound
+  }
+  if (payload > file_size) { g_kenlm_error = 3; return nullptr; }
   // header is padded to 8 bytes: 80 + 20 + 8*order -> skip 4
   uint64_t header = 80 + 20 + 8 * static_cast<uint64_t>(order);
   if (header % 8) in.seekg((8 - header % 8), std::ios::cur);

@@ -295,3 +295,28 @@ def test_pyctcdecode_dir_layout(lm_path, tmp_path):
     assert lm2.alpha == 1.0 and lm2.beta == 0.0
     np.testing.assert_allclose(
         lm2.raw_score((), lm2.word_id("the")), -0.6, atol=1e-6)
+
+
+def test_kenlm_binary_corrupt_counts_fail_loudly(tmp_path):
+    """A header whose counts exceed what the file can hold must fail at load
+    (error, not bad_alloc/overflow) — the reader is fed untrusted files."""
+    import struct
+
+    from rnntransducer_tpu.decode.ngram_lm import NGramLM
+    from rnntransducer_tpu.utils.kenlm_binary import write_probing_binary
+
+    bin_path = tmp_path / "corrupt.bin"
+    write_probing_binary(ARPA, str(bin_path))
+    data = bytearray(bin_path.read_bytes())
+    struct.pack_into("<Q", data, 100, 1 << 40)  # counts[0] = absurd
+    bin_path.write_bytes(bytes(data))
+    with pytest.raises(FileNotFoundError, match="header mismatch"):
+        NGramLM.load(str(bin_path))
+
+    # truncated file: cut mid-tables
+    bin_path2 = tmp_path / "trunc.bin"
+    write_probing_binary(ARPA, str(bin_path2))
+    whole = bin_path2.read_bytes()
+    bin_path2.write_bytes(whole[:len(whole) // 2])
+    with pytest.raises(FileNotFoundError):
+        NGramLM.load(str(bin_path2))
