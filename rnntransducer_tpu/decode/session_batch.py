@@ -234,11 +234,23 @@ class BatchedStreamingRunner:
                  audio_cfg: AudioConfig, max_sessions: int = 8,
                  chunk_frames: int = 64, blank_id: int = 0,
                  max_symbols: int = 3, max_output_len: int = 512,
-                 decoder: str = "greedy", beam_width: int = 4):
+                 decoder: str = "greedy", beam_width: int = 4, mesh=None):
+        """mesh: optional 1-D jax.sharding Mesh ("data" axis) — session
+        lanes shard across its devices (params replicated), scaling serve
+        capacity with chip count; lanes are independent, so the tick
+        partitions with zero collectives.  Requires
+        max_sessions % n_devices == 0 so every shard holds whole lanes."""
         if model.cfg.transnet.bidirectional:
             raise ValueError("streaming requires a unidirectional encoder")
         if decoder not in ("greedy", "beam"):
             raise ValueError(f"unknown decoder: {decoder}")
+        if mesh is not None:
+            n_dev = len(mesh.devices.ravel())
+            if max_sessions % n_dev:
+                raise ValueError(
+                    f"max_sessions ({max_sessions}) must divide evenly "
+                    f"across the mesh ({n_dev} devices)")
+        self.mesh = mesh
         self.model = model
         self.variables = variables
         self.audio_cfg = audio_cfg
@@ -261,10 +273,38 @@ class BatchedStreamingRunner:
         else:
             self._carry = init_greedy_carry(model, variables, max_sessions,
                                             blank_id, max_output_len)
+        if mesh is not None:
+            # lanes shard over the mesh: the session/batch axis of every
+            # persistent leaf splits (recurrent states carry it at axis 2,
+            # carry leaves at axis 0); params replicate.  device_put pins
+            # the layout once — jit then compiles the tick for these operand
+            # shardings and SPMD-partitions it with no collectives.
+            from rnntransducer_tpu.parallel.mesh import replicate
+            self.variables = replicate(mesh, self.variables)
+            self._enc_state = jax.tree.map(
+                lambda a: jax.device_put(a, self._lane_sharding(a)),
+                self._enc_state)
+            self._carry = jax.tree.map(
+                lambda a: jax.device_put(a, self._lane_sharding(a)),
+                self._carry)
         # host mirror of (tokens, lengths), refreshed once per tick
         self._tokens = np.full((max_sessions, max_output_len), blank_id,
                                np.int32)
         self._lengths = np.zeros((max_sessions,), np.int32)
+
+    def _lane_sharding(self, a):
+        """NamedSharding splitting a state leaf's lane axis over the mesh.
+
+        Recurrent-state leaves are (L, D, S[, *K], H) — lane axis 2; carry
+        leaves are (S[...], ...) — lane axis 0.  Beam's flat (S*K, ...) rows
+        are slot-major, so splitting axis 0 keeps whole lanes per shard
+        (guaranteed by the max_sessions % n_devices == 0 check)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        lane_axis = 2 if a.ndim == 4 else 0
+        spec = [None] * a.ndim
+        spec[lane_axis] = "data"
+        return NamedSharding(self.mesh, P(*spec))
 
     # ------------------------------------------------------------ sessions
     def open(self, normalize: str = "none", norm_mean: float = 0.0,
@@ -330,6 +370,10 @@ class BatchedStreamingRunner:
                 # device dispatch + fetch run WITHOUT the state lock: other
                 # connections keep buffering audio and polling partials
                 # while a wide tick is in flight
+                if self.mesh is not None:
+                    feats = jax.device_put(feats, self._lane_sharding(feats))
+                    n_valid = jax.device_put(
+                        n_valid, self._lane_sharding(n_valid))
                 step = (_batched_chunk_step_beam if self.decoder == "beam"
                         else _batched_chunk_step)
                 self._enc_state, self._carry = step(

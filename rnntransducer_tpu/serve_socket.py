@@ -55,11 +55,13 @@ def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
 class StreamingServer:
     def __init__(self, recognizer, host: str = "127.0.0.1", port: int = 0,
                  chunk_frames: Optional[int] = None, batch_sessions: int = 0,
-                 **session_kw):
+                 mesh=None, **session_kw):
         """batch_sessions > 0 enables continuous batching: up to that many
         concurrent connections share ONE compiled device program per tick
         (decode/session_batch) instead of one B=1 program per session;
-        follows the recognizer's decoder (greedy or batched beam)."""
+        follows the recognizer's decoder (greedy or batched beam).
+        mesh: optional 1-D device mesh — batched lanes shard across its
+        devices (multi-chip serving)."""
         self.recognizer = recognizer
         self.host = host
         self._requested_port = port
@@ -92,7 +94,7 @@ class StreamingServer:
                 max_symbols=rec.cfg.train.greedy_max_symbols,
                 max_output_len=rec.max_output_len,
                 decoder="beam" if rec.decoder != "greedy" else "greedy",
-                beam_width=rec.beam_width)
+                beam_width=rec.beam_width, mesh=mesh)
 
     # ------------------------------------------------------------- session
     def _serve_conn(self, conn: socket.socket) -> None:
@@ -266,6 +268,10 @@ def main():
                    help="continuous batching: serve up to N concurrent "
                         "sessions with one device program per tick "
                         "(greedy decoding)")
+    p.add_argument("--shard_sessions", action="store_true",
+                   help="shard --batch_sessions lanes across all local "
+                        "devices (multi-chip serving; lanes must divide "
+                        "evenly)")
     p.add_argument("--lm_path", type=str, default=None,
                    help="ARPA / kenlm-binary / pyctcdecode-dir LM for "
                         "shallow fusion (requires --decoder beam, no "
@@ -285,9 +291,14 @@ def main():
     kw = {}
     if args.normalize:
         kw["normalize"] = args.normalize
+    mesh = None
+    if args.shard_sessions:
+        from rnntransducer_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
     server = StreamingServer(rec, host=args.host, port=args.port,
                              chunk_frames=args.chunk_frames,
-                             batch_sessions=args.batch_sessions, **kw)
+                             batch_sessions=args.batch_sessions, mesh=mesh,
+                             **kw)
     server.start()
     print(f"streaming on {args.host}:{server.port} "
           f"(decoder={args.decoder})", flush=True)

@@ -197,3 +197,47 @@ def test_concurrent_feeds_are_exact_and_dont_corrupt():
     assert not errors, errors
     for i in range(n):
         assert got[i] == want[i], (i, got[i][:10], want[i][:10])
+
+
+def test_mesh_sharded_lanes_match_unsharded():
+    """Session lanes sharded over an 8-device CPU mesh are token-exact vs
+    the single-device runner (zero-collective SPMD partition of the tick)."""
+    from rnntransducer_tpu.parallel.mesh import make_mesh
+
+    model, variables = _uni_model(seed=4)
+    n = 8
+    wavs = _wavs(n, seed=21)
+    base = BatchedStreamingRunner(model, variables,
+                                  AudioConfig(normalize=False),
+                                  max_sessions=n, chunk_frames=16,
+                                  max_symbols=2)
+    mesh = make_mesh()
+    assert len(mesh.devices.ravel()) == 8  # conftest virtual CPU devices
+    sharded = BatchedStreamingRunner(model, variables,
+                                     AudioConfig(normalize=False),
+                                     max_sessions=n, chunk_frames=16,
+                                     max_symbols=2, mesh=mesh)
+
+    def collect(runner):
+        sessions = [runner.open(normalize="none") for _ in range(n)]
+        got = [[] for _ in range(n)]
+        for c in range(0, 12000, 1600):
+            for i, s in enumerate(sessions):
+                got[i] += s.feed(wavs[i][c:c + 1600], drain=False)
+            runner.drain()
+            for i, s in enumerate(sessions):
+                got[i] += s._new_tokens()
+        for i, s in enumerate(sessions):
+            got[i] += s.flush()
+        return got
+
+    a = collect(base)
+    b = collect(sharded)
+    assert a == b
+
+    def test_err():
+        BatchedStreamingRunner(model, variables, AudioConfig(),
+                               max_sessions=6, chunk_frames=16, mesh=mesh)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divide evenly"):
+        test_err()
