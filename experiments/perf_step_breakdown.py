@@ -71,7 +71,12 @@ def main():
 
     tx = make_optimizer(cfg.train)
     state = TrainState.create(cfg)
-    params = state.params
+    # Component benchmarks apply the model directly, so mirror the train
+    # path's mixed-precision policy (train/state.py:64): bf16 compute params.
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        state.params)
     results = {}
 
     # ---- full step ------------------------------------------------------

@@ -58,8 +58,11 @@ def run_child(args):
             val_every_steps=max(args.steps // 2, 1),
             checkpoint_dir=args.ckpt_dir)
         ds = SyntheticAudioDataset(64, audio, min_sec=0.3, max_sec=0.6,
-                                   min_labels=3, max_labels=6, seed=0)
-        val = None
+                                   min_labels=3, max_labels=6, seed=0,
+                                   as_waveform=True)
+        val = SyntheticAudioDataset(8, audio, min_sec=0.3, max_sec=0.6,
+                                    min_labels=3, max_labels=6, seed=1,
+                                    as_waveform=True)
     else:
         cfg = rt.base_config()
         audio = cfg.data.audio  # flagship audio config incl. SpecAugment
@@ -72,11 +75,15 @@ def run_child(args):
             precision="bf16", log_every_steps=10,
             val_every_steps=args.steps // 2,
             checkpoint_dir=args.ckpt_dir)
-        # ~5.1 s utterances, ~48 graphemes: the bench.py flagship shape
-        ds = SyntheticAudioDataset(4096, audio, min_sec=4.9, max_sec=5.2,
-                                   min_labels=40, max_labels=47, seed=0)
-        val = SyntheticAudioDataset(128, audio, min_sec=4.9, max_sec=5.2,
-                                    min_labels=40, max_labels=47, seed=1)
+        # ~5.1 s utterances, ~48 graphemes: the bench.py flagship shape.
+        # as_waveform=True: the Trainer collates raw PCM; log-mel +
+        # SpecAugment run on-device inside the step (the raw-PCM path).
+        ds = SyntheticAudioDataset(4096, audio, min_sec=4.9, max_sec=5.1,
+                                   min_labels=40, max_labels=47, seed=0,
+                                   as_waveform=True)
+        val = SyntheticAudioDataset(128, audio, min_sec=4.9, max_sec=5.1,
+                                    min_labels=40, max_labels=47, seed=1,
+                                    as_waveform=True)
     cfg = dataclasses.replace(cfg, train=train)
     trainer = Trainer(cfg, ds, val_dataset=val, log_dir=args.ckpt_dir)
     trainer.fit()
@@ -160,11 +167,16 @@ def main():
     p99 = step_ms[min(len(step_ms) - 1, int(len(step_ms) * 0.99))] \
         if step_ms else float("nan")
     bsz = 2 if args.tiny else 64
+    # mean includes every host stall and the val/ckpt pauses that land in a
+    # logged step's wall delta — the honest "sustained" number; p50 is the
+    # steady-state step.
+    mean_ms = sum(step_ms) / len(step_ms) if step_ms else float("nan")
     report = {
         "metric": "trainer_soak",
         "steps": args.steps,
         "batch": bsz,
-        "sustained_utt_per_sec": round(bsz / (p50 / 1000), 1),
+        "sustained_utt_per_sec": round(bsz / (mean_ms / 1000), 1),
+        "steady_state_utt_per_sec": round(bsz / (p50 / 1000), 1),
         "step_ms_p50": round(p50, 1),
         "step_ms_p99": round(p99, 1),
         "resume_at_step": resume_step,

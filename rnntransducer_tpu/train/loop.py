@@ -20,7 +20,7 @@ import numpy as np
 
 from rnntransducer_tpu.config import Config
 from rnntransducer_tpu.data import (
-    DevicePrefetcher, LengthBucketSampler, collate,
+    DevicePrefetcher, LengthBucketSampler, collate, collate_waveforms,
 )
 from rnntransducer_tpu.decode import greedy_decode
 from rnntransducer_tpu.parallel import make_mesh, replicate
@@ -34,6 +34,17 @@ from rnntransducer_tpu.train.state import (
 )
 from rnntransducer_tpu.utils.logging import MetricsLogger
 from rnntransducer_tpu.utils.profiling import StepTimer
+
+
+def _eval_frontend(cfg: Config, wav, wav_lengths):
+    """On-device log-mel for raw-PCM eval batches (same tiering as the train
+    loss path, train/state.py loss_fn: fused Pallas DFT on TPU, XLA rfft
+    elsewhere)."""
+    if jax.default_backend() == "tpu":
+        from rnntransducer_tpu.frontend import logmel_pallas
+        return logmel_pallas(wav, cfg.data.audio, wav_lengths)
+    from rnntransducer_tpu.frontend import LogMelFrontend
+    return LogMelFrontend(cfg.data.audio)(wav, wav_lengths)
 
 
 class Trainer:
@@ -129,10 +140,22 @@ class Trainer:
                     "corrupt supervision. Widen cfg.data.label_buckets or "
                     "give the dataset a label_lengths() method so overlong "
                     "utterances are dropped (like overlong audio).")
-            batch = collate(items,
-                            max_frames=self.cfg.data.audio_buckets[b_idx],
-                            max_labels=label_bucket,
-                            pad_id=self.cfg.data.text.pad_token_id)
+            if "wav" in items[0]:
+                # raw-PCM path: collate waveforms; log-mel (+SpecAugment) runs
+                # on-device inside the step (train/state.py loss_fn). Sample
+                # bucket = largest S with num_frames(S) <= frame bucket, so
+                # frame buckets and wav buckets compile to the same shapes.
+                frames_b = self.cfg.data.audio_buckets[b_idx]
+                hop = self.cfg.data.audio.hop_length
+                batch = collate_waveforms(
+                    items, max_samples=(frames_b - 1) * hop,
+                    max_labels=label_bucket,
+                    pad_id=self.cfg.data.text.pad_token_id)
+            else:
+                batch = collate(items,
+                                max_frames=self.cfg.data.audio_buckets[b_idx],
+                                max_labels=label_bucket,
+                                pad_id=self.cfg.data.text.pad_token_id)
             yield (batch, n_valid) if with_counts else batch
 
     # ----------------------------------------------------------------- fit
@@ -300,6 +323,13 @@ class Trainer:
             # would replicate the whole eval batch on every device)
             from rnntransducer_tpu.parallel import shard_batch
             batch_dev = shard_batch(self.mesh, batch)
+            if "feats" not in batch_dev:
+                # raw-PCM eval: run the on-device frontend once, decode from
+                # the resulting features (no SpecAugment at eval)
+                feats, feat_lengths = _eval_frontend(
+                    cfg, batch_dev["wav"], batch_dev["wav_lengths"])
+                batch_dev = dict(batch_dev, feats=feats,
+                                 feat_lengths=feat_lengths)
             # per-sample losses so wrap-padding duplicates (needed for the
             # static batch shape) don't bias the metrics
             per_sample = np.asarray(eval_step(

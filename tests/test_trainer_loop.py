@@ -268,3 +268,33 @@ def test_sigterm_preempts_real_training_process(tmp_path):
     mgr = CheckpointManager(ckpt, save_top_k=3)
     assert mgr.latest_step() is not None and mgr.latest_step() >= 1
     mgr.close()
+
+
+def test_fit_raw_pcm_waveform_dataset(tmp_path):
+    """Trainer consumes raw-waveform datasets: wav collation (sample buckets
+    derived from the frame buckets), on-device log-mel inside the step, and
+    frontend-fed decoding in validate() — the raw-PCM path the reference
+    cannot express (its datamodule requires an offline feature pass,
+    /root/reference/datamodule.py:51-64)."""
+    cfg = _cfg(tmp_path)
+    ds = SyntheticAudioDataset(8, AudioConfig(), min_sec=0.3, max_sec=1.2,
+                               min_labels=3, max_labels=10, seed=0,
+                               as_waveform=True)
+    val = SyntheticAudioDataset(4, AudioConfig(), min_sec=0.3, max_sec=1.2,
+                                min_labels=3, max_labels=10, seed=9,
+                                as_waveform=True)
+    trainer = Trainer(cfg, ds, val_dataset=val)
+    state = trainer.fit()
+    assert int(state.step) == 4
+    out = trainer.validate(max_batches=1)
+    assert np.isfinite(out["val_loss"])
+
+    # wav collation respects the frame-bucket <-> sample-bucket mapping:
+    # every produced batch's wav length fits the configured frame buckets
+    hop = cfg.data.audio.hop_length
+    allowed = {(fb - 1) * hop for fb in cfg.data.audio_buckets}
+    for batch in trainer._host_batches(ds, epoch=0, batch_size=2):
+        assert "wav" in batch and "feats" not in batch
+        assert batch["wav"].shape[1] in allowed
+        assert batch["text_lengths"].tolist() == (
+            batch["target_lengths"] + 1).tolist()
