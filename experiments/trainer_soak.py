@@ -86,7 +86,11 @@ def run_child(args):
                                     as_waveform=True)
     cfg = dataclasses.replace(cfg, train=train)
     trainer = Trainer(cfg, ds, val_dataset=val, log_dir=args.ckpt_dir)
-    trainer.fit()
+    # resume=True: launch 1 starts fresh (no checkpoint yet); launch 2 must
+    # restore the preemption checkpoint.  Without this, launch 2 silently
+    # replays from step 1 and — with a deterministic data schedule — produces
+    # bit-identical losses, so the continuity check would pass vacuously.
+    trainer.fit(resume=True)
     trainer.ckpt.close()
 
 
@@ -158,6 +162,14 @@ def main():
     # ---- report ---------------------------------------------------------
     steps = [r["step"] for r in rows]
     assert max(steps) >= args.steps, (max(steps), args.steps)
+    # A resumed launch must CONTINUE the step counter.  A step regression in
+    # file order means launch 2 replayed from scratch instead of restoring
+    # (deterministic data schedule -> bit-identical losses, so the loss
+    # continuity fields alone cannot catch that failure).
+    for a, b in zip(rows, rows[1:]):
+        assert b["step"] > a["step"], (
+            f"step regressed {a['step']} -> {b['step']}: "
+            "launch 2 did not resume from the checkpoint")
     resume_step = last1.get("step", 0)
     before = [r for r in rows if r["step"] <= resume_step][-3:]
     after = [r for r in rows if r["step"] > resume_step][:3]
