@@ -157,6 +157,26 @@ def main():
         jbwd, lambda: float(jax.tree.leaves(out["jg"])[0].reshape(-1)[0]),
         iters)
 
+    # ---- factored GEMM-form joint+loss (the round-3 default) ------------
+    from rnntransducer_tpu.ops.rnnt_loss import rnnt_loss_factored
+
+    @jax.jit
+    def joint_loss_factored(p):
+        A, C = model.apply({"params": p}, enc_out, dec_out,
+                           method=model.joint_factors)
+        return jnp.mean(rnnt_loss_factored(
+            A, C, batch["text"][:, 1:], batch["feat_lengths"],
+            batch["text_lengths"]))
+
+    jf_bwd = jax.jit(jax.grad(joint_loss_factored))
+
+    def jfbwd():
+        out["jfg"] = jf_bwd(params)
+
+    results["joint_loss_factored_fwd_bwd"] = timed(
+        jfbwd, lambda: float(jax.tree.leaves(out["jfg"])[0].reshape(-1)[0]),
+        iters)
+
     # ---- raw GEMM floors (what the MXU needs for the same math) --------
     H, Din = 1024, 2048
     x = jax.random.normal(rng, (B * T, Din), jnp.bfloat16)

@@ -43,6 +43,33 @@ class JointNetwork(nn.Module):
                                    dec.shape[:-2] + (T, U, dec.shape[-1]))
         return enc, dec
 
+    def factors(self, enc, dec):
+        """Rank factors of the concat joint: (A, C) with
+
+            logits[..., t, u, :] == A[..., t, :] + C[..., u, :]
+
+        (the fc bias is folded into A).  Same decomposition as the concat
+        branch of ``__call__`` — GELU is elementwise and the concat halves
+        never mix before the linear fc — but returned UNcombined, so callers
+        (``ops.rnnt_loss_factored``) can consume the factors directly and the
+        (T, U) lattice need never exist in any width.  concat-combine only:
+        an additive joint applies the activation to the sum and does not
+        factor."""
+        if self.cfg.combine != "concat":
+            raise ValueError("factors requires combine='concat'; "
+                             f"got {self.cfg.combine!r}")
+        ge = jax.nn.gelu(enc, approximate=True)
+        gd = jax.nn.gelu(dec, approximate=True)
+        De, Dd = ge.shape[-1], gd.shape[-1]
+        # zero-pad trick keeps the fc parameter layout checkpoint-compatible
+        # (one (De+Dd, V) kernel), as in __call__
+        A = self.fc(jnp.concatenate(
+            [ge, jnp.zeros(ge.shape[:-1] + (Dd,), ge.dtype)], axis=-1))
+        C = self.fc(jnp.concatenate(
+            [jnp.zeros(gd.shape[:-1] + (De,), gd.dtype), gd], axis=-1))
+        bias = self.fc(jnp.zeros((De + Dd,), ge.dtype))
+        return A - bias, C
+
     def __call__(self, enc, dec):
         """enc: (..., T, De) or (..., De); dec: (..., U, Dd) or (..., Dd).
         When both carry a sequence axis, broadcasts over (T, U).

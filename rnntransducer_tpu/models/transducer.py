@@ -64,6 +64,13 @@ class RNNTransducer(nn.Module):
         (B, V) logits."""
         return self.joint(enc_t, dec_u)
 
+    def joint_factors(self, enc, dec):
+        """Rank factors (A, C) of the concat joint over full sequences:
+        enc (B, T, De), dec (B, U+1, Dd) -> A (B, T, V), C (B, U+1, V) with
+        logits[b, t, u, :] == A[b, t, :] + C[b, u, :] (see
+        ``JointNetwork.factors``)."""
+        return self.joint.factors(enc, dec)
+
     def init_variables(self, rng, max_t: int = 8, max_u: int = 4):
         audio = jnp.zeros((1, max_t, self.cfg.transnet.input_size), jnp.float32)
         text = jnp.zeros((1, max_u), jnp.int32)

@@ -270,3 +270,74 @@ def rnnt_loss_fused(joint_fn, enc, dec, labels, enc_lengths, label_lengths,
     if reduction == "sum":
         return losses.sum()
     return losses
+
+
+def factored_compact_lattice(A, C, labels, blank: int = 0):
+    """GEMM-form compact lattice for a rank-decomposed joint.
+
+    A: (B, T, V) encoder logit factor (fc bias folded in), C: (B, U+1, V)
+    decoder factor, with ``logits[b, t, u, :] == A[b, t, :] + C[b, u, :]``
+    (``JointNetwork.factors``).  Returns (bl, lb) blank / label log-probs
+    (B, T, U+1) — the same contract as ``compact_lattice`` — WITHOUT ever
+    forming the (B, T, U+1, V) lattice, even per chunk:
+
+        LSE[b,t,u] = logsumexp_v(A + C)
+                   = maxA[b,t] + maxC[b,u] + log( (EA @ EC^T)[b,t,u] ),
+        EA = exp(A - maxA),  EC = exp(C - maxC)
+
+    so the per-lattice-point log-softmax collapses into one batched
+    (B,T,V)x(B,V,U+1) matmul on the MXU, and the label gather becomes a
+    second matmul against the one-hot label matrix (exact: one-hot rows
+    multiply by 1.0/0.0).  The max shifts analytically cancel in LSE, so they
+    are stop_gradient'ed and plain autodiff yields the exact softmax
+    backward — also as two GEMMs (dS @ EC and dS^T @ EA).
+
+    Numerics: computed in fp32.  EA/EC entries are <= 1 and the V-term dot
+    products cannot overflow; total underflow (S -> 0) needs the two factors'
+    peaks anti-aligned by ~ -log(tiny) nats, which only near-zero-mass
+    lattice points can reach — those rows clamp to the fp32 tiny floor
+    (their log-probs saturate near -88 - maxA - maxC instead of -inf, and
+    their gradient contribution vanishes).
+    """
+    A = A.astype(jnp.float32)
+    C = C.astype(jnp.float32)
+    U1 = C.shape[1]
+    maxA = jax.lax.stop_gradient(jnp.max(A, axis=-1))    # (B, T)
+    maxC = jax.lax.stop_gradient(jnp.max(C, axis=-1))    # (B, U+1)
+    EA = jnp.exp(A - maxA[..., None])
+    EC = jnp.exp(C - maxC[..., None])
+    S = jnp.einsum("btv,buv->btu", EA, EC,
+                   preferred_element_type=jnp.float32)
+    S = jnp.maximum(S, jnp.float32(np.finfo(np.float32).tiny))
+    lse = maxA[:, :, None] + maxC[:, None, :] + jnp.log(S)
+
+    lab = jnp.pad(labels.astype(jnp.int32),
+                  ((0, 0), (0, U1 - labels.shape[1])), constant_values=blank)
+    onehot = jax.nn.one_hot(lab, A.shape[-1], dtype=jnp.float32)  # (B,U+1,V)
+    a_lab = jnp.einsum("btv,buv->btu", A, onehot,
+                       preferred_element_type=jnp.float32)
+    c_lab = jnp.sum(C * onehot, axis=-1)                 # (B, U+1)
+
+    bl = A[..., blank][:, :, None] + C[..., blank][:, None, :] - lse
+    lb = a_lab + c_lab[:, None, :] - lse
+    return bl, lb
+
+
+def rnnt_loss_factored(A, C, labels, logit_lengths, label_lengths,
+                       blank: int = 0, reduction: str = "mean",
+                       backend: str = "auto"):
+    """RNN-T loss straight from the rank-decomposed joint's (A, C) factors.
+
+    Replaces ``rnnt_loss_fused`` for ``combine="concat"`` models: where the
+    fused path rebuilds (B, Tc, U+1, V) logit chunks (and re-does so in the
+    backward under ``jax.checkpoint``), this path never builds the lattice at
+    all — forward and backward are a handful of (B,T,V)-sized GEMMs plus the
+    (B,T,U+1) recursion, with no rematerialization.  Numerically it matches
+    the unfused path to fp32 logsumexp-reassociation tolerance (~1e-6)."""
+    bl, lb = factored_compact_lattice(A, C, labels, blank)
+    losses = _rnnt_core(backend, bl, lb, logit_lengths, label_lengths)
+    if reduction == "mean":
+        return losses.mean()
+    if reduction == "sum":
+        return losses.sum()
+    return losses

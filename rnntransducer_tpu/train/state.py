@@ -31,7 +31,7 @@ from rnntransducer_tpu.config import Config
 from rnntransducer_tpu.frontend import LogMelFrontend, spec_augment
 from rnntransducer_tpu.models import RNNTransducer
 from rnntransducer_tpu.ops import rnnt_loss
-from rnntransducer_tpu.ops.rnnt_loss import rnnt_loss_fused
+from rnntransducer_tpu.ops.rnnt_loss import rnnt_loss_factored, rnnt_loss_fused
 from rnntransducer_tpu.train.optim import make_optimizer, onecycle_schedule
 
 
@@ -100,15 +100,28 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
     blank = cfg.data.text.pad_token_id
 
     chunk_frames = cfg.train.joint_chunk_frames
-    if chunk_frames > 0 and cfg.model.jointnet.combine == "add":
-        # the 256-frame default is sized for the rank-decomposed concat
-        # joint, whose chunks carry only V logits; an additive joint does
-        # NOT factor (gelu of the sum) and rebuilds a (B, Tc, U+1, hidden)
-        # lattice per chunk — keep its transient at the old bound
+    if chunk_frames > 0 and cfg.model.jointnet.combine == "concat":
+        # factored GEMM-form path: the concat joint's rank decomposition is
+        # consumed directly by the loss — per-lattice-point log-softmax and
+        # label gather collapse into batched (B,T,V)x(B,V,U+1) matmuls
+        # (ops.rnnt_loss_factored), so no (T, U) lattice of any width exists
+        # in forward OR backward, and nothing is rematerialized.
+        enc, _ = m.apply(variables, feats, feat_lengths,
+                         deterministic=deterministic, rngs=rngs,
+                         method=m.encode)
+        dec, _ = m.apply(variables, batch["text_in"], batch["text_lengths"],
+                         deterministic=deterministic, rngs=rngs,
+                         method=m.predict)
+        A, C = m.apply(variables, enc, dec, method=m.joint_factors)
+        loss = rnnt_loss_factored(A, C, batch["targets"], feat_lengths,
+                                  batch["target_lengths"], blank=blank,
+                                  reduction=reduction, backend=loss_backend)
+    elif chunk_frames > 0:
+        # fused chunked path (additive joint: gelu of the sum does not
+        # factor): joint computed per T-chunk inside the loss, the full
+        # (B,T,U,V) lattice never materializes (ops.rnnt_loss_fused); the
+        # chunk rebuilds a (B, Tc, U+1, hidden) lattice, so bound Tc
         chunk_frames = min(chunk_frames, 64)
-    if chunk_frames > 0:
-        # fused path: joint computed per T-chunk inside the loss, the full
-        # (B,T,U,V) lattice never materializes (ops.rnnt_loss_fused)
         enc, _ = m.apply(variables, feats, feat_lengths,
                          deterministic=deterministic, rngs=rngs,
                          method=m.encode)

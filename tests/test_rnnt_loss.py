@@ -191,3 +191,144 @@ def test_fuzz_loss_and_grad_parity():
         np.testing.assert_allclose(np.asarray(got_g), want_g, rtol=1e-5,
                                    atol=1e-5,
                                    err_msg=f"trial {trial} {B,T,U,V,scale}")
+
+
+def test_factored_compact_lattice_matches_materialized():
+    """GEMM-form bl/lb from (A, C) factors == compact_lattice of the
+    materialized logits A[:,:,None,:] + C[:,None,:,:], values AND grads."""
+    from rnntransducer_tpu.ops.rnnt_loss import (compact_lattice,
+                                                 factored_compact_lattice)
+
+    B, T, U1, V = 3, 11, 5, 13
+    rng = np.random.RandomState(11)
+    A = jnp.asarray(rng.randn(B, T, V).astype(np.float32) * 2.0)
+    C = jnp.asarray(rng.randn(B, U1, V).astype(np.float32) * 2.0)
+    labels = jnp.asarray(rng.randint(1, V, (B, U1 - 2)), jnp.int32)
+    w = jnp.asarray(rng.randn(B, T, U1).astype(np.float32))  # random cotangent
+
+    def via_lattice(a, c):
+        logits = a[:, :, None, :] + c[:, None, :, :]
+        bl, lb = compact_lattice(logits, labels)
+        return jnp.sum(bl * w) + jnp.sum(lb * (2.0 * w))
+
+    def via_factors(a, c):
+        bl, lb = factored_compact_lattice(a, c, labels)
+        return jnp.sum(bl * w) + jnp.sum(lb * (2.0 * w))
+
+    l1, (ga1, gc1) = jax.value_and_grad(via_lattice, argnums=(0, 1))(A, C)
+    l2, (ga2, gc2) = jax.value_and_grad(via_factors, argnums=(0, 1))(A, C)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc1), np.asarray(gc2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_factored_loss_matches_unfused_through_joint():
+    """rnnt_loss_factored on JointNetwork.factors == rnnt_loss on the
+    materialized JointNetwork.__call__ lattice, incl. grads through the
+    shared fc params (the zero-pad trick keeps one (De+Dd, V) kernel)."""
+    from rnntransducer_tpu.config import JointNetConfig
+    from rnntransducer_tpu.models.joint import JointNetwork
+    from rnntransducer_tpu.ops.rnnt_loss import rnnt_loss_factored
+
+    B, T, U, V, De, Dd = 2, 9, 3, 11, 6, 5
+    rng = np.random.RandomState(21)
+    enc = jnp.asarray(rng.randn(B, T, De).astype(np.float32))
+    dec = jnp.asarray(rng.randn(B, U + 1, Dd).astype(np.float32))
+    labels = jnp.asarray(rng.randint(1, V, (B, U)), jnp.int32)
+    t_len = jnp.array([9, 6], jnp.int32)
+    u_len = jnp.array([3, 2], jnp.int32)
+    joint = JointNetwork(JointNetConfig(num_classes=V, combine="concat"))
+    params = joint.init(jax.random.PRNGKey(0), enc, dec)["params"]
+
+    def unfused(p, e, d):
+        logits = joint.apply({"params": p}, e, d)
+        return rnnt_loss(logits, labels, t_len, u_len, reduction="mean")
+
+    def factored(p, e, d):
+        A, C = joint.apply({"params": p}, e, d, method=joint.factors)
+        return rnnt_loss_factored(A, C, labels, t_len, u_len,
+                                  reduction="mean")
+
+    l1, g1 = jax.value_and_grad(unfused, argnums=(0, 1, 2))(params, enc, dec)
+    l2, g2 = jax.value_and_grad(factored, argnums=(0, 1, 2))(params, enc, dec)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_factored_lattice_extreme_scales_stay_finite():
+    """Anti-aligned factor peaks drive the stabilized product sum toward
+    fp32 underflow; the tiny-floor clamp must keep values and grads finite
+    (those lattice points carry ~zero probability mass either way)."""
+    from rnntransducer_tpu.ops.rnnt_loss import factored_compact_lattice
+
+    B, T, U1, V = 1, 4, 3, 8
+    A = np.full((B, T, V), -60.0, np.float32)
+    C = np.full((B, U1, V), -60.0, np.float32)
+    A[..., 0] = 60.0   # A peaks hard on v=0
+    C[..., 0] = -120.0  # C bottoms out exactly there: worst-case anti-align
+    C[..., 1] = 60.0
+    A[..., 1] = -120.0
+    labels = jnp.asarray(np.full((B, U1 - 1), 2, np.int32))
+
+    def f(a, c):
+        bl, lb = factored_compact_lattice(jnp.asarray(a), jnp.asarray(c),
+                                          labels)
+        return jnp.sum(bl) + jnp.sum(lb), (bl, lb)
+
+    (val, (bl, lb)), (ga, gc) = jax.value_and_grad(
+        f, argnums=(0, 1), has_aux=True)(A, C)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(bl)).all()
+    assert np.isfinite(np.asarray(lb)).all()
+    assert np.isfinite(np.asarray(ga)).all()
+    assert np.isfinite(np.asarray(gc)).all()
+
+
+def test_loss_fn_factored_matches_full_lattice():
+    """Trainer loss_fn: the concat-joint factored path (joint_chunk_frames>0)
+    must match the chunk_frames=0 full-lattice path on a tiny model, loss and
+    parameter grads."""
+    import dataclasses
+
+    import rnntransducer_tpu as rt
+    from rnntransducer_tpu.models import RNNTransducer
+    from rnntransducer_tpu.train.state import loss_fn
+    from rnntransducer_tpu.config import TrainConfig
+
+    cfg = rt.tiny_config()
+    assert cfg.model.jointnet.combine == "concat"
+    cfg_fact = dataclasses.replace(
+        cfg, train=TrainConfig(joint_chunk_frames=8, precision="fp32"))
+    cfg_full = dataclasses.replace(
+        cfg, train=TrainConfig(joint_chunk_frames=0, precision="fp32"))
+    model = RNNTransducer(cfg.model)
+    rng = np.random.RandomState(3)
+    B, T, U = 2, 12, 4
+    M = cfg.model.transnet.input_size
+    batch = {
+        "feats": jnp.asarray(rng.randn(B, T, M).astype(np.float32)),
+        "feat_lengths": jnp.array([12, 9], jnp.int32),
+        "text_in": jnp.asarray(
+            np.concatenate([np.zeros((B, 1), np.int32),
+                            rng.randint(1, 20, (B, U)).astype(np.int32)], 1)),
+        "text_lengths": jnp.array([U + 1, U], jnp.int32),
+        "targets": jnp.asarray(rng.randint(1, 20, (B, U)).astype(np.int32)),
+        "target_lengths": jnp.array([U, U - 1], jnp.int32),
+    }
+    variables = model.init_variables(jax.random.PRNGKey(0), max_t=T, max_u=U)
+    params = variables["params"]
+    key = jax.random.PRNGKey(1)
+
+    def run(cfg_x, p):
+        return loss_fn(model, cfg_x, p, batch, key, deterministic=True)
+
+    l1, g1 = jax.value_and_grad(lambda p: run(cfg_fact, p))(params)
+    l2, g2 = jax.value_and_grad(lambda p: run(cfg_full, p))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

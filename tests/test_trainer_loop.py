@@ -261,7 +261,10 @@ def test_sigterm_preempts_real_training_process(tmp_path):
         p.kill()
         raise AssertionError("training never produced a step")
     p.send_signal(signal.SIGTERM)
-    out, _ = p.communicate(timeout=180)
+    # Generous grace: this box is single-core, and a concurrent chip run or
+    # suite neighbor can stretch the checkpoint write well past the nominal
+    # few seconds (observed >180 s once under full-suite + soak contention).
+    out, _ = p.communicate(timeout=360)
     assert p.returncode == 0, out[-2000:]
     assert any('"event": "preempted"' in l for l in open(metrics)), out[-1000:]
     from rnntransducer_tpu.train import CheckpointManager
