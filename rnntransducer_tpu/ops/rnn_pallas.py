@@ -18,15 +18,20 @@ grid step amortizes the per-step grid/DMA overhead k-fold and moves k-times
 larger stream blocks per DMA — the dominant cost at the flagship shape, where
 the per-step GEMM is ~1.6 us against ~8 us/step measured at k=1.
 
-* forward: k x (MXU GEMM + VPU gates) per grid step; saves the recurrent
-  pre-activations ``hw`` (needed to rebuild gates) alongside the outputs.
-* backward (custom VJP): opposite-order grid, rebuilds gates from the
-  streamed ``(xw, hw, h_prev)``, one MXU GEMM per step for the dh chain, and
-  writes per-step ``dxw`` / ``dhw`` streams.  The predecessor-state stream is
-  precomputed outside the kernel (``_prev_all`` — also needed for the dW
-  reduction).  dW_hh / db_hh then reduce OUTSIDE the loop as one large
-  (H, T*B) x (T*B, G*H) MXU GEMM instead of a 12.6 MB fp32 HBM accumulator
-  touched every step.
+* forward: k x (MXU GEMM + VPU gates) per grid step.  GRU writes only
+  ``h_all`` (the recurrent pre-activations are recomputed in the backward);
+  LSTM additionally saves ``hw`` (its backward rebuilds the c stream from it
+  with a VPU-only scan, cheaper than saving c).
+* backward (custom VJP): opposite-order grid.  GRU recomputes
+  ``hw = h_prev @ W_hh + b_hh`` in-kernel (W_hh is already resident and the
+  GEMM is off the sequential dh dependency chain — trading ~2 us of MXU for
+  a (k, B, 3H) HBM round-trip), rebuilds gates from ``(xw, hw, h_prev)``,
+  runs one MXU GEMM per step for the dh chain, and streams ``dxw`` plus only
+  the n-gate third of ``dhw`` (``dnr``) — the r/z thirds are identical to
+  ``dxw``'s.  The predecessor-state stream is precomputed outside the kernel
+  (``_prev_all`` — also needed for the dW reduction).  dW_hh / db_hh then
+  reduce OUTSIDE the loop as large (H, T*B) x (T*B, .) MXU GEMMs instead of
+  a 12.6 MB fp32 HBM accumulator touched every step.
 
 Masking semantics are identical to ``models/cells.py`` (pack_padded parity):
 a padded step (t >= length) leaves the carry unchanged and emits zeros.
@@ -83,7 +88,7 @@ def _lstm_gates(xw, hw, c_prev):
 
 
 def _gru_fwd_kernel(reverse, k, len_ref, xw_ref, w_ref, b_ref, h0_ref,
-                    hall_ref, hwsave_ref, hfin_ref, hstate):
+                    hall_ref, hfin_ref, hstate):
     i = pl.program_id(0)
     nb = pl.num_programs(0)
     blk = nb - 1 - i if reverse else i  # memory block this grid step covers
@@ -104,7 +109,6 @@ def _gru_fwd_kernel(reverse, k, len_ref, xw_ref, w_ref, b_ref, h0_ref,
         m = len_ref[:] > t  # (B, 1) bool
         h = jnp.where(m, h_new, h)
         hall_ref[jj] = jnp.where(m, h_new, 0.0).astype(hall_ref.dtype)
-        hwsave_ref[jj] = hw.astype(hwsave_ref.dtype)
     hstate[:] = h
 
     @pl.when(i == nb - 1)
@@ -152,9 +156,9 @@ def _lstm_fwd_kernel(reverse, k, len_ref, xw_ref, w_ref, b_ref, h0_ref,
 # ---------------------------------------------------------------------------
 
 
-def _gru_bwd_kernel(reverse, k, len_ref, xw_ref, hwsave_ref, hprev_ref,
-                    w_ref, gout_ref, gfin_ref,
-                    dxw_ref, dhw_ref, dh0_ref, dh_s):
+def _gru_bwd_kernel(reverse, k, len_ref, xw_ref, hprev_ref,
+                    w_ref, b_ref, gout_ref, gfin_ref,
+                    dxw_ref, dnr_ref, dh0_ref, dh_s):
     i = pl.program_id(0)
     nb = pl.num_programs(0)
     desc = not reverse  # backward walks time opposite to the forward
@@ -170,12 +174,18 @@ def _gru_bwd_kernel(reverse, k, len_ref, xw_ref, hwsave_ref, hprev_ref,
         jj = k - 1 - s if desc else s
         t = blk * k + jj
         xw = xw_ref[jj].astype(jnp.float32)
-        hw = hwsave_ref[jj].astype(jnp.float32)
-        hn = hw[:, 2 * H :]
         # predecessor state, precomputed outside (_prev_all): exact at every
         # valid step; garbage rows only where the step is masked, where every
         # gate grad below is zeroed by m anyway.
         h_prev = hprev_ref[jj].astype(jnp.float32)
+        # Recompute the recurrent pre-activations instead of streaming a
+        # saved (k, B, 3H) block from HBM: W_hh is already VMEM-resident and
+        # the (B, H) x (H, 3H) GEMM is off the sequential dh dependency
+        # chain.  Cuts the forward's hw_save write AND this kernel's read.
+        hw = jnp.dot(h_prev.astype(w_ref.dtype), w_ref[:],
+                     preferred_element_type=jnp.float32)
+        hw = hw + b_ref[:].astype(jnp.float32)
+        hn = hw[:, 2 * H :]
         _, (r, z, n) = _gru_gates(xw, hw, h_prev)
 
         m = len_ref[:] > t
@@ -184,8 +194,12 @@ def _gru_bwd_kernel(reverse, k, len_ref, xw_ref, hwsave_ref, hprev_ref,
         dn = g_new * (1.0 - z)
         dn_pre = dn * (1.0 - n * n)
         dr_pre = dn_pre * hn * r * (1.0 - r)
+        dnr = dn_pre * r
         dxw = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
-        dhw = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
+        # dhw = [dr_pre, dz_pre, dnr] differs from dxw only in the n third;
+        # stream just that (k, B, H) slice and let the off-loop dW GEMM
+        # reassemble — saves a full (k, B, 2H) HBM write + re-read.
+        dhw = jnp.concatenate([dr_pre, dz_pre, dnr], axis=1)
         # dh chain: through the recurrent GEMM + the z*h_prev passthrough; at
         # masked steps everything above is zero and dh carries through.
         chain = jax.lax.dot_general(
@@ -194,7 +208,7 @@ def _gru_bwd_kernel(reverse, k, len_ref, xw_ref, hwsave_ref, hprev_ref,
             preferred_element_type=jnp.float32)
         dh = chain + g_new * z + jnp.where(m, 0.0, dh)
         dxw_ref[jj] = dxw.astype(dxw_ref.dtype)
-        dhw_ref[jj] = dhw.astype(dhw_ref.dtype)
+        dnr_ref[jj] = dnr.astype(dnr_ref.dtype)
     dh_s[:] = dh
 
     @pl.when(i == nb - 1)
@@ -202,7 +216,7 @@ def _gru_bwd_kernel(reverse, k, len_ref, xw_ref, hwsave_ref, hprev_ref,
         dh0_ref[:] = dh_s[:].astype(dh0_ref.dtype)
 
 
-def _lstm_bwd_kernel(reverse, k, len_ref, xw_ref, hwsave_ref, hprev_ref,
+def _lstm_bwd_kernel(reverse, k, len_ref, xw_ref, hwsave_ref,
                      cprev_ref, w_ref, gout_ref, ghfin_ref, gcfin_ref,
                      dxw_ref, dh0_ref, dc0_ref, dh_s, dc_s):
     i = pl.program_id(0)
@@ -302,12 +316,12 @@ _BWD_BUDGET_CACHE: int | None = None
 GATES = {"gru": 3, "lstm": 4}
 
 # HBM-streamed H-sized units per timestep row (double-buffered), by kernel:
-# fwd GRU: xw 3H in, hall H + hwsave 3H out                      -> 7
-# bwd GRU: xw 3H, hw 3H, hprev H, gout H in; dxw 3H + dhw 3H out -> 14
-# fwd LSTM: xw 4H in, hall H + hwsave 4H out                     -> 9
-# bwd LSTM: xw 4H, hw 4H, hprev H, cprev H, gout H in; dxw 4H    -> 15
-_STREAM_UNITS = {("gru", "fwd"): 7, ("gru", "bwd"): 14,
-                 ("lstm", "fwd"): 9, ("lstm", "bwd"): 15}
+# fwd GRU: xw 3H in, hall H out (hw recomputed in bwd, not saved)  -> 4
+# bwd GRU: xw 3H, hprev H, gout H in; dxw 3H + dnr H out           -> 9
+# fwd LSTM: xw 4H in, hall H + hwsave 4H out                       -> 9
+# bwd LSTM: xw 4H, hw 4H, cprev H, gout H in; dxw 4H out           -> 14
+_STREAM_UNITS = {("gru", "fwd"): 4, ("gru", "bwd"): 9,
+                 ("lstm", "fwd"): 9, ("lstm", "bwd"): 14}
 
 
 def _kernel_vmem(rnn_type: str, phase: str, hidden: int, batch: int,
@@ -349,12 +363,10 @@ def _gru_fwd_call(xw, w_hh, b_hh, h0, lengths, reverse, interpret):
         ],
         out_specs=[
             _stream((k, B, H), nb, reverse),      # h_all
-            _stream((k, B, G3H), nb, reverse),    # hw_save
             _const((B, H)),                       # h_final
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), dt),
-            jax.ShapeDtypeStruct((T, B, G3H), dt),
             jax.ShapeDtypeStruct((B, H), dt),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
@@ -377,7 +389,7 @@ def _prev_all(h_all, h0, lengths, reverse):
 
 
 def _gru_bwd_call(residuals, cotangents, reverse, interpret):
-    xw, hw_save, h_all, w_hh, h0, lengths = residuals
+    xw, h_all, w_hh, b_hh, h0, lengths = residuals
     g_hall, g_hfin = cotangents
     T, B, G3H = xw.shape
     H = h0.shape[-1]
@@ -388,39 +400,49 @@ def _gru_bwd_call(residuals, cotangents, reverse, interpret):
     # the backward pass walks time in the opposite order of the forward
     desc = not reverse
     h_prev_all = _prev_all(h_all, h0, lengths, reverse)
-    dxw, dhw, dh0 = pl.pallas_call(
+    dxw, dnr, dh0 = pl.pallas_call(
         functools.partial(_gru_bwd_kernel, reverse, k),
         grid=(nb,),
         in_specs=[
             _const((B, 1)),
             _stream((k, B, G3H), nb, desc),       # xw
-            _stream((k, B, G3H), nb, desc),       # hw
             _stream((k, B, H), nb, desc),         # h predecessor (precomputed)
-            _const((H, G3H)),          # w_hh (resident; contracted on dim 1)
+            _const((H, G3H)),    # w_hh (resident; contracted on both dims)
+            _const((1, G3H)),    # b_hh (for the in-kernel hw recompute)
             _stream((k, B, H), nb, desc),         # g_out
             _const((B, H)),            # g_final
         ],
         out_specs=[
             _stream((k, B, G3H), nb, desc),
-            _stream((k, B, G3H), nb, desc),
+            _stream((k, B, H), nb, desc),
             _const((B, H)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, G3H), dt),
-            jax.ShapeDtypeStruct((T, B, G3H), dt),
+            jax.ShapeDtypeStruct((T, B, H), dt),
             jax.ShapeDtypeStruct((B, H), dt),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
         interpret=interpret,
-    )(len_col, xw, hw_save, h_prev_all, w_hh, g_hall, g_hfin)
+    )(len_col, xw, h_prev_all, w_hh, b_hh.reshape(1, G3H), g_hall, g_hfin)
 
     # Off-loop reductions: one big MXU GEMM each instead of per-step HBM
     # accumulation (the measured 30+ us/step pathology of scan autodiff).
-    dw = jax.lax.dot_general(
-        h_prev_all.reshape(T * B, H), dhw.reshape(T * B, G3H),
+    # dhw = [dxw[:, :, :2H], dnr]: reassemble inside the GEMMs instead of
+    # materializing the (T, B, 3H) tensor.
+    hp = h_prev_all.reshape(T * B, H)
+    dw_rz = jax.lax.dot_general(
+        hp, dxw[:, :, : 2 * H].reshape(T * B, 2 * H),
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(w_hh.dtype)
-    db = jnp.sum(dhw.astype(jnp.float32), axis=(0, 1)).astype(dt)
+        preferred_element_type=jnp.float32)
+    dw_n = jax.lax.dot_general(
+        hp, dnr.reshape(T * B, H),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw = jnp.concatenate([dw_rz, dw_n], axis=1).astype(w_hh.dtype)
+    db = jnp.concatenate([
+        jnp.sum(dxw[:, :, : 2 * H].astype(jnp.float32), axis=(0, 1)),
+        jnp.sum(dnr.astype(jnp.float32), axis=(0, 1))]).astype(dt)
     return dxw, dw, db, dh0, jnp.zeros_like(lengths)
 
 
@@ -442,9 +464,9 @@ def gru_scan(xw, w_hh, b_hh, h0, lengths, reverse=False, interpret=False):
 
 
 def _gru_fwd_res(xw, w_hh, b_hh, h0, lengths, reverse, interpret):
-    h_all, hw_save, h_fin = _gru_fwd_call(xw, w_hh, b_hh, h0, lengths,
-                                          reverse, interpret)
-    return (h_all, h_fin), (xw, hw_save, h_all, w_hh, h0, lengths)
+    h_all, h_fin = _gru_fwd_call(xw, w_hh, b_hh, h0, lengths,
+                                 reverse, interpret)
+    return (h_all, h_fin), (xw, h_all, w_hh, b_hh, h0, lengths)
 
 
 def _gru_bwd(reverse, interpret, residuals, cotangents):
@@ -544,7 +566,6 @@ def _lstm_bwd(reverse, interpret, residuals, cotangents):
             _const((B, 1)),
             _stream((k, B, G4H), nb, desc),
             _stream((k, B, G4H), nb, desc),
-            _stream((k, B, H), nb, desc),   # h predecessor (precomputed)
             _stream((k, B, H), nb, desc),   # c predecessor (precomputed)
             _const((H, G4H)),
             _stream((k, B, H), nb, desc),
@@ -564,7 +585,7 @@ def _lstm_bwd(reverse, interpret, residuals, cotangents):
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((B, H), jnp.float32)],
         interpret=interpret,
-    )(len_col, xw, hw_save, h_prev_all, c_prev_all, w_hh,
+    )(len_col, xw, hw_save, c_prev_all, w_hh,
       g_hall, g_hfin, g_cfin)
 
     dw = jax.lax.dot_general(
