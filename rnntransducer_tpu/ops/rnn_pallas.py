@@ -19,16 +19,17 @@ larger stream blocks per DMA — the dominant cost at the flagship shape, where
 the per-step GEMM is ~1.6 us against ~8 us/step measured at k=1.
 
 * forward: k x (MXU GEMM + VPU gates) per grid step.  GRU writes only
-  ``h_all`` (the recurrent pre-activations are recomputed in the backward);
-  LSTM additionally saves ``hw`` (its backward rebuilds the c stream from it
-  with a VPU-only scan, cheaper than saving c).
-* backward (custom VJP): opposite-order grid.  GRU recomputes
+  ``h_all``; LSTM writes ``h_all`` + the cell-state carry ``c_all`` (H, not
+  the 4H pre-activations) — in both, the recurrent pre-activations ``hw``
+  are recomputed in the backward rather than saved.
+* backward (custom VJP): opposite-order grid.  Both kernels recompute
   ``hw = h_prev @ W_hh + b_hh`` in-kernel (W_hh is already resident and the
   GEMM is off the sequential dh dependency chain — trading ~2 us of MXU for
-  a (k, B, 3H) HBM round-trip), rebuilds gates from ``(xw, hw, h_prev)``,
-  runs one MXU GEMM per step for the dh chain, and streams ``dxw`` plus only
-  the n-gate third of ``dhw`` (``dnr``) — the r/z thirds are identical to
-  ``dxw``'s.  The predecessor-state stream is precomputed outside the kernel
+  a (k, B, G*H) HBM round-trip), rebuild gates from the streamed
+  predecessors, run one MXU GEMM per step for the dh chain, and stream the
+  gate grads: LSTM ``dxw`` (== dhw, all gates additive); GRU ``dxw`` plus
+  only the n-gate third of ``dhw`` (``dnr``) — the r/z thirds are identical
+  to ``dxw``'s.  Predecessor streams are precomputed outside the kernel
   (``_prev_all`` — also needed for the dW reduction).  dW_hh / db_hh then
   reduce OUTSIDE the loop as large (H, T*B) x (T*B, .) MXU GEMMs instead of
   a 12.6 MB fp32 HBM accumulator touched every step.
@@ -45,6 +46,7 @@ The wrapper falls back to shapes the kernel does not support; callers
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -117,7 +119,7 @@ def _gru_fwd_kernel(reverse, k, len_ref, xw_ref, w_ref, b_ref, h0_ref,
 
 
 def _lstm_fwd_kernel(reverse, k, len_ref, xw_ref, w_ref, b_ref, h0_ref,
-                     c0_ref, hall_ref, hwsave_ref, hfin_ref, cfin_ref,
+                     c0_ref, hall_ref, call_ref, hfin_ref, cfin_ref,
                      hstate, cstate):
     i = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -141,7 +143,9 @@ def _lstm_fwd_kernel(reverse, k, len_ref, xw_ref, w_ref, b_ref, h0_ref,
         h = jnp.where(m, h_new, h)
         c = jnp.where(m, c_new, c)
         hall_ref[jj] = jnp.where(m, h_new, 0.0).astype(hall_ref.dtype)
-        hwsave_ref[jj] = hw.astype(hwsave_ref.dtype)
+        # carry (not zeroed): the backward's _prev_all gather needs the
+        # predecessor cell state at every valid step
+        call_ref[jj] = c.astype(call_ref.dtype)
     hstate[:] = h
     cstate[:] = c
 
@@ -216,8 +220,8 @@ def _gru_bwd_kernel(reverse, k, len_ref, xw_ref, hprev_ref,
         dh0_ref[:] = dh_s[:].astype(dh0_ref.dtype)
 
 
-def _lstm_bwd_kernel(reverse, k, len_ref, xw_ref, hwsave_ref,
-                     cprev_ref, w_ref, gout_ref, ghfin_ref, gcfin_ref,
+def _lstm_bwd_kernel(reverse, k, len_ref, xw_ref, hprev_ref,
+                     cprev_ref, w_ref, b_ref, gout_ref, ghfin_ref, gcfin_ref,
                      dxw_ref, dh0_ref, dc0_ref, dh_s, dc_s):
     i = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -234,7 +238,13 @@ def _lstm_bwd_kernel(reverse, k, len_ref, xw_ref, hwsave_ref,
         jj = k - 1 - s if desc else s
         t = blk * k + jj
         xw = xw_ref[jj].astype(jnp.float32)
-        hw = hwsave_ref[jj].astype(jnp.float32)
+        # recompute the recurrent pre-activations from the streamed (k, B, H)
+        # predecessor state — same trade as the GRU backward: one off-chain
+        # (B, H) x (H, 4H) GEMM against a (k, B, 4H) HBM round-trip
+        h_prev = hprev_ref[jj].astype(jnp.float32)
+        hw = jnp.dot(h_prev.astype(w_ref.dtype), w_ref[:],
+                     preferred_element_type=jnp.float32)
+        hw = hw + b_ref[:].astype(jnp.float32)
         c_prev = cprev_ref[jj].astype(jnp.float32)
         _, c_new, (ig, fg, gg, og) = _lstm_gates(xw, hw, c_prev)
         tc = jnp.tanh(c_new)
@@ -318,10 +328,10 @@ GATES = {"gru": 3, "lstm": 4}
 # HBM-streamed H-sized units per timestep row (double-buffered), by kernel:
 # fwd GRU: xw 3H in, hall H out (hw recomputed in bwd, not saved)  -> 4
 # bwd GRU: xw 3H, hprev H, gout H in; dxw 3H + dnr H out           -> 9
-# fwd LSTM: xw 4H in, hall H + hwsave 4H out                       -> 9
-# bwd LSTM: xw 4H, hw 4H, cprev H, gout H in; dxw 4H out           -> 14
+# fwd LSTM: xw 4H in, hall H + call H out (hw recomputed in bwd)   -> 6
+# bwd LSTM: xw 4H, hprev H, cprev H, gout H in; dxw 4H out         -> 11
 _STREAM_UNITS = {("gru", "fwd"): 4, ("gru", "bwd"): 9,
-                 ("lstm", "fwd"): 9, ("lstm", "bwd"): 14}
+                 ("lstm", "fwd"): 6, ("lstm", "bwd"): 11}
 
 
 def _kernel_vmem(rnn_type: str, phase: str, hidden: int, batch: int,
@@ -335,7 +345,18 @@ def _kernel_vmem(rnn_type: str, phase: str, hidden: int, batch: int,
 
 def _block_k(rnn_type: str, phase: str, T: int, hidden: int, batch: int,
              itemsize: int) -> int:
-    """Largest timesteps-per-grid-step that divides T and fits VMEM."""
+    """Largest timesteps-per-grid-step that divides T and fits VMEM.
+
+    ``RNNT_TPU_RNN_K_FWD`` / ``RNNT_TPU_RNN_K_BWD`` env vars force a k for
+    that phase (tuning escape hatch; bypasses the VMEM budget — a k whose
+    real footprint overflows fails the pallas_call compile loudly).  The
+    forced k is clamped to the largest divisor of T it admits."""
+    forced = os.environ.get(f"RNNT_TPU_RNN_K_{phase.upper()}")
+    if forced:
+        kf = int(forced)
+        while kf > 1 and T % kf:
+            kf //= 2
+        return max(kf, 1)
     budget = _vmem_budget_bwd() if phase == "bwd" else _VMEM_BUDGET
     for k in (8, 4, 2, 1):
         if T % k == 0 and _kernel_vmem(rnn_type, phase, hidden, batch, k,
@@ -496,13 +517,13 @@ def _lstm_fwd_call(xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret):
         ],
         out_specs=[
             _stream((k, B, H), nb, reverse),
-            _stream((k, B, G4H), nb, reverse),
+            _stream((k, B, H), nb, reverse),      # c_all (carry)
             _const((B, H)),
             _const((B, H)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), dt),
-            jax.ShapeDtypeStruct((T, B, G4H), dt),
+            jax.ShapeDtypeStruct((T, B, H), dt),
             jax.ShapeDtypeStruct((B, H), dt),
             jax.ShapeDtypeStruct((B, H), dt),
         ],
@@ -523,16 +544,18 @@ def lstm_scan(xw, w_hh, b_hh, h0, c0, lengths, reverse=False,
 
 
 def _lstm_fwd_res(xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret):
-    h_all, hw_save, h_fin, c_fin = _lstm_fwd_call(
+    h_all, c_all, h_fin, c_fin = _lstm_fwd_call(
         xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret)
-    # c_all is rebuilt in the backward from the (xw, hw) streams; only the
-    # forward outputs + pre-activations are residuals.
+    # The forward saves the (T, B, H) cell-state carry instead of the
+    # (T, B, 4H) pre-activations: the backward recomputes hw from the
+    # predecessor h (W_hh resident, GEMM off the dh chain), so c is the only
+    # stream the gates can't rebuild locally.
     return ((h_all, h_fin, c_fin),
-            (xw, hw_save, h_all, w_hh, h0, c0, lengths))
+            (xw, h_all, c_all, w_hh, b_hh, h0, c0, lengths))
 
 
 def _lstm_bwd(reverse, interpret, residuals, cotangents):
-    xw, hw_save, h_all, w_hh, h0, c0, lengths = residuals
+    xw, h_all, c_all, w_hh, b_hh, h0, c0, lengths = residuals
     g_hall, g_hfin, g_cfin = cotangents
     T, B, G4H = xw.shape
     H = h0.shape[-1]
@@ -541,20 +564,6 @@ def _lstm_bwd(reverse, interpret, residuals, cotangents):
     nb = T // k
     len_col = lengths.astype(jnp.int32).reshape(B, 1)
 
-    # The LSTM backward needs the predecessor c per step; rather than saving
-    # it in the forward, rebuild the c stream with one cheap VPU-only scan
-    # (no GEMM: hw is saved).
-    def c_body(c, inp):
-        xw_t, hw_t, len_m = inp
-        _, c_new, _ = _lstm_gates(xw_t.astype(jnp.float32),
-                                  hw_t.astype(jnp.float32), c)
-        c = jnp.where(len_m, c_new, c)
-        return c, c
-    t_idx = jnp.arange(T, dtype=jnp.int32)[:, None, None]
-    len_m = (lengths.astype(jnp.int32)[None, :, None] > t_idx)
-    _, c_all = jax.lax.scan(c_body, c0.astype(jnp.float32),
-                            (xw, hw_save, len_m), reverse=reverse)
-    c_all = c_all.astype(dt)
     c_prev_all = _prev_all(c_all, c0, lengths, reverse)
     h_prev_all = _prev_all(h_all, h0, lengths, reverse)
 
@@ -565,9 +574,10 @@ def _lstm_bwd(reverse, interpret, residuals, cotangents):
         in_specs=[
             _const((B, 1)),
             _stream((k, B, G4H), nb, desc),
-            _stream((k, B, G4H), nb, desc),
+            _stream((k, B, H), nb, desc),   # h predecessor (precomputed)
             _stream((k, B, H), nb, desc),   # c predecessor (precomputed)
             _const((H, G4H)),
+            _const((1, G4H)),    # b_hh (for the in-kernel hw recompute)
             _stream((k, B, H), nb, desc),
             _const((B, H)),
             _const((B, H)),
@@ -585,7 +595,7 @@ def _lstm_bwd(reverse, interpret, residuals, cotangents):
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((B, H), jnp.float32)],
         interpret=interpret,
-    )(len_col, xw, hw_save, c_prev_all, w_hh,
+    )(len_col, xw, h_prev_all, c_prev_all, w_hh, b_hh.reshape(1, G4H),
       g_hall, g_hfin, g_cfin)
 
     dw = jax.lax.dot_general(
