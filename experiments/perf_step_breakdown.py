@@ -111,7 +111,7 @@ def main():
     results["encoder_fwd_bwd"] = timed(ebwd, esync, iters)
 
     # ---- prednet fwd+bwd ------------------------------------------------
-    text = batch["text"]
+    text = batch["text_in"]
 
     @jax.jit
     def pred_fwd(p):
@@ -144,8 +144,8 @@ def main():
             return model.apply({"params": p}, e, d, method=model.joint_step)
 
         return jnp.mean(rnnt_loss_fused(
-            apply_joint, enc_out, dec_out, batch["text"][:, 1:],
-            batch["feat_lengths"], batch["text_lengths"],
+            apply_joint, enc_out, dec_out, batch["targets"],
+            batch["feat_lengths"], batch["target_lengths"],
             chunk_frames=cfg.train.joint_chunk_frames))
 
     jl_bwd = jax.jit(jax.grad(joint_loss))
@@ -165,8 +165,8 @@ def main():
         A, C = model.apply({"params": p}, enc_out, dec_out,
                            method=model.joint_factors)
         return jnp.mean(rnnt_loss_factored(
-            A, C, batch["text"][:, 1:], batch["feat_lengths"],
-            batch["text_lengths"]))
+            A, C, batch["targets"], batch["feat_lengths"],
+            batch["target_lengths"]))
 
     jf_bwd = jax.jit(jax.grad(joint_loss_factored))
 

@@ -134,7 +134,8 @@ class RNNLayer(nn.Module):
             eligible = self.rnn_type in ("gru", "lstm")
         else:
             eligible = (rnn_pallas.supported(
-                self.rnn_type, self.hidden_size, B, xw_t.dtype.itemsize)
+                self.rnn_type, self.hidden_size, B, xw_t.dtype.itemsize,
+                seq_len=T)
                 and jax.default_backend() == "tpu")
         if mode != "off" and eligible:
             return self._call_pallas(xw_t, mask, initial_state,

@@ -616,11 +616,20 @@ lstm_scan.defvjp(_lstm_fwd_res, _lstm_bwd)
 
 
 def supported(rnn_type: str, hidden: int, batch: int,
-              itemsize: int = 2) -> bool:
+              itemsize: int = 2, seq_len: int | None = None) -> bool:
     """Shapes the compiled TPU kernel handles well: lane-aligned hidden dims,
-    a batch that fills MXU sublanes, and a VMEM-resident weight + stream set
-    at k=1 (larger k is an automatic per-call upgrade).  Others use the XLA
-    scan."""
+    a batch that fills MXU sublanes, a VMEM-resident weight + stream set
+    at k=1 (larger k is an automatic per-call upgrade), and — when the
+    caller passes it — a time grid of whole k=8 blocks.  Others use the XLA
+    scan.
+
+    The seq_len gate is empirical: at odd/tiny T (e.g. a prediction
+    network's U+1=49) Mosaic's real backward allocation exceeds this
+    module's stream model by ~2x and the pallas_call fails AOT compile with
+    a scoped-vmem overflow, while the kernel's per-grid-step overhead makes
+    it a poor trade there anyway (observed on the round-3 prednet shape:
+    18.8 MB actual vs 13.4 MB modeled, T=49 k=1 LSTM bwd)."""
     return (rnn_type in ("gru", "lstm") and hidden % 128 == 0 and batch >= 8
+            and (seq_len is None or (seq_len % 8 == 0 and seq_len >= 64))
             and _kernel_vmem(rnn_type, "bwd", hidden, batch, 1,
                              itemsize) <= _VMEM_BUDGET)

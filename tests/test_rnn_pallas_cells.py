@@ -222,6 +222,12 @@ def test_supported_gating_and_odd_shapes():
     assert not rp.supported("rnn", 128, 8)
     assert rp.supported("gru", 1024, 64, itemsize=2)   # flagship bf16
     assert not rp.supported("gru", 1024, 64, itemsize=4)  # fp32 overflows VMEM
+    # time-grid gate: odd/tiny T (prednet's U+1) stays on the XLA scan —
+    # Mosaic's real bwd allocation at T=49 k=1 overflows scoped VMEM
+    assert rp.supported("lstm", 1024, 64, itemsize=2, seq_len=512)
+    assert not rp.supported("lstm", 1024, 64, itemsize=2, seq_len=49)
+    assert not rp.supported("lstm", 1024, 64, itemsize=2, seq_len=16)
+    assert rp.supported("lstm", 1024, 64, itemsize=2, seq_len=64)
     x = _rand(jax.random.PRNGKey(6), 2, T, 8)
     lengths = jnp.array([6, 3], jnp.int32)
     rnn = StackedRNN(8, 50, num_layers=1, rnn_type="gru",
