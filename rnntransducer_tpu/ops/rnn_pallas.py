@@ -173,7 +173,16 @@ def _gru_bwd_kernel(reverse, k, len_ref, xw_ref, hprev_ref,
         dh_s[:] = gfin_ref[:].astype(jnp.float32)
 
     dh = dh_s[:]
-    H = dh.shape[-1]
+    B, H = dh.shape
+    # Recompute the recurrent pre-activations instead of streaming a saved
+    # (k, B, 3H) block from HBM: W_hh is already VMEM-resident and the GEMM
+    # is off the sequential dh dependency chain — so it batches over the
+    # whole block as ONE (k*B, H) x (H, 3H) GEMM (M = k*B fills the MXU's
+    # 128 rows at k=2, where a per-step variant runs M=B=64 at half
+    # utilization).  Cuts the forward's hw_save write AND this kernel's read.
+    hp_blk = hprev_ref[...].astype(w_ref.dtype).reshape(k * B, H)
+    hw_blk = jnp.dot(hp_blk, w_ref[:], preferred_element_type=jnp.float32)
+    hw_blk = (hw_blk + b_ref[:].astype(jnp.float32)).reshape(k, B, 3 * H)
     for s in range(k):
         jj = k - 1 - s if desc else s
         t = blk * k + jj
@@ -182,13 +191,7 @@ def _gru_bwd_kernel(reverse, k, len_ref, xw_ref, hprev_ref,
         # valid step; garbage rows only where the step is masked, where every
         # gate grad below is zeroed by m anyway.
         h_prev = hprev_ref[jj].astype(jnp.float32)
-        # Recompute the recurrent pre-activations instead of streaming a
-        # saved (k, B, 3H) block from HBM: W_hh is already VMEM-resident and
-        # the (B, H) x (H, 3H) GEMM is off the sequential dh dependency
-        # chain.  Cuts the forward's hw_save write AND this kernel's read.
-        hw = jnp.dot(h_prev.astype(w_ref.dtype), w_ref[:],
-                     preferred_element_type=jnp.float32)
-        hw = hw + b_ref[:].astype(jnp.float32)
+        hw = hw_blk[jj]
         hn = hw[:, 2 * H :]
         _, (r, z, n) = _gru_gates(xw, hw, h_prev)
 
@@ -234,17 +237,17 @@ def _lstm_bwd_kernel(reverse, k, len_ref, xw_ref, hprev_ref,
         dc_s[:] = gcfin_ref[:].astype(jnp.float32)
 
     dh, dc = dh_s[:], dc_s[:]
+    B, H = dh.shape
+    # hw recompute batched over the block — one (k*B, H) x (H, 4H) MXU GEMM
+    # off the sequential dh/dc chain (see the GRU backward for rationale)
+    hp_blk = hprev_ref[...].astype(w_ref.dtype).reshape(k * B, H)
+    hw_blk = jnp.dot(hp_blk, w_ref[:], preferred_element_type=jnp.float32)
+    hw_blk = (hw_blk + b_ref[:].astype(jnp.float32)).reshape(k, B, 4 * H)
     for s in range(k):
         jj = k - 1 - s if desc else s
         t = blk * k + jj
         xw = xw_ref[jj].astype(jnp.float32)
-        # recompute the recurrent pre-activations from the streamed (k, B, H)
-        # predecessor state — same trade as the GRU backward: one off-chain
-        # (B, H) x (H, 4H) GEMM against a (k, B, 4H) HBM round-trip
-        h_prev = hprev_ref[jj].astype(jnp.float32)
-        hw = jnp.dot(h_prev.astype(w_ref.dtype), w_ref[:],
-                     preferred_element_type=jnp.float32)
-        hw = hw + b_ref[:].astype(jnp.float32)
+        hw = hw_blk[jj]
         c_prev = cprev_ref[jj].astype(jnp.float32)
         _, c_new, (ig, fg, gg, og) = _lstm_gates(xw, hw, c_prev)
         tc = jnp.tanh(c_new)
