@@ -37,7 +37,11 @@ BASELINE_UTT_PER_SEC = 8.0
 # Flagship step shape: ~5.1 s utterances (T=512 frames @10 ms hop), U=48
 # graphemes, batch 64 per chip — the reference's model config from
 # config/config.json with bf16, fused chunked joint+loss (Pallas sweep).
-B, T, U = 64, 512, 48
+# RNNT_BENCH_B overrides the batch for scaling experiments; the headline
+# metric is always reported at whatever B actually ran (see the JSON unit).
+import os as _os
+B = int(_os.environ.get("RNNT_BENCH_B", "64"))
+T, U = 512, 48
 WARMUP, ITERS = 3, 20
 
 # bf16 dense peak by TPU generation (TFLOP/s) for the MFU denominator
@@ -130,7 +134,7 @@ def main():
     print(json.dumps({
         "metric": "train_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 2),
-        "unit": "utt/s/chip (B=64, T=512 frames, U=48, bf16, incl. RNN-T loss fwd+bwd)",
+        "unit": f"utt/s/chip (B={B}, T=512 frames, U=48, bf16, incl. RNN-T loss fwd+bwd)",
         "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 2),
         "step_ms": round(dt_per_step * 1000, 1),
         "mfu": round(mfu, 3),
