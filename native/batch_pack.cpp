@@ -8,6 +8,7 @@
 // Build: make -C native  (produces libbatch_pack.so)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -26,6 +27,28 @@ void PackRows(const float* const* srcs, const int32_t* rows, int b_begin,
     // contract self-contained
     std::memset(dst + static_cast<size_t>(n) * cols, 0,
                 static_cast<size_t>(max_rows - n) * row_bytes);
+  }
+}
+
+void QuantizeRows(const float* const* srcs, const int32_t* rows, int b_begin,
+                  int b_end, int max_rows, int16_t* out, float* scales) {
+  for (int b = b_begin; b < b_end; ++b) {
+    int16_t* dst = out + static_cast<size_t>(b) * max_rows;
+    const int n = std::min(rows[b], max_rows);
+    const float* src = srcs[b];
+    float peak = 0.0f;
+    for (int i = 0; i < n; ++i) peak = std::max(peak, std::fabs(src[i]));
+    // scale maps [-peak, peak] onto the int16 range; a silent row keeps
+    // scale 0 and decodes to exact zeros (0 * 0 = 0)
+    const float scale = peak > 0.0f ? peak / 32767.0f : 0.0f;
+    const float inv = scale > 0.0f ? 1.0f / scale : 0.0f;
+    for (int i = 0; i < n; ++i) {
+      const float q = src[i] * inv;
+      dst[i] = static_cast<int16_t>(q >= 0.0f ? q + 0.5f : q - 0.5f);
+    }
+    if (n < max_rows)
+      std::memset(dst + n, 0, static_cast<size_t>(max_rows - n) * sizeof(int16_t));
+    scales[b] = scale;
   }
 }
 
@@ -50,6 +73,33 @@ void pack_batch_f32(const float* const* srcs, const int32_t* rows, int batch,
     const int b1 = std::min(batch, b0 + stripe);
     if (b0 >= b1) break;
     workers.emplace_back(PackRows, srcs, rows, b0, b1, max_rows, cols, out);
+  }
+  for (auto& w : workers) w.join();
+}
+
+// Fused per-row peak-scale int16 quantization + packing for raw-PCM batches:
+// srcs are B pointers to (rows[b],) float32 waveforms; out is a preallocated
+// (B, max_rows) int16 buffer (fully overwritten) and scales a (B,) float32
+// buffer such that float(out[b]) * scales[b] reconstructs the waveform to
+// 16-bit precision. Halves host->device transfer bytes for the raw-PCM
+// training path in one pass over the data.
+void pack_quantize_wav_i16(const float* const* srcs, const int32_t* rows,
+                           int batch, int max_rows, int16_t* out,
+                           float* scales, int n_threads) {
+  n_threads = std::max(1, std::min(n_threads, batch));
+  if (n_threads == 1) {
+    QuantizeRows(srcs, rows, 0, batch, max_rows, out, scales);
+    return;
+  }
+  std::vector<std::thread> workers;
+  workers.reserve(n_threads);
+  const int stripe = (batch + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int b0 = t * stripe;
+    const int b1 = std::min(batch, b0 + stripe);
+    if (b0 >= b1) break;
+    workers.emplace_back(QuantizeRows, srcs, rows, b0, b1, max_rows, out,
+                         scales);
   }
   for (auto& w : workers) w.join();
 }

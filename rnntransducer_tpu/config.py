@@ -194,6 +194,12 @@ class TrainConfig:
     # histograms are computed on device and cost one extra fwd+bwd per
     # watch step
     watch_every_steps: int = 0
+    # raw-PCM batches: "float32" ships PCM as-is; "int16" ships peak-scaled
+    # int16 + a per-utterance scale column, dequantized on device — half the
+    # host->device transfer bytes at 16-bit precision (most corpora are
+    # 16-bit PCM at the source anyway). Ignored for precomputed-feature
+    # datasets.
+    wav_transfer_dtype: str = "float32"
     # decode during validation
     greedy_max_symbols: int = 3  # reference max_iters=3 (model.py:76)
     # "greedy" (reference parity) or "beam" (batched device beam; measurably

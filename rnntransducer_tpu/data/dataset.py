@@ -167,12 +167,19 @@ def prepare_logmel_dataset(source_roots: Sequence[str], target_root: str,
 
 class ArrowAudioDataset:
     """Random-access view over preprocessed shards, feeding the bucketing
-    sampler (lengths) and collate (feats/labels)."""
+    sampler (lengths) and collate (feats/labels).
+
+    Rows are read through HF datasets' numpy formatter, and ``get_batch``
+    fetches a whole batch in ONE Arrow take — ~7x cheaper host CPU than B
+    python-object row reads (the difference between the host pipeline keeping
+    up with the chip or not on a narrow-CPU host; docs/TUNING.md)."""
 
     def __init__(self, roots: Sequence[str], split: str):
         self.ds = load_shards(roots, split)
         cols = self.ds.column_names
         self._len_col = "audio_len" if "audio_len" in cols else None
+        self._np = self.ds.with_format("numpy",
+                                       columns=["input_values", "input_ids"])
 
     def __len__(self):
         return len(self.ds)
@@ -187,10 +194,79 @@ class ArrowAudioDataset:
             return np.asarray(self.ds["label_len"])
         return np.asarray([len(r["input_ids"]) for r in self.ds])
 
+    @staticmethod
+    def _item(values, ids) -> dict:
+        return {"feats": np.asarray(values, np.float32),
+                "labels": np.asarray(ids, np.int32)}
+
     def __getitem__(self, i: int) -> dict:
-        row = self.ds[int(i)]
-        return {"feats": np.asarray(row["input_values"], np.float32),
-                "labels": np.asarray(row["input_ids"], np.int32)}
+        row = self._np[int(i)]
+        return self._item(row["input_values"], row["input_ids"])
+
+    def get_batch(self, idxs) -> list:
+        rows = self._np[[int(i) for i in idxs]]
+        return [self._item(v, t)
+                for v, t in zip(rows["input_values"], rows["input_ids"])]
+
+
+class ArrowWaveformDataset(ArrowAudioDataset):
+    """Random-access view over raw-PCM shards (rows: 'input_values' = float32
+    waveform @ sample_rate, 'input_ids' = grapheme ids) for the raw-PCM
+    training path: the Trainer collates waveforms and the log-mel frontend
+    (+ SpecAugment) runs on device inside the jitted step — the TPU-native
+    inversion of the reference's offline TB-scale preprocessing pass
+    (``datamodule.py:92-173``). ``lengths()`` returns FRAME counts so audio
+    bucketing is shared with the feature path."""
+
+    def __init__(self, roots: Sequence[str], split: str, audio_cfg: AudioConfig):
+        super().__init__(roots, split)
+        self.audio_cfg = audio_cfg
+
+    def lengths(self) -> np.ndarray:
+        if self._len_col:  # audio_len column already holds frame counts
+            return np.asarray(self.ds[self._len_col])
+        hop = self.audio_cfg.hop_length
+        return np.asarray([num_frames(len(r["input_values"]), hop)
+                           for r in self.ds])
+
+    @staticmethod
+    def _item(values, ids) -> dict:
+        return {"wav": np.asarray(values, np.float32),
+                "labels": np.asarray(ids, np.int32)}
+
+
+def save_waveform_dataset(items, target_root: str, split: str,
+                          hop_length: int, num_shards: int = 1) -> None:
+    """Materialize an iterable of {'wav' float32 (S,), 'labels' int (U,)}
+    items as raw-PCM Arrow shards loadable by ArrowWaveformDataset (same
+    shard layout / _SUCCESS marker / ledger as prepare_logmel_dataset).
+    'audio_len' stores the FRAME count (bucketing unit of the Trainer)."""
+    from datasets import Dataset
+
+    target = os.path.join(target_root, split)
+    marker = os.path.join(target, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+
+    rows = [{"wav": np.asarray(it["wav"], np.float32),
+             "labels": np.asarray(it["labels"], np.int32)} for it in items]
+    write_ledger_entry(target_root, "waveform", split)
+    num_shards = max(1, min(num_shards, len(rows)))
+    per = (len(rows) + num_shards - 1) // num_shards
+    for shard_idx in range(num_shards):
+        chunk = rows[shard_idx * per:(shard_idx + 1) * per]
+        if not chunk:
+            break
+        shard = Dataset.from_dict({
+            "input_values": [r["wav"] for r in chunk],
+            "input_ids": [r["labels"] for r in chunk],
+            "audio_len": [num_frames(len(r["wav"]), hop_length)
+                          for r in chunk],
+            "label_len": [len(r["labels"]) for r in chunk],
+        })
+        shard.save_to_disk(os.path.join(target, str(shard_idx)))
+    with open(marker, "w") as f:
+        f.write("ok\n")
 
 
 class SyntheticAudioDataset:

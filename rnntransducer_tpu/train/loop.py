@@ -119,9 +119,14 @@ class Trainer:
             self.logger.log(step, event="overlong_label_dropped",
                             count=sampler.last_label_dropped,
                             max_labels=self.cfg.data.label_buckets[-1])
+        # batched row fetch when the dataset supports it (one Arrow take +
+        # numpy conversion per batch instead of B python row reads — ~7x
+        # cheaper host CPU on this image's single core; see docs/TUNING.md)
+        get_batch = getattr(dataset, "get_batch", None)
         for b_idx, idxs, n_valid in batches:
             local = idxs[pi::pc] if pc > 1 else idxs
-            items = [dataset[i] for i in local]
+            items = (get_batch(local) if get_batch is not None
+                     else [dataset[i] for i in local])
             # label bucket must come from the FULL batch so every process
             # picks the same static shape (local max would diverge)
             if label_lens is not None:
@@ -150,7 +155,8 @@ class Trainer:
                 batch = collate_waveforms(
                     items, max_samples=(frames_b - 1) * hop,
                     max_labels=label_bucket,
-                    pad_id=self.cfg.data.text.pad_token_id)
+                    pad_id=self.cfg.data.text.pad_token_id,
+                    transfer_dtype=self.cfg.train.wav_transfer_dtype)
             else:
                 batch = collate(items,
                                 max_frames=self.cfg.data.audio_buckets[b_idx],
@@ -326,8 +332,9 @@ class Trainer:
             if "feats" not in batch_dev:
                 # raw-PCM eval: run the on-device frontend once, decode from
                 # the resulting features (no SpecAugment at eval)
+                from rnntransducer_tpu.train.state import dequantize_wav
                 feats, feat_lengths = _eval_frontend(
-                    cfg, batch_dev["wav"], batch_dev["wav_lengths"])
+                    cfg, dequantize_wav(batch_dev), batch_dev["wav_lengths"])
                 batch_dev = dict(batch_dev, feats=feats,
                                  feat_lengths=feat_lengths)
             # per-sample losses so wrap-padding duplicates (needed for the

@@ -65,6 +65,16 @@ def _cast(tree, dtype):
         tree)
 
 
+def dequantize_wav(batch):
+    """Raw-PCM batches may arrive as peak-scaled int16 + 'wav_scale' (half
+    the host->device bytes; data/collate.py quantize_waveforms) — reconstruct
+    float32 PCM on device. Float batches pass through unchanged."""
+    wav = batch["wav"]
+    if wav.dtype == jnp.int16:
+        wav = wav.astype(jnp.float32) * batch["wav_scale"][:, None]
+    return wav
+
+
 def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
             deterministic: bool, loss_backend: str = "auto",
             reduction: str = "mean"):
@@ -76,14 +86,16 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
 
     if "feats" in batch:
         feats, feat_lengths = batch["feats"], batch["feat_lengths"]
-    elif jax.default_backend() == "tpu":
-        # fused Pallas DFT/mel frontend (~23x the XLA rfft path on v5e)
-        from rnntransducer_tpu.frontend import logmel_pallas
-        feats, feat_lengths = logmel_pallas(batch["wav"], cfg.data.audio,
-                                            batch["wav_lengths"])
     else:
-        frontend = LogMelFrontend(cfg.data.audio)
-        feats, feat_lengths = frontend(batch["wav"], batch["wav_lengths"])
+        wav = dequantize_wav(batch)
+        if jax.default_backend() == "tpu":
+            # fused Pallas DFT/mel frontend (~23x the XLA rfft path on v5e)
+            from rnntransducer_tpu.frontend import logmel_pallas
+            feats, feat_lengths = logmel_pallas(wav, cfg.data.audio,
+                                                batch["wav_lengths"])
+        else:
+            frontend = LogMelFrontend(cfg.data.audio)
+            feats, feat_lengths = frontend(wav, batch["wav_lengths"])
     if not deterministic and cfg.data.audio.spec_augment:
         feats = spec_augment(
             aug_rng, feats, feat_lengths,

@@ -41,6 +41,7 @@ _SLOW_TESTS = {
     "test_recognizer_end_to_end",
     "test_fit_validate_checkpoint_resume",
     "test_fit_raw_pcm_waveform_dataset",
+    "test_fit_raw_pcm_int16_transfer",
     "test_pad_embedding_is_zero",
     "test_remat_scan_layers_trains",
     "test_fused_loss_matches_unfused",

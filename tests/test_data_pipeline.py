@@ -211,3 +211,113 @@ def test_sampler_drops_overlong_labels():
     used = {int(i) for _, idxs, n in batches for i in idxs[:n]}
     assert 1 not in used and 3 not in used
     assert used == {0, 2, 4, 5}
+
+
+def test_quantize_waveforms_roundtrip_and_native_parity():
+    """int16 wav transfer (data/collate.py quantize_waveforms): per-row
+    peak-scaled quantization reconstructs the waveform to 16-bit precision;
+    the native fused kernel (native/batch_pack.cpp) matches the numpy
+    fallback; silent rows decode to exact zeros."""
+    import importlib
+
+    c = importlib.import_module("rnntransducer_tpu.data.collate")
+    quantize_waveforms = c.quantize_waveforms
+
+    rng = np.random.RandomState(0)
+    arrays = [rng.randn(rng.randint(80, 200)).astype(np.float32)
+              * rng.uniform(0.05, 4.0) for _ in range(6)]
+    arrays.append(np.zeros(50, np.float32))  # silence
+    q, s = quantize_waveforms(arrays, max_samples=180)
+    assert q.shape == (7, 180) and q.dtype == np.int16
+    assert s.dtype == np.float32 and s[-1] == 0.0
+    for i, a in enumerate(arrays):
+        n = min(len(a), 180)
+        rec = q[i, :n].astype(np.float32) * s[i]
+        peak = max(float(np.abs(a[:n]).max()), 1e-9)
+        assert np.abs(rec - a[:n]).max() / peak < 1e-4
+        assert not q[i, n:].any()  # zero-padded tail
+
+    prev = c._pack_lib
+    try:
+        c._pack_lib = False  # force the numpy fallback
+        q2, s2 = quantize_waveforms(arrays, max_samples=180)
+    finally:
+        c._pack_lib = prev
+    np.testing.assert_array_equal(s, s2)
+    # rounding ties (x.5) may differ by one code between implementations
+    assert np.abs(q.astype(np.int32) - q2.astype(np.int32)).max() <= 1
+
+
+def test_collate_waveforms_int16_matches_float32():
+    rng = np.random.RandomState(1)
+    items = [{"wav": rng.randn(rng.randint(60, 150)).astype(np.float32) * 2.5,
+              "labels": np.array([1, 2, 3])} for _ in range(4)]
+    f32 = collate_waveforms(items, max_samples=160, max_labels=4)
+    i16 = collate_waveforms(items, max_samples=160, max_labels=4,
+                            transfer_dtype="int16")
+    assert i16["wav"].dtype == np.int16 and "wav_scale" in i16
+    rec = i16["wav"].astype(np.float32) * i16["wav_scale"][:, None]
+    peak = np.abs(f32["wav"]).max()
+    assert np.abs(rec - f32["wav"]).max() / peak < 1e-4
+    for k in ("wav_lengths", "text_in", "targets", "target_lengths",
+              "text_lengths"):
+        np.testing.assert_array_equal(f32[k], i16[k])
+
+
+def test_arrow_waveform_dataset_roundtrip(tmp_path):
+    """save_waveform_dataset -> ArrowWaveformDataset: frame-count lengths,
+    batched get_batch == per-row access, idempotent re-save (_SUCCESS)."""
+    from rnntransducer_tpu.data import (
+        ArrowWaveformDataset, save_waveform_dataset,
+    )
+    from rnntransducer_tpu.data.dataset import num_frames
+
+    audio = AudioConfig()
+    src = SyntheticAudioDataset(10, audio, min_sec=0.1, max_sec=0.4,
+                                min_labels=2, max_labels=6, seed=3,
+                                as_waveform=True)
+    root = str(tmp_path / "corpus")
+    items = [src[i] for i in range(len(src))]
+    save_waveform_dataset(items, root, "train",
+                          hop_length=audio.hop_length, num_shards=3)
+    save_waveform_dataset(items, root, "train",
+                          hop_length=audio.hop_length, num_shards=3)  # no-op
+    ds = ArrowWaveformDataset([root], "train", audio)
+    assert len(ds) == 10
+    for i in (0, 4, 9):
+        it = ds[i]
+        np.testing.assert_array_equal(it["wav"], items[i]["wav"])
+        np.testing.assert_array_equal(it["labels"], items[i]["labels"])
+        assert it["wav"].dtype == np.float32
+    # lengths() is in FRAMES (the Trainer's bucketing unit)
+    expect = [num_frames(len(items[i]["wav"]), audio.hop_length)
+              for i in range(10)]
+    np.testing.assert_array_equal(ds.lengths(), expect)
+    np.testing.assert_array_equal(
+        ds.label_lengths(), [len(items[i]["labels"]) for i in range(10)])
+    # one-Arrow-take batched fetch == per-row fetch
+    got = ds.get_batch([7, 2, 5])
+    for g, i in zip(got, [7, 2, 5]):
+        np.testing.assert_array_equal(g["wav"], items[i]["wav"])
+        np.testing.assert_array_equal(g["labels"], items[i]["labels"])
+
+
+def test_arrow_audio_dataset_get_batch(tmp_path):
+    from datasets import Dataset
+
+    cfg = AudioConfig()
+    rng = np.random.RandomState(0)
+    rows = {"input_values": [rng.randn(rng.randint(400, 900)).astype(np.float32)
+                             for _ in range(6)],
+            "input_ids": [rng.randint(1, 72, rng.randint(2, 6)).astype(np.int32)
+                          for _ in range(6)]}
+    src = tmp_path / "raw" / "dev" / "0"
+    Dataset.from_dict(rows).save_to_disk(str(src))
+    prepare_logmel_dataset([str(tmp_path / "raw")], str(tmp_path / "out"),
+                           "dev", cfg, num_shards=2)
+    ds = ArrowAudioDataset([str(tmp_path / "out")], "dev")
+    got = ds.get_batch([3, 0, 5])
+    for g, i in zip(got, [3, 0, 5]):
+        ref = ds[i]
+        np.testing.assert_array_equal(g["feats"], ref["feats"])
+        np.testing.assert_array_equal(g["labels"], ref["labels"])

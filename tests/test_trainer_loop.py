@@ -301,3 +301,41 @@ def test_fit_raw_pcm_waveform_dataset(tmp_path):
         assert batch["wav"].shape[1] in allowed
         assert batch["text_lengths"].tolist() == (
             batch["target_lengths"] + 1).tolist()
+
+
+def test_fit_raw_pcm_int16_transfer(tmp_path):
+    """wav_transfer_dtype="int16": the Trainer ships raw-PCM batches as
+    peak-scaled int16 + wav_scale (half the host->device bytes), the step
+    dequantizes on device, and training/validation behave like float32
+    transfer (per-utterance mean-var norm absorbs the 16-bit quantization)."""
+    import dataclasses
+
+    from rnntransducer_tpu.train.state import eval_step
+
+    cfg = _cfg(tmp_path, max_steps=2)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, wav_transfer_dtype="int16"))
+    ds = SyntheticAudioDataset(6, AudioConfig(), min_sec=0.3, max_sec=1.2,
+                               min_labels=3, max_labels=10, seed=0,
+                               as_waveform=True)
+    val = SyntheticAudioDataset(4, AudioConfig(), min_sec=0.3, max_sec=1.2,
+                                min_labels=3, max_labels=10, seed=9,
+                                as_waveform=True)
+    trainer = Trainer(cfg, ds, val_dataset=val)
+
+    # the host pipeline produces int16 wav + scales
+    batch = next(iter(trainer._host_batches(ds, epoch=0, batch_size=2)))
+    assert batch["wav"].dtype == np.int16 and "wav_scale" in batch
+
+    # dequantized loss == float32-transfer loss to quantization precision
+    f32 = dict(batch)
+    f32["wav"] = batch["wav"].astype(np.float32) * batch["wav_scale"][:, None]
+    del f32["wav_scale"]
+    l_i16 = float(eval_step(cfg, trainer.state.params, batch))
+    l_f32 = float(eval_step(cfg, trainer.state.params, f32))
+    assert np.isfinite(l_i16) and abs(l_i16 - l_f32) < 1e-4 * max(abs(l_f32), 1)
+
+    state = trainer.fit()
+    assert int(state.step) == 2
+    out = trainer.validate(max_batches=1)
+    assert np.isfinite(out["val_loss"])
