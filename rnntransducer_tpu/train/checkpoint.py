@@ -33,6 +33,9 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=None))
+        # (step, metrics) of async saves whose commit + retention bookkeeping
+        # is still outstanding (at most one: save() drains before dispatching)
+        self._pending: list = []
 
     # -- metrics ledger --------------------------------------------------
     def _ledger_path(self) -> str:
@@ -68,20 +71,42 @@ class CheckpointManager:
 
     # -- public API -------------------------------------------------------
     def save(self, step: int, state: Any, metrics: Optional[dict] = None,
-             config: Optional[Config] = None):
+             config: Optional[Config] = None, wait: bool = True):
+        """Save a checkpoint.
+
+        ``wait=False`` returns as soon as the state is copied off-device
+        (orbax's async contract: device buffers are safe to donate/mutate
+        after ``save()`` returns) and defers the commit wait plus retention
+        bookkeeping (ledger write, top-k pruning) to the next save / an
+        explicit ``wait()`` / ``close()`` — overlapping the serialization and
+        filesystem write with further training steps. Crash consistency: the
+        ledger is only written after the commit, so it never names a step
+        that is not durable on disk."""
+        self.wait()  # at most one async save in flight
         if config is not None:
             os.makedirs(self.directory, exist_ok=True)
             cfg_path = os.path.join(self.directory, "config.json")
             if not os.path.exists(cfg_path):
                 config.to_json(cfg_path)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._pending.append((int(step), metrics or {}))
+        if wait:
+            self.wait()
+
+    def wait(self):
+        """Block until any in-flight async save is durable, then run its
+        deferred retention bookkeeping. No-op when nothing is pending."""
+        if not self._pending:
+            return
         self._mgr.wait_until_finished()
+        pending, self._pending = self._pending, []
         import jax
         if jax.process_index() != 0:
             return  # retention bookkeeping is process-0 work (shared FS)
         ledger = self._read_ledger()
-        ledger[int(step)] = {k: float(v) for k, v in (metrics or {}).items()}
-        keep = self._retained(ledger, step)
+        for step, metrics in pending:
+            ledger[int(step)] = {k: float(v) for k, v in metrics.items()}
+        keep = self._retained(ledger, pending[-1][0])
         for s in list(ledger):
             if s not in keep:
                 try:
@@ -92,6 +117,7 @@ class CheckpointManager:
         self._write_ledger(ledger)
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        self.wait()  # an in-flight save may be the step being restored
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
@@ -116,6 +142,7 @@ class CheckpointManager:
                                  args=ocp.args.StandardRestore(state_template))
 
     def best_step(self) -> Optional[int]:
+        self.wait()  # a pending save's metrics may win
         ledger = self._read_ledger()
         with_metric = [s for s in ledger if self.monitor in ledger[s]]
         if not with_metric:
@@ -129,9 +156,14 @@ class CheckpointManager:
         return best if best is not None else self.latest_step()
 
     def latest_step(self) -> Optional[int]:
-        return self._mgr.latest_step()
+        latest = self._mgr.latest_step()
+        if self._pending:  # in-flight async saves count as existing
+            newest = max(s for s, _ in self._pending)
+            latest = newest if latest is None else max(latest, newest)
+        return latest
 
     def close(self):
+        self.wait()
         self._mgr.close()
 
 

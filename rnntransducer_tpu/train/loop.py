@@ -240,7 +240,11 @@ class Trainer:
                                     dir=self.profile_dir)
                 if self.val_ds is not None and step % cfg.train.val_every_steps == 0:
                     val = self.validate()
-                    self.ckpt.save(step, self.state, metrics=val, config=cfg)
+                    # async: the commit + top-k bookkeeping overlap with the
+                    # next training steps (state is host-copied before save
+                    # returns, so donation of the device buffers is safe)
+                    self.ckpt.save(step, self.state, metrics=val, config=cfg,
+                                   wait=False)
             if not made_progress and not self._preempted:
                 raise RuntimeError(
                     "training epoch produced no batches — dataset empty or "
@@ -260,6 +264,7 @@ class Trainer:
             val = ({} if self._preempted else
                    self.validate() if self.val_ds is not None else {})
             self.ckpt.save(step, self.state, metrics=val, config=cfg)
+        self.ckpt.wait()  # drain any in-flight async save before returning
         self._remove_preemption_handler()
         return self.state
 

@@ -283,3 +283,39 @@ def test_skip_nonfinite_grads_guards_params_and_moments():
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_async_save(tmp_path):
+    """wait=False saves: state is host-copied before save() returns (safe to
+    donate/mutate after), latest_step() counts the in-flight save, retention
+    bookkeeping (ledger + top-k pruning) lands at the deferred wait(), and
+    restore()/best_step() drain the pending save first."""
+    from rnntransducer_tpu.train import CheckpointManager
+
+    cfg = _tiny_cfg()
+    tx = make_optimizer(cfg.train)
+    state = TrainState.create(cfg)
+    batch = _batch(cfg)
+    state, _ = train_step(cfg, tx, state, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_top_k=1)
+    mgr.save(1, state, metrics={"val_cer": 0.5}, config=cfg, wait=False)
+    assert mgr.latest_step() == 1  # pending counts as existing
+    # mutate the live state as the next train steps would (donation)
+    state2, _ = train_step(cfg, tx, state, batch)
+    mgr.save(2, state2, metrics={"val_cer": 0.1}, wait=False)
+    mgr.save(3, state2.replace(step=state2.step + 1),
+             metrics={"val_cer": 0.9}, wait=False)
+    assert mgr.latest_step() == 3
+
+    # restore drains the in-flight save; step-2 params survive intact
+    template = TrainState.create(cfg)
+    restored = mgr.restore(template, step=2)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     restored.params, state2.params)
+    assert max(jax.tree.leaves(d)) == 0.0
+    assert mgr.best_step() == 2
+    # retention ran: top-1 {2} union latest {3}; step 1 pruned
+    import os
+    assert not os.path.isdir(str(tmp_path / "ckpt" / "1"))
+    mgr.close()
