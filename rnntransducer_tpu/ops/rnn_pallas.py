@@ -336,14 +336,48 @@ GATES = {"gru": 3, "lstm": 4}
 _STREAM_UNITS = {("gru", "fwd"): 4, ("gru", "bwd"): 9,
                  ("lstm", "fwd"): 6, ("lstm", "bwd"): 11}
 
-
 def _kernel_vmem(rnn_type: str, phase: str, hidden: int, batch: int,
                  k: int, itemsize: int) -> int:
+    # Model the batch as padded to 64 rows: Mosaic's real scoped allocation
+    # for these kernels is near-B-independent between 48 and 64 rows at equal
+    # k (measured on v5e, GRU bwd H=1024: B=48 k=4 -> 16.08 MiB real vs
+    # B=64 k=4 -> 16.77; B=96 k=1 -> 16.61 ~= the B=128 model) — sub-64-row
+    # batches do NOT buy VMEM headroom, and modeling them as if they did
+    # picked k's that failed AOT compile with scoped-VMEM overflows.
+    b_eff = -(-batch // 64) * 64
     g = GATES[rnn_type]
     w = hidden * g * hidden * itemsize
-    streams = 2 * k * batch * _STREAM_UNITS[(rnn_type, phase)] * hidden * itemsize
-    scalars = 8 * batch * hidden * 4  # h0/c0/fin/grad consts + f32 scratch
+    streams = 2 * k * b_eff * _STREAM_UNITS[(rnn_type, phase)] * hidden * itemsize
+    scalars = 8 * b_eff * hidden * 4  # h0/c0/fin/grad consts + f32 scratch
     return w + streams + scalars
+
+
+# Largest per-kernel batch.  B=64 is the validated operating point at the
+# flagship shape (H=1024): the VMEM stream model tracks reality there
+# (bwd k=4 measured 16.77 MB vs 17.8 modeled).  Above 64 the model breaks
+# down the OTHER way — Mosaic's real allocation at B=96 GRU bwd k=1 is
+# 16.61 MB against 12.98 modeled (B=96 pays padded-to-128 register/stream
+# costs), which overflows scoped VMEM and fails AOT compile.  Larger global
+# batches are therefore split into <=64-row chunks, one pallas_call each:
+# the sequential dh-chain GEMM stays at M<=64, but the off-loop dx/dW GEMMs
+# and all per-step glue still see the full batch.
+_MAX_KERNEL_BATCH = 64
+
+
+def _batch_slices(B: int):
+    """(offset, size) chunks of <= _MAX_KERNEL_BATCH rows, sizes multiple-of-8
+    where possible so every chunk keeps whole sublane groups."""
+    if B <= _MAX_KERNEL_BATCH:
+        return [(0, B)]
+    n = -(-B // _MAX_KERNEL_BATCH)
+    per = min(_MAX_KERNEL_BATCH, -(-(-(-B // n)) // 8) * 8)
+    out = []
+    off = 0
+    while off < B:
+        size = min(per, B - off)
+        out.append((off, size))
+        off += size
+    return out
 
 
 def _block_k(rnn_type: str, phase: str, T: int, hidden: int, batch: int,
@@ -471,18 +505,8 @@ def _gru_bwd_call(residuals, cotangents, reverse, interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def gru_scan(xw, w_hh, b_hh, h0, lengths, reverse=False, interpret=False):
-    """Persistent-weight GRU scan.
-
-    Args:
-      xw: (T, B, 3H) hoisted input pre-activations (x @ W_ih + b_ih).
-      w_hh: (H, 3H); b_hh: (3H,); h0: (B, H); lengths: (B,) float or int.
-      reverse: process t = T-1..0 — equivalent to
-        flip_sequences(scan(flip_sequences(x))) for length-monotone masks,
-        without the two gathers (the backward direction of a bi-RNN).
-    Returns:
-      (h_all (T, B, H), h_final (B, H)) with cells.py masking semantics.
-    """
+def _gru_scan_one(xw, w_hh, b_hh, h0, lengths, reverse=False,
+                  interpret=False):
     out, _ = _gru_fwd_res(xw, w_hh, b_hh, h0, lengths, reverse, interpret)
     return out
 
@@ -497,7 +521,37 @@ def _gru_bwd(reverse, interpret, residuals, cotangents):
     return _gru_bwd_call(residuals, cotangents, reverse, interpret)
 
 
-gru_scan.defvjp(_gru_fwd_res, _gru_bwd)
+_gru_scan_one.defvjp(_gru_fwd_res, _gru_bwd)
+
+
+def gru_scan(xw, w_hh, b_hh, h0, lengths, reverse=False, interpret=False):
+    """Persistent-weight GRU scan.
+
+    Args:
+      xw: (T, B, 3H) hoisted input pre-activations (x @ W_ih + b_ih).
+      w_hh: (H, 3H); b_hh: (3H,); h0: (B, H); lengths: (B,) float or int.
+      reverse: process t = T-1..0 — equivalent to
+        flip_sequences(scan(flip_sequences(x))) for length-monotone masks,
+        without the two gathers (the backward direction of a bi-RNN).
+    Returns:
+      (h_all (T, B, H), h_final (B, H)) with cells.py masking semantics.
+
+    Batches above _MAX_KERNEL_BATCH run as independent <=64-row kernel
+    chunks (see the constant's comment); gradients compose per chunk.
+    """
+    B = xw.shape[1]
+    slices = _batch_slices(B)
+    if len(slices) == 1:
+        return _gru_scan_one(xw, w_hh, b_hh, h0, lengths, reverse, interpret)
+    h_alls, h_fins = [], []
+    for off, size in slices:
+        ha, hf = _gru_scan_one(xw[:, off:off + size], w_hh, b_hh,
+                               h0[off:off + size], lengths[off:off + size],
+                               reverse, interpret)
+        h_alls.append(ha)
+        h_fins.append(hf)
+    return (jnp.concatenate(h_alls, axis=1),
+            jnp.concatenate(h_fins, axis=0))
 
 
 def _lstm_fwd_call(xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret):
@@ -537,10 +591,8 @@ def _lstm_fwd_call(xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def lstm_scan(xw, w_hh, b_hh, h0, c0, lengths, reverse=False,
-              interpret=False):
-    """Persistent-weight LSTM scan; see gru_scan. xw: (T, B, 4H).
-    Returns (h_all, h_final, c_final)."""
+def _lstm_scan_one(xw, w_hh, b_hh, h0, c0, lengths, reverse=False,
+                   interpret=False):
     out, _ = _lstm_fwd_res(xw, w_hh, b_hh, h0, c0, lengths, reverse,
                            interpret)
     return out
@@ -610,7 +662,29 @@ def _lstm_bwd(reverse, interpret, residuals, cotangents):
     return dxw, dw, db, dh0, dc0, jnp.zeros_like(lengths)
 
 
-lstm_scan.defvjp(_lstm_fwd_res, _lstm_bwd)
+_lstm_scan_one.defvjp(_lstm_fwd_res, _lstm_bwd)
+
+
+def lstm_scan(xw, w_hh, b_hh, h0, c0, lengths, reverse=False,
+              interpret=False):
+    """Persistent-weight LSTM scan; see gru_scan. xw: (T, B, 4H).
+    Returns (h_all, h_final, c_final).  Batch-chunked like gru_scan."""
+    B = xw.shape[1]
+    slices = _batch_slices(B)
+    if len(slices) == 1:
+        return _lstm_scan_one(xw, w_hh, b_hh, h0, c0, lengths, reverse,
+                              interpret)
+    h_alls, h_fins, c_fins = [], [], []
+    for off, size in slices:
+        ha, hf, cf = _lstm_scan_one(
+            xw[:, off:off + size], w_hh, b_hh, h0[off:off + size],
+            c0[off:off + size], lengths[off:off + size], reverse, interpret)
+        h_alls.append(ha)
+        h_fins.append(hf)
+        c_fins.append(cf)
+    return (jnp.concatenate(h_alls, axis=1),
+            jnp.concatenate(h_fins, axis=0),
+            jnp.concatenate(c_fins, axis=0))
 
 
 # ---------------------------------------------------------------------------
@@ -634,5 +708,6 @@ def supported(rnn_type: str, hidden: int, batch: int,
     18.8 MB actual vs 13.4 MB modeled, T=49 k=1 LSTM bwd)."""
     return (rnn_type in ("gru", "lstm") and hidden % 128 == 0 and batch >= 8
             and (seq_len is None or (seq_len % 8 == 0 and seq_len >= 64))
-            and _kernel_vmem(rnn_type, "bwd", hidden, batch, 1,
+            and _kernel_vmem(rnn_type, "bwd", hidden,
+                             min(batch, _MAX_KERNEL_BATCH), 1,
                              itemsize) <= _VMEM_BUDGET)

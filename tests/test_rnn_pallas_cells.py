@@ -303,3 +303,50 @@ def test_time_block_unroll_matches_xla_all_k(rnn_type, Tk):
         gx = jax.grad(loss(lambda a: xla(a, rev)))(args)
         for g_, w_ in zip(gp, gx):
             np.testing.assert_allclose(g_, w_, atol=2e-5, err_msg=f"rev={rev}")
+
+
+@pytest.mark.parametrize("rnn_type", ["gru", "lstm"])
+def test_batch_chunking_matches_unchunked(monkeypatch, rnn_type):
+    """Batches above _MAX_KERNEL_BATCH split into per-chunk kernel calls
+    (B=96 at the flagship shape overflows real scoped VMEM in one call);
+    outputs and grads must equal the single-call path exactly."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    xw = _rand(ks[0], T, B, (3 if rnn_type == "gru" else 4) * H, scale=1.0)
+    w = _rand(ks[1], H, xw.shape[-1])
+    b = _rand(ks[2], xw.shape[-1], scale=0.1)
+    h0 = _rand(ks[3], B, H)
+    c0 = _rand(ks[4], B, H)
+    lengths = _lengths()
+
+    if rnn_type == "gru":
+        args = (xw, w, b, h0)
+        fn = lambda a: rp.gru_scan(*a, lengths, False, True)
+    else:
+        args = (xw, w, b, h0, c0)
+        fn = lambda a: rp.lstm_scan(*a, lengths, False, True)
+
+    want = fn(args)
+    gw = jax.grad(lambda a: sum(jnp.sum(jnp.sin(o)) for o in fn(a)))(args)
+
+    monkeypatch.setattr(rp, "_MAX_KERNEL_BATCH", 2)
+    assert rp._batch_slices(B) == [(0, 2), (2, 2)]
+    got = fn(args)
+    gg = jax.grad(lambda a: sum(jnp.sum(jnp.sin(o)) for o in fn(a)))(args)
+    for g_, w_ in zip(got, want):
+        np.testing.assert_allclose(g_, w_, atol=1e-6)
+    for g_, w_ in zip(gg, gw):
+        np.testing.assert_allclose(g_, w_, atol=2e-5)
+
+
+def test_batch_slices_shapes():
+    assert rp._batch_slices(64) == [(0, 64)]
+    assert rp._batch_slices(96) == [(0, 48), (48, 48)]
+    assert rp._batch_slices(128) == [(0, 64), (64, 64)]
+    assert rp._batch_slices(100) == [(0, 56), (56, 44)]
+    assert rp._batch_slices(65) == [(0, 40), (40, 25)]
+    for bsz in (8, 64, 65, 96, 100, 128, 200, 256):
+        sl = rp._batch_slices(bsz)
+        assert sum(s for _, s in sl) == bsz
+        assert all(s <= rp._MAX_KERNEL_BATCH for _, s in sl)
+        assert [o for o, _ in sl] == [sum(s for _, s in sl[:i])
+                                      for i in range(len(sl))]
