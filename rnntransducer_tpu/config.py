@@ -83,6 +83,22 @@ class ModelConfig:
     prednet: PredNetConfig = field(default_factory=PredNetConfig)
     jointnet: JointNetConfig = field(default_factory=JointNetConfig)
 
+    def __post_init__(self):
+        # embedding_size is the VOCAB size (reference semantics: "number of
+        # classification", networks/decoder.py:28,69) — the prednet embeds
+        # the same label ids the joint classifies.  A table smaller than
+        # num_classes makes in-vocab ids gather out of range, which XLA
+        # fills with NaN (CPU) or clamps (TPU) instead of erroring: the
+        # symptom is NaN losses with zero diagnostics.  Fail at config
+        # construction instead.
+        if self.prednet.embedding_size < self.jointnet.num_classes:
+            raise ValueError(
+                f"prednet.embedding_size ({self.prednet.embedding_size}) < "
+                f"jointnet.num_classes ({self.jointnet.num_classes}): the "
+                "embedding table must cover every label id the joint "
+                "classifies (embedding_size is the vocab size, not the "
+                "embedding dim — reference networks/decoder.py:28)")
+
     @staticmethod
     def from_dict(d: dict) -> "ModelConfig":
         return ModelConfig(
@@ -194,6 +210,12 @@ class TrainConfig:
     # histograms are computed on device and cost one extra fwd+bwd per
     # watch step
     watch_every_steps: int = 0
+    # tensor parallelism: shard the joint classifier's vocab dim over a
+    # 'model' mesh axis of this many devices (Megatron column-parallel; the
+    # factored RNN-T loss reduces over V with one psum — parallel/mesh.py).
+    # 1 = pure data parallel. Device count must be divisible by it. The
+    # memory/FLOP lever for large-vocab (BPE) joints.
+    model_parallel: int = 1
     # raw-PCM batches: "float32" ships PCM as-is; "int16" ships peak-scaled
     # int16 + a per-utterance scale column, dequantized on device — half the
     # host->device transfer bytes at 16-bit precision (most corpora are

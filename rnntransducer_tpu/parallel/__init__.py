@@ -1,6 +1,8 @@
 from rnntransducer_tpu.parallel.mesh import (
-    DATA_AXIS, batch_sharding, make_mesh, replicate, replicated, shard_batch,
+    DATA_AXIS, MODEL_AXIS, batch_sharding, make_mesh, replicate, replicated,
+    shard_batch, shard_tree, tree_shardings,
 )
 
-__all__ = ["DATA_AXIS", "batch_sharding", "make_mesh", "replicate",
-           "replicated", "shard_batch"]
+__all__ = ["DATA_AXIS", "MODEL_AXIS", "batch_sharding", "make_mesh",
+           "replicate", "replicated", "shard_batch", "shard_tree",
+           "tree_shardings"]

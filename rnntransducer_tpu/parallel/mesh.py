@@ -1,11 +1,29 @@
 """Device mesh + sharding helpers.
 
 Capability-equivalent of the reference's NCCL/DDP layer (``train.py:4,45``,
-``scripts/run_train.sh:9``, SURVEY.md §2.2 N4) — but as a jax.sharding Mesh:
-the batch is sharded over a 1-D ``data`` axis, params are replicated, and XLA
-inserts the gradient/metric psums over ICI.  None of the reference's
-CUDA-residency workarounds (``model.py:96-103``) exist here: collectives
-compile into the step.
+``scripts/run_train.sh:9``, SURVEY.md §2.2 N4) — but as a jax.sharding Mesh,
+and extended past the reference's DP-only stance with an optional tensor-
+parallel ``model`` axis:
+
+* ``data`` axis: the batch's leading dim is sharded; params are replicated
+  across it and XLA inserts the gradient/metric psums over ICI.
+* ``model`` axis (optional, ``make_mesh(model_parallel=k)``): the joint
+  network's vocabulary dimension is sharded Megatron-column-style — the fc
+  kernel's V columns, and with them the rank factors A (B,T,V/k) and
+  C (B,U+1,V/k) that the factored RNN-T loss consumes
+  (``ops.rnnt_loss_factored``).  Every V-dependent op in that loss is a
+  reduction over V (the EA@EC^T logsumexp GEMM, the row max, the one-hot
+  label gather), so GSPMD turns each into a local GEMM + one psum over
+  ``model``; the (B,T,U+1) lattice recursion itself is V-free and runs
+  data-sharded.  This is the memory/FLOP lever for large-vocab (BPE)
+  models, where the (B,T,V)/(B,U,V) factors and the V-wide classifier
+  dominate the joint's footprint — at the reference's V=72 it is exercised
+  for correctness (tests + driver dryrun), not speed.
+
+None of the reference's CUDA-residency workarounds (``model.py:96-103``)
+exist here: collectives compile into the step.  Tensor-parallel callers must
+trace their steps under ``jax.set_mesh(mesh)`` so the loss's PartitionSpec
+constraints can bind (the Trainer and ``dryrun_multichip`` do).
 """
 
 from __future__ import annotations
@@ -17,15 +35,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
-def make_mesh(devices: Optional[Sequence] = None, axis: str = DATA_AXIS) -> Mesh:
+def make_mesh(devices: Optional[Sequence] = None, axis: str = DATA_AXIS,
+              model_parallel: int = 1) -> Mesh:
+    """1-D data mesh by default; ``model_parallel=k > 1`` returns a 2-D
+    (data, model) mesh with the trailing k devices of each group forming the
+    model axis (adjacent devices -> model axis rides the fastest ICI links)."""
     devices = list(devices if devices is not None else jax.devices())
-    return Mesh(np.asarray(devices), (axis,))
+    if model_parallel <= 1:
+        return Mesh(np.asarray(devices), (axis,))
+    if len(devices) % model_parallel:
+        raise ValueError(f"{len(devices)} devices not divisible by "
+                         f"model_parallel={model_parallel}")
+    grid = np.asarray(devices).reshape(-1, model_parallel)
+    return Mesh(grid, (axis, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading batch axis split over the data axis."""
+    """Leading batch axis split over the data axis (replicated over model)."""
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
@@ -42,3 +71,49 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     r = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel param placement
+# ---------------------------------------------------------------------------
+
+# (path-suffix, PartitionSpec) rules for the vocab-sharded joint classifier.
+# Applied to any tree that embeds the param tree (TrainState, optimizer
+# moments): suffix matching keys them off the flax module path wherever it
+# appears.  fc kernel (De+Dd, V): V columns over 'model'; fc bias (V,): same.
+_TP_RULES = (
+    (("joint", "fc", "kernel"), P(None, MODEL_AXIS)),
+    (("joint", "fc", "bias"), P(MODEL_AXIS)),
+)
+
+
+def _path_keys(path) -> tuple:
+    out = []
+    for k in path:
+        out.append(getattr(k, "key", getattr(k, "name", str(k))))
+    return tuple(str(k) for k in out)
+
+
+def tree_shardings(mesh: Mesh, tree):
+    """NamedSharding tree for ``tree``: vocab-sharded joint classifier when
+    the mesh has a 'model' axis, everything else replicated.  Works on the
+    bare param tree AND on trees that nest it (TrainState with Adam moments),
+    because the rules match on path suffix."""
+    tp = MODEL_AXIS in mesh.axis_names
+
+    def one(path, leaf):
+        if tp:
+            keys = _path_keys(path)
+            for suffix, spec in _TP_RULES:
+                if keys[-len(suffix):] == suffix and np.ndim(leaf) == len(spec):
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(one, tree)
+
+
+def shard_tree(mesh: Mesh, tree):
+    """device_put ``tree`` with ``tree_shardings`` placement — the
+    tensor-parallel counterpart of ``replicate`` (identical to it on a 1-D
+    data mesh)."""
+    return jax.tree.map(jax.device_put, tree, tree_shardings(mesh, tree))

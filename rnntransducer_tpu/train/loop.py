@@ -23,7 +23,9 @@ from rnntransducer_tpu.data import (
     DevicePrefetcher, LengthBucketSampler, collate, collate_waveforms,
 )
 from rnntransducer_tpu.decode import greedy_decode
-from rnntransducer_tpu.parallel import make_mesh, replicate
+from rnntransducer_tpu.parallel import (
+    DATA_AXIS, MODEL_AXIS, make_mesh, shard_tree,
+)
 from rnntransducer_tpu.tokenizer import GraphemeTokenizer
 from rnntransducer_tpu.train.checkpoint import CheckpointManager
 from rnntransducer_tpu.train.metrics import char_error_rate, word_error_rate
@@ -60,15 +62,22 @@ class Trainer:
         self.tokenizer = tokenizer or (
             GraphemeTokenizer.from_file(cfg.vocab_path) if cfg.vocab_path
             else GraphemeTokenizer.default(cfg.model.jointnet.num_classes))
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self.mesh = mesh if mesh is not None else make_mesh(
+            model_parallel=cfg.train.model_parallel)
         self.n_devices = len(self.mesh.devices.ravel())
+        # batches shard over the data axis only (replicated over 'model')
+        self.n_data_shards = (self.mesh.shape[DATA_AXIS]
+                              if DATA_AXIS in self.mesh.axis_names
+                              else self.n_devices)
         self.loss_backend = loss_backend
         self.logger = MetricsLogger(log_dir or cfg.train.checkpoint_dir)
         self.ckpt = CheckpointManager(cfg.train.checkpoint_dir,
                                       save_top_k=cfg.train.save_top_k)
         self.tx = make_optimizer(cfg.train)
         self.model = build_model(cfg)
-        self.state = replicate(self.mesh, TrainState.create(cfg, tx=self.tx))
+        # replicated on a 1-D data mesh; vocab-sharded joint classifier (+
+        # matching Adam moments) when the mesh carries a 'model' axis
+        self.state = shard_tree(self.mesh, TrainState.create(cfg, tx=self.tx))
         # tracing/profiling subsystem (SURVEY.md §5): jax.profiler trace of
         # steps [profile_steps) written to profile_dir when set
         self.profile_dir = profile_dir
@@ -77,9 +86,19 @@ class Trainer:
         # host-side step mirror (prefetch-thread-safe; see _host_batches)
         self._host_step = int(self.state.step)
 
+    def _mesh_context(self):
+        """jax.set_mesh over a tensor-parallel mesh (binds the loss's
+        PartitionSpec constraints, train/state.py); no-op on data-only
+        meshes so the DP trace is byte-identical to older rounds."""
+        if MODEL_AXIS in self.mesh.axis_names:
+            return jax.set_mesh(self.mesh)
+        import contextlib
+        return contextlib.nullcontext()
+
     # ------------------------------------------------------------- batching
     def _global_batch(self) -> int:
-        return (self.cfg.train.per_device_train_batch_size * self.n_devices *
+        return (self.cfg.train.per_device_train_batch_size *
+                self.n_data_shards *
                 self.cfg.train.accumulate_grad_batches)
 
     def _label_bucket_for(self, max_label_len: int) -> int:
@@ -166,6 +185,10 @@ class Trainer:
 
     # ----------------------------------------------------------------- fit
     def fit(self, resume: bool = False) -> TrainState:
+        with self._mesh_context():
+            return self._fit(resume)
+
+    def _fit(self, resume: bool = False) -> TrainState:
         cfg = self.cfg
         if resume and self.ckpt.latest_step() is not None:
             self.state = self.ckpt.restore(self.state)
@@ -323,12 +346,18 @@ class Trainer:
         return out
 
     def _evaluate(self, dataset, max_batches: Optional[int] = None) -> dict:
+        with self._mesh_context():
+            return self._evaluate_inner(dataset, max_batches)
+
+    def _evaluate_inner(self, dataset,
+                        max_batches: Optional[int] = None) -> dict:
         cfg = self.cfg
         losses, preds, refs = [], [], []
         n = 0
         for batch, n_valid in self._host_batches(
                 dataset, epoch=0,
-                batch_size=cfg.train.per_device_eval_batch_size * self.n_devices,
+                batch_size=(cfg.train.per_device_eval_batch_size *
+                            self.n_data_shards),
                 shuffle=False, with_counts=True):
             # shard over the data mesh like training (unsharded device_put
             # would replicate the whole eval batch on every device)

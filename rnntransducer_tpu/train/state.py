@@ -75,6 +75,27 @@ def dequantize_wav(batch):
     return wav
 
 
+def _constrain_vocab_sharded(A, C):
+    """Pin the rank factors' vocab axis to the mesh's 'model' axis when the
+    step is traced under a tensor-parallel mesh (``jax.set_mesh``; see
+    parallel/mesh.py).  The joint fc kernel's V columns are sharded over
+    'model', so without the constraint GSPMD may instead all-gather the
+    kernel and replicate A/C — correct but defeating the sharding.  Every
+    V-dependent op downstream (ops.rnnt_loss_factored) is a reduction over
+    V, so pinning V here yields local GEMMs + one psum over 'model'.
+    No-op (identity) off tensor-parallel meshes."""
+    from jax.sharding import PartitionSpec as P, get_abstract_mesh
+    from rnntransducer_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    mesh = get_abstract_mesh()
+    if mesh is None or MODEL_AXIS not in getattr(mesh, "axis_names", ()):
+        return A, C
+    data = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
+    spec = P(data, None, MODEL_AXIS)
+    return (jax.lax.with_sharding_constraint(A, spec),
+            jax.lax.with_sharding_constraint(C, spec))
+
+
 def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
             deterministic: bool, loss_backend: str = "auto",
             reduction: str = "mean"):
@@ -125,6 +146,7 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
                          deterministic=deterministic, rngs=rngs,
                          method=m.predict)
         A, C = m.apply(variables, enc, dec, method=m.joint_factors)
+        A, C = _constrain_vocab_sharded(A, C)
         loss = rnnt_loss_factored(A, C, batch["targets"], feat_lengths,
                                   batch["target_lengths"], blank=blank,
                                   reduction=reduction, backend=loss_backend)

@@ -149,3 +149,18 @@ def test_config_json_round_trip_stays_hashable(tmp_path):
     back = Config.from_json(path)
     assert hash(back) == hash(cfg)
     assert back == cfg
+
+
+def test_embedding_smaller_than_vocab_rejected():
+    """embedding_size is the VOCAB size (reference decoder.py:28,69); a
+    table smaller than num_classes used to NaN silently via out-of-range
+    gathers — it must fail at config construction instead."""
+    import pytest
+
+    from rnntransducer_tpu.config import (
+        JointNetConfig, ModelConfig, PredNetConfig,
+    )
+
+    with pytest.raises(ValueError, match="embedding_size"):
+        ModelConfig(prednet=PredNetConfig(embedding_size=16),
+                    jointnet=JointNetConfig(num_classes=72))
