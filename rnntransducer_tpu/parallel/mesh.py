@@ -50,6 +50,19 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = DATA_AXIS,
         raise ValueError(f"{len(devices)} devices not divisible by "
                          f"model_parallel={model_parallel}")
     grid = np.asarray(devices).reshape(-1, model_parallel)
+    if jax.process_count() > 1:
+        # The model axis must stay intra-process: the input pipeline slices
+        # the global batch by process (loop.py idxs[pi::pc]), which assumes
+        # every process owns exactly one data shard — a model axis spanning
+        # processes would hand two processes the same data shard.  (It is
+        # also the right perf choice: the V psum rides intra-host ICI.)
+        for row in grid:
+            owners = {d.process_index for d in row}
+            if len(owners) > 1:
+                raise ValueError(
+                    f"model_parallel={model_parallel} exceeds the "
+                    "per-process device count: the model axis would span "
+                    "processes; shard the vocab only across local devices")
     return Mesh(grid, (axis, MODEL_AXIS))
 
 

@@ -117,4 +117,31 @@ for i, (gb, ref) in enumerate(zip(itertools.islice(prefetch, 3),
     assert np.isfinite(loss), loss
     print(f"LOCKSTEP batch {i} loss {loss:.6f}", flush=True)
 
+# ---- tensor parallel across hosts: (data=2 over processes, model=2 local) --
+# The vocab psum rides intra-process devices; the data axis spans processes.
+import dataclasses
+
+from jax.sharding import PartitionSpec as P
+
+from rnntransducer_tpu.parallel import MODEL_AXIS
+
+cfg_tp = dataclasses.replace(cfg, train=dataclasses.replace(
+    cfg.train, model_parallel=2, checkpoint_dir=ckpt_dir + "_tp"))
+trainer_tp = Trainer(cfg_tp, ds)
+assert trainer_tp.mesh.axis_names == ("data", "model")
+assert trainer_tp.n_data_shards == 2
+assert trainer_tp._global_batch() == 4  # 2 per device * 2 data shards
+k = trainer_tp.state.params["joint"]["fc"]["kernel"]
+assert k.sharding.spec == P(None, MODEL_AXIS), k.sharding
+gb_tp = next(iter(DevicePrefetcher(
+    trainer_tp._host_batches(ds, 0, trainer_tp._global_batch()),
+    mesh=trainer_tp.mesh)))
+with trainer_tp._mesh_context():
+    st_tp, m_tp = train_step(cfg_tp, trainer_tp.tx, trainer_tp.state, gb_tp)
+loss_tp = float(m_tp["loss"])
+assert np.isfinite(loss_tp), loss_tp
+assert st_tp.params["joint"]["fc"]["kernel"].sharding.spec == \
+    P(None, MODEL_AXIS)
+print(f"LOCKSTEP tp loss {loss_tp:.6f}", flush=True)
+
 print("WORKER_OK", flush=True)

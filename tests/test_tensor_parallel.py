@@ -181,3 +181,27 @@ def test_trainer_fit_model_parallel(tmp_path):
     val = trainer.validate(max_batches=1)
     assert np.isfinite(val["val_loss"])
     trainer.ckpt.close()
+
+
+def test_model_axis_must_stay_intra_process(monkeypatch):
+    """A model axis spanning processes would hand two processes the same
+    data shard (loop.py slices the host batch by process) — make_mesh must
+    reject it before anything deadlocks."""
+    import pytest
+
+    class FakeDev:
+        def __init__(self, pi):
+            self.process_index = pi
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="span"):
+        make_mesh([FakeDev(0), FakeDev(1)], model_parallel=2)
+    # intra-process rows are fine (guard passes; Mesh() itself may reject
+    # fakes, so only assert the guard does not trip)
+    try:
+        make_mesh([FakeDev(0), FakeDev(0), FakeDev(1), FakeDev(1)],
+                  model_parallel=2)
+    except ValueError as e:
+        assert "span" not in str(e)
+    except TypeError:
+        pass  # jax Mesh rejecting the fake devices is acceptable

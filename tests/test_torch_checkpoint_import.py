@@ -212,7 +212,10 @@ def test_shape_mismatch_raises():
         transnet=TransNetConfig(input_size=8, hidden_size=16, output_size=12,
                                 num_layers=3, rnn_type="gru", dropout=0.0,
                                 bidirectional=True, scan_layers=True),
-        prednet=PredNetConfig(embedding_size=V, hidden_size=16,
+        # self-consistent (embedding covers num_classes — ModelConfig
+        # validates that at construction now) but one class larger than the
+        # checkpoint's vocab: the importer's joint-fc shape check must fire
+        prednet=PredNetConfig(embedding_size=V + 1, hidden_size=16,
                               output_size=12, num_layers=2, rnn_type="lstm",
                               dropout=0.0),
         jointnet=JointNetConfig(num_classes=V + 1))
