@@ -59,6 +59,9 @@ _SLOW_TESTS = {
     "test_convert_to_orbax_roundtrip",
     "test_streaming_beam_lm_matches_offline_beam_lm",
     "test_streaming_socket_server_lm_fusion",
+    "test_trainer_fit_model_parallel",
+    "test_checkpoint_cross_topology_dp_to_tp",
+    "test_tensor_parallel_train_step_matches_single",
 }
 
 
