@@ -216,6 +216,13 @@ class TrainConfig:
     # 1 = pure data parallel. Device count must be divisible by it. The
     # memory/FLOP lever for large-vocab (BPE) joints.
     model_parallel: int = 1
+    # ZeRO-1: shard the Adam moments (mu/nu, 2x params fp32) over the 'data'
+    # mesh axis instead of replicating them. Params stay replicated; each
+    # data shard updates its 1/N slice of the moments and GSPMD all-gathers
+    # the param delta — same step math bit-for-bit, optimizer memory
+    # divided by the data-parallel width (parallel/mesh.py). The reference
+    # has no analogue (DDP replicates optimizer state, train.py:45).
+    shard_optimizer_state: bool = False
     # raw-PCM batches: "float32" ships PCM as-is; "int16" ships peak-scaled
     # int16 + a per-utterance scale column, dequantized on device — half the
     # host->device transfer bytes at 16-bit precision (most corpora are

@@ -1,8 +1,8 @@
 from rnntransducer_tpu.parallel.mesh import (
-    DATA_AXIS, MODEL_AXIS, batch_sharding, make_mesh, replicate, replicated,
-    shard_batch, shard_tree, tree_shardings,
+    DATA_AXIS, MODEL_AXIS, batch_sharding, constrain_state, make_mesh,
+    replicate, replicated, shard_batch, shard_tree, tree_shardings,
 )
 
-__all__ = ["DATA_AXIS", "MODEL_AXIS", "batch_sharding", "make_mesh",
-           "replicate", "replicated", "shard_batch", "shard_tree",
-           "tree_shardings"]
+__all__ = ["DATA_AXIS", "MODEL_AXIS", "batch_sharding", "constrain_state",
+           "make_mesh", "replicate", "replicated", "shard_batch",
+           "shard_tree", "tree_shardings"]

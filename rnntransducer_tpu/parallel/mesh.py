@@ -107,26 +107,131 @@ def _path_keys(path) -> tuple:
     return tuple(str(k) for k in out)
 
 
-def tree_shardings(mesh: Mesh, tree):
+def _tp_spec(keys: tuple, ndim: int, tp: bool):
+    """TP suffix rule for this leaf, else fully-replicated P()."""
+    if tp:
+        for suffix, spec in _TP_RULES:
+            if keys[-len(suffix):] == suffix and ndim == len(spec):
+                return spec
+    return P()
+
+
+def _is_adam_moment(keys: tuple) -> bool:
+    """True for leaves of the Adam mu/nu trees inside a TrainState-shaped
+    tree (path: opt_state -> <chain idx> -> mu|nu -> <param path>)."""
+    return bool(keys) and keys[0] == "opt_state" and (
+        "mu" in keys or "nu" in keys)
+
+
+def _zero_spec(spec, shape: tuple, data_n: int):
+    """Add DATA_AXIS to ``spec`` on the largest free dim divisible by the
+    data-axis width (ZeRO-1 moment placement). Leaves whose dims don't
+    divide stay as-is — correctness never depends on a leaf being sharded."""
+    used = list(spec) + [None] * (len(shape) - len(spec))
+    best = None
+    for i, d in enumerate(shape):
+        if used[i] is None and d % data_n == 0 and d > 0:
+            if best is None or d > shape[best]:
+                best = i
+    if best is None:
+        return spec
+    used[best] = DATA_AXIS
+    return P(*used)
+
+
+def _leaf_spec(path, leaf, tp: bool, zero_data_n: int):
+    """Canonical PartitionSpec for one leaf of a TrainState-shaped tree (or
+    any tree that embeds the param tree): TP suffix rules for the
+    vocab-sharded joint classifier wherever the param path appears, plus —
+    when ``zero_data_n > 1`` — the Adam mu/nu moments split over 'data'
+    (ZeRO-1: optimizer memory / data-parallel width; params replicated).
+
+    TP-ruled moments keep the pure TP placement (no extra 'data' split):
+    they are already divided model_parallel-fold alongside their param, the
+    extra factor is negligible, and the 2-D (data, model) moment resharding
+    it would force emits independent collective-permutes whose cross-
+    partition ordering races in jaxlib's in-process CPU collective runtime
+    (observed as a flaky 8-way rendezvous deadlock on the virtual mesh)."""
+    keys = _path_keys(path)
+    spec = _tp_spec(keys, np.ndim(leaf), tp)
+    if (zero_data_n > 1 and spec == P() and _is_adam_moment(keys)
+            and np.ndim(leaf) >= 1
+            and np.issubdtype(np.dtype(leaf.dtype), np.floating)):
+        spec = _zero_spec(spec, np.shape(leaf), zero_data_n)
+    return spec
+
+
+def tree_shardings(mesh: Mesh, tree, shard_opt_over_data: bool = False):
     """NamedSharding tree for ``tree``: vocab-sharded joint classifier when
-    the mesh has a 'model' axis, everything else replicated.  Works on the
-    bare param tree AND on trees that nest it (TrainState with Adam moments),
-    because the rules match on path suffix."""
+    the mesh has a 'model' axis, Adam moments split over 'data' when
+    ``shard_opt_over_data`` (ZeRO-1), everything else replicated.  Works on
+    the bare param tree AND on trees that nest it (TrainState with Adam
+    moments), because the rules match on path suffix."""
     tp = MODEL_AXIS in mesh.axis_names
+    data_n = (mesh.shape[DATA_AXIS] if DATA_AXIS in mesh.axis_names else 1)
+    zero_n = data_n if shard_opt_over_data else 1
 
     def one(path, leaf):
-        if tp:
-            keys = _path_keys(path)
-            for suffix, spec in _TP_RULES:
-                if keys[-len(suffix):] == suffix and np.ndim(leaf) == len(spec):
-                    return NamedSharding(mesh, spec)
-        return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _leaf_spec(path, leaf, tp, zero_n))
 
     return jax.tree_util.tree_map_with_path(one, tree)
 
 
-def shard_tree(mesh: Mesh, tree):
+def shard_tree(mesh: Mesh, tree, shard_opt_over_data: bool = False):
     """device_put ``tree`` with ``tree_shardings`` placement — the
     tensor-parallel counterpart of ``replicate`` (identical to it on a 1-D
-    data mesh)."""
-    return jax.tree.map(jax.device_put, tree, tree_shardings(mesh, tree))
+    data mesh unless ZeRO moment sharding is requested)."""
+    return jax.tree.map(jax.device_put, tree,
+                        tree_shardings(mesh, tree, shard_opt_over_data))
+
+
+def constrain_replicated(tree):
+    """Pin every array leaf of ``tree`` fully-replicated inside a jitted
+    computation traced under ``jax.set_mesh`` (no-op otherwise).
+
+    Used on the gradients between autodiff and the optimizer update when the
+    Adam moments are ZeRO-sharded: without the pin, GSPMD propagates the
+    moments' 'data' sharding backward through the gradient graph INTO the
+    RNN backward scans, materializing per-timestep collective-permutes
+    inside the while-loop bodies — catastrophic for the sequential scans on
+    any backend, and a deadlock on jaxlib's in-process CPU collective
+    runtime where two independent backward scans race their permutes.  The
+    pin makes the backward identical to the replicated-optimizer program
+    (batch-sharded compute + one final grad reduction); the
+    replicated->sharded moment transition is then a local slice."""
+    from jax.sharding import get_abstract_mesh
+
+    mesh = get_abstract_mesh()
+    if mesh is None or not tuple(getattr(mesh, "axis_names", ()) or ()):
+        return tree
+    return jax.tree.map(
+        lambda x: (x if np.ndim(x) == 0
+                   else jax.lax.with_sharding_constraint(x, P())), tree)
+
+
+def constrain_state(state, shard_opt_over_data: bool = False):
+    """Pin a TrainState's leaves to their canonical shardings inside a jitted
+    step traced under ``jax.set_mesh``: params replicated (or TP-sharded per
+    the suffix rules), Adam moments ZeRO-split over 'data' when requested.
+    Without the pin GSPMD may legally all-gather the moments back to
+    replicated (correct but defeating the memory split) or leave the fresh
+    params sharded (surprising eval/decode callers that expect replicated
+    params).  No-op when no mesh is set (single-device / plain-DP traces are
+    byte-identical to older rounds)."""
+    from jax.sharding import get_abstract_mesh
+
+    mesh = get_abstract_mesh()
+    names = tuple(getattr(mesh, "axis_names", ()) or ())
+    if mesh is None or not names:
+        return state
+    tp = MODEL_AXIS in names
+    data_n = mesh.shape[DATA_AXIS] if DATA_AXIS in names else 1
+    zero_n = data_n if shard_opt_over_data else 1
+
+    def one(path, leaf):
+        if np.ndim(leaf) == 0:
+            return leaf  # scalars (step counter, schedule count)
+        return jax.lax.with_sharding_constraint(
+            leaf, _leaf_spec(path, leaf, tp, zero_n))
+
+    return jax.tree_util.tree_map_with_path(one, state)

@@ -76,8 +76,16 @@ class Trainer:
         self.tx = make_optimizer(cfg.train)
         self.model = build_model(cfg)
         # replicated on a 1-D data mesh; vocab-sharded joint classifier (+
-        # matching Adam moments) when the mesh carries a 'model' axis
-        self.state = shard_tree(self.mesh, TrainState.create(cfg, tx=self.tx))
+        # matching Adam moments) when the mesh carries a 'model' axis; Adam
+        # moments ZeRO-1-split over 'data' when shard_optimizer_state
+        if (cfg.train.shard_optimizer_state and jax.process_count() > 1):
+            raise ValueError(
+                "shard_optimizer_state is supported single-process "
+                "(multi-device) only: a multi-host ZeRO save/restore path "
+                "is not validated here. Drop the flag or run single-host.")
+        self.state = shard_tree(
+            self.mesh, TrainState.create(cfg, tx=self.tx),
+            shard_opt_over_data=cfg.train.shard_optimizer_state)
         # tracing/profiling subsystem (SURVEY.md §5): jax.profiler trace of
         # steps [profile_steps) written to profile_dir when set
         self.profile_dir = profile_dir
@@ -88,9 +96,12 @@ class Trainer:
 
     def _mesh_context(self):
         """jax.set_mesh over a tensor-parallel mesh (binds the loss's
-        PartitionSpec constraints, train/state.py); no-op on data-only
-        meshes so the DP trace is byte-identical to older rounds."""
-        if MODEL_AXIS in self.mesh.axis_names:
+        PartitionSpec constraints, train/state.py) and over any mesh when
+        the Adam moments are ZeRO-sharded (binds constrain_state's pins);
+        no-op otherwise so the plain-DP trace is byte-identical to older
+        rounds."""
+        if (MODEL_AXIS in self.mesh.axis_names
+                or self.cfg.train.shard_optimizer_state):
             return jax.set_mesh(self.mesh)
         import contextlib
         return contextlib.nullcontext()

@@ -221,6 +221,13 @@ def train_step(cfg: Config, tx, state: TrainState, batch,
         grads = jax.tree.map(lambda g: g / accum, grads)
 
     grads = _cast(grads, jnp.float32)
+    if cfg.train.shard_optimizer_state:
+        # sharding barrier: without it GSPMD propagates the ZeRO moments'
+        # 'data' placement backward into the RNN backward scans (per-step
+        # collective-permutes inside the while bodies — see
+        # parallel/mesh.py:constrain_replicated)
+        from rnntransducer_tpu.parallel.mesh import constrain_replicated
+        grads = constrain_replicated(grads)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     grad_norm = optax.global_norm(grads)
@@ -235,6 +242,14 @@ def train_step(cfg: Config, tx, state: TrainState, batch,
         new_opt = keep(new_opt, state.opt_state)
     new_state = state.replace(step=state.step + 1, params=new_params,
                               opt_state=new_opt)
+    if cfg.train.shard_optimizer_state:
+        # ZeRO-1: pin the output state's placement (params replicated /
+        # TP-sharded, Adam moments split over 'data') so GSPMD keeps each
+        # data shard updating its 1/N moment slice instead of legally
+        # all-gathering the moments back to replicated. No-op unless the
+        # step is traced under jax.set_mesh (Trainer._mesh_context).
+        from rnntransducer_tpu.parallel.mesh import constrain_state
+        new_state = constrain_state(new_state, shard_opt_over_data=True)
     metrics = {"loss": loss, "grad_norm": grad_norm,
                "nonfinite_grad": nonfinite.astype(jnp.int32)}
     return new_state, metrics

@@ -34,6 +34,10 @@ _SLOW_TESTS = {
     "test_near_optimal_vs_exhaustive",
     "test_dryrun_multichip_reexec_from_one_device",
     "test_dryrun_multichip_direct",
+    "test_zero_step_matches_replicated",
+    "test_zero_composes_with_tp_and_accum",
+    "test_zero_checkpoint_roundtrip",
+    "test_trainer_fit_with_zero_sharding",
     "test_dropout_config_trains",
     "test_beam_finds_high_probability_sequences",
     "test_scan_layers_matches_loop_layers",

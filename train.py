@@ -50,6 +50,10 @@ def parse_args():
     p.add_argument("--model_parallel", type=int, default=None,
                    help="shard the joint classifier's vocab dim over a "
                         "'model' mesh axis of N devices (1 = pure DP)")
+    p.add_argument("--shard_optimizer_state", action="store_true",
+                   default=None,
+                   help="ZeRO-1: split the Adam moments over the data axis "
+                        "(optimizer memory / DP width; single-host)")
     p.add_argument("--precision", type=str, default=None,
                    choices=["bf16", "fp32"])
     p.add_argument("--seed", type=int, default=None)
@@ -80,7 +84,8 @@ def build_config(args) -> Config:
     overrides = {k: getattr(args, k) for k in (
         "learning_rate", "weight_decay", "warmup_ratio", "max_steps",
         "per_device_train_batch_size", "per_device_eval_batch_size",
-        "accumulate_grad_batches", "model_parallel", "precision", "seed",
+        "accumulate_grad_batches", "model_parallel",
+        "shard_optimizer_state", "precision", "seed",
         "val_every_steps", "log_every_steps", "watch_every_steps",
         "checkpoint_dir") if getattr(args, k) is not None}
     train = dataclasses.replace(cfg.train, **overrides)
