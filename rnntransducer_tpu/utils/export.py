@@ -1,0 +1,288 @@
+"""Deployment bundles: serialized transcription programs via ``jax.export``.
+
+The reference's only deployment artifact is a Lightning ``.ckpt`` that needs
+the full model code to run (``/root/reference/inference.py:19-25``).  Here a
+trained model additionally exports to a **self-contained bundle**: one
+serialized StableHLO program per shape bucket (params baked in as constants)
+plus the vocab and a manifest.  Loading the bundle needs jax but NOT this
+package's model code — the artifact a serving fleet pins and ships.
+
+Design notes (TPU-first, per docs/DESIGN.md):
+
+* One program per (batch, frames) bucket — the same static-shape bucketing
+  the training/serving paths use; the loader pads into the smallest
+  covering bucket.
+* Programs are exported for BOTH cpu and tpu platforms by default
+  (``jax.export`` multi-platform lowering), so one artifact serves both a
+  CPU canary and the TPU fleet.
+* The traced program uses the portable XLA path for the recurrent scans
+  (``use_pallas_cells="off"``): a Pallas kernel baked into the artifact
+  would pin it to one TPU generation and break the cpu lowering.  Greedy
+  transcription is dispatch/latency-bound, so the portable scan is the
+  right trade for a frozen artifact; peak-throughput serving should use the
+  live ``serve.Recognizer`` instead.
+* ``input_kind="wav"`` bakes the log-mel frontend into the program (raw
+  16 kHz PCM in, token ids out — zero preprocessing at the serving edge);
+  ``"logmel"`` exports from precomputed features.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rnntransducer_tpu.config import Config
+from rnntransducer_tpu.tokenizer import GraphemeTokenizer, compose_jamo
+
+BUNDLE_MANIFEST = "bundle.json"
+_FORMAT_VERSION = 1
+
+
+def _portable_cfg(cfg: Config) -> Config:
+    m = cfg.model
+    m = dataclasses.replace(
+        m,
+        transnet=dataclasses.replace(m.transnet, use_pallas_cells="off"),
+        prednet=dataclasses.replace(m.prednet, use_pallas_cells="off"))
+    return dataclasses.replace(cfg, model=m)
+
+
+def _program_name(batch: int, frames: int) -> str:
+    return f"greedy_b{batch}_t{frames}.jaxexp"
+
+
+def export_transcriber(cfg: Config, params, out_dir: str, *,
+                       tokenizer: Optional[GraphemeTokenizer] = None,
+                       batch: int = 1,
+                       frame_buckets: Sequence[int] = (256, 512, 1024),
+                       input_kind: str = "wav",
+                       platforms: Sequence[str] = ("cpu", "tpu"),
+                       max_symbols: int = 3,
+                       max_output_len: int = 256) -> str:
+    """Export greedy transcription programs for every frame bucket into
+    ``out_dir`` (created).  Returns ``out_dir``.
+
+    Each program maps ``(wav (B,S) f32, wav_lengths (B,) i32)`` (or
+    ``(feats (B,T,n_mels) f32, feat_lengths)`` for ``input_kind="logmel"``)
+    to ``(tokens (B, max_output_len) i32 blank-padded, lengths (B,) i32)``.
+    """
+    from jax import export as jexport
+
+    from rnntransducer_tpu.decode.greedy import greedy_decode
+    from rnntransducer_tpu.frontend import LogMelFrontend
+    from rnntransducer_tpu.train import build_model
+
+    if input_kind not in ("wav", "logmel"):
+        raise ValueError(f"input_kind must be 'wav' or 'logmel', "
+                         f"got {input_kind!r}")
+    cfg = _portable_cfg(cfg)
+    model = build_model(cfg)
+    blank = cfg.data.text.pad_token_id
+    hop = cfg.data.audio.hop_length
+    variables = {"params": params}
+    os.makedirs(out_dir, exist_ok=True)
+
+    programs = []
+    for frames in sorted(set(int(t) for t in frame_buckets)):
+        if input_kind == "wav":
+            samples = (frames - 1) * hop
+
+            def fn(wav, wav_lengths):
+                feats, feat_lengths = LogMelFrontend(cfg.data.audio)(
+                    wav, wav_lengths)
+                return greedy_decode(model, variables, feats, feat_lengths,
+                                     blank_id=blank, max_symbols=max_symbols,
+                                     max_output_len=max_output_len)
+
+            args = (jax.ShapeDtypeStruct((batch, samples), jnp.float32),
+                    jax.ShapeDtypeStruct((batch,), jnp.int32))
+        else:
+            def fn(feats, feat_lengths):
+                return greedy_decode(model, variables, feats, feat_lengths,
+                                     blank_id=blank, max_symbols=max_symbols,
+                                     max_output_len=max_output_len)
+
+            args = (jax.ShapeDtypeStruct((batch, frames, cfg.data.audio.n_mels),
+                                         jnp.float32),
+                    jax.ShapeDtypeStruct((batch,), jnp.int32))
+        exp = jexport.export(jax.jit(fn), platforms=list(platforms))(*args)
+        name = _program_name(batch, frames)
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exp.serialize())
+        programs.append({"frames": frames, "file": name})
+
+    tok = tokenizer or GraphemeTokenizer.default(
+        cfg.model.jointnet.num_classes)
+    tok.save(os.path.join(out_dir, "vocab.json"))
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "input_kind": input_kind,
+        "batch": batch,
+        "programs": programs,
+        "platforms": list(platforms),
+        "sample_rate": cfg.data.audio.sample_rate,
+        "hop_length": hop,
+        "n_mels": cfg.data.audio.n_mels,
+        "blank_id": blank,
+        "max_output_len": max_output_len,
+        "max_symbols": max_symbols,
+    }
+    with open(os.path.join(out_dir, BUNDLE_MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return out_dir
+
+
+def export_transcriber_from_checkpoint(checkpoint_dir: str, out_dir: str,
+                                       step: Optional[int] = None,
+                                       vocab_path: Optional[str] = None,
+                                       **kw) -> str:
+    """Bundle-export straight from an Orbax checkpoint directory (the
+    counterpart of ``serve.Recognizer.from_checkpoint``)."""
+    from rnntransducer_tpu.serve import _load_tokenizer
+    from rnntransducer_tpu.train import (
+        CheckpointManager, TrainState, load_config,
+    )
+
+    cfg = load_config(checkpoint_dir)
+    mgr = CheckpointManager(checkpoint_dir, save_top_k=cfg.train.save_top_k)
+    step = step if step is not None else mgr.best_or_latest_step()
+    template = jax.eval_shape(lambda: TrainState.create(cfg))
+    state = mgr.restore(template, step=step)
+    mgr.close()
+    return export_transcriber(cfg, state.params, out_dir,
+                              tokenizer=_load_tokenizer(cfg, vocab_path), **kw)
+
+
+class ExportedTranscriber:
+    """Run a bundle written by :func:`export_transcriber`.
+
+    Needs only jax + the bundle directory — no model code, no checkpoint.
+    Picks the smallest bucket covering each input, pads, executes the
+    deserialized program on the current default backend, and decodes token
+    ids to text with the bundled vocab.
+    """
+
+    def __init__(self, bundle_dir: str):
+        with open(os.path.join(bundle_dir, BUNDLE_MANIFEST)) as f:
+            self.manifest = json.load(f)
+        if self.manifest.get("format_version") != _FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported bundle format {self.manifest.get('format_version')}")
+        self.dir = bundle_dir
+        self.tokenizer = GraphemeTokenizer.from_file(
+            os.path.join(bundle_dir, "vocab.json"))
+        self._programs = {}  # frames -> callable (lazy deserialize)
+
+    # ------------------------------------------------------------------
+    @property
+    def batch(self) -> int:
+        return int(self.manifest["batch"])
+
+    def _bucket_for(self, frames_needed: int) -> int:
+        buckets = sorted(p["frames"] for p in self.manifest["programs"])
+        for b in buckets:
+            if frames_needed <= b:
+                return b
+        raise ValueError(
+            f"input needs {frames_needed} frames; largest exported bucket "
+            f"is {buckets[-1]} (re-export with a bigger frame bucket)")
+
+    def _program(self, frames: int):
+        if frames not in self._programs:
+            from jax import export as jexport
+            name = _program_name(self.batch, frames)
+            with open(os.path.join(self.dir, name), "rb") as f:
+                exp = jexport.deserialize(bytearray(f.read()))
+            self._programs[frames] = jax.jit(exp.call)
+        return self._programs[frames]
+
+    # ------------------------------------------------------------------
+    def transcribe_tokens(self, inputs, lengths) -> Tuple[np.ndarray, np.ndarray]:
+        """Raw program call: blank-padded token ids + counts for a full
+        batch already padded to an exported bucket shape."""
+        fn = self._program(self._frames_of(inputs))
+        toks, n = fn(inputs, lengths)
+        return np.asarray(toks), np.asarray(n)
+
+    def _frames_of(self, inputs) -> int:
+        if self.manifest["input_kind"] == "wav":
+            return inputs.shape[1] // self.manifest["hop_length"] + 1
+        return inputs.shape[1]
+
+    def transcribe_batch(self, wavs: Sequence[np.ndarray],
+                         compose_hangul: bool = True) -> list:
+        """wavs: float32 PCM arrays at the bundle's sample rate (or feature
+        matrices (T, n_mels) for logmel bundles).  Any count: processed in
+        bundle-batch groups.  Returns transcripts."""
+        kind = self.manifest["input_kind"]
+        hop = self.manifest["hop_length"]
+        out = []
+        B = self.batch
+        for g in range(0, len(wavs), B):
+            group = [np.asarray(w) for w in wavs[g:g + B]]
+            lens = [len(w) if kind == "wav" else w.shape[0] for w in group]
+            if kind == "wav":
+                frames = self._bucket_for(max(lens) // hop + 1)
+                width = (frames - 1) * hop
+                batch = np.zeros((B, width), np.float32)
+                for i, w in enumerate(group):
+                    batch[i, :min(len(w), width)] = w[:width]
+                lengths = np.asarray(
+                    [min(l, width) for l in lens] + [1] * (B - len(group)),
+                    np.int32)
+            else:
+                frames = self._bucket_for(max(lens))
+                batch = np.zeros((B, frames, self.manifest["n_mels"]),
+                                 np.float32)
+                for i, w in enumerate(group):
+                    batch[i, :min(w.shape[0], frames)] = w[:frames]
+                lengths = np.asarray(
+                    [min(l, frames) for l in lens] + [1] * (B - len(group)),
+                    np.int32)
+            toks, n = self.transcribe_tokens(batch, lengths)
+            for i in range(len(group)):
+                ids = toks[i, :n[i]].tolist()
+                text = self.tokenizer.decode(ids, group_tokens=False)
+                out.append(compose_jamo(text) if compose_hangul else text)
+        return out
+
+    def transcribe(self, wav: np.ndarray, **kw) -> str:
+        return self.transcribe_batch([wav], **kw)[0]
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Export a trained checkpoint as a self-contained "
+                    "jax.export deployment bundle (serialized StableHLO "
+                    "greedy-transcription programs + vocab).")
+    ap.add_argument("--checkpoint_dir", required=True)
+    ap.add_argument("--out_dir", required=True)
+    ap.add_argument("--step", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--frame_buckets", type=int, nargs="+",
+                    default=[256, 512, 1024])
+    ap.add_argument("--input_kind", choices=["wav", "logmel"], default="wav")
+    ap.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
+    ap.add_argument("--max_output_len", type=int, default=256)
+    ap.add_argument("--vocab_path", default=None)
+    args = ap.parse_args(argv)
+    out = export_transcriber_from_checkpoint(
+        args.checkpoint_dir, args.out_dir, step=args.step,
+        vocab_path=args.vocab_path, batch=args.batch,
+        frame_buckets=tuple(args.frame_buckets), input_kind=args.input_kind,
+        platforms=tuple(args.platforms),
+        max_output_len=args.max_output_len)
+    print(f"exported bundle: {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,9 @@ _SLOW_TESTS = {
     "test_zero_composes_with_tp_and_accum",
     "test_zero_checkpoint_roundtrip",
     "test_trainer_fit_with_zero_sharding",
+    "test_logmel_bundle_roundtrip",
+    "test_wav_bundle_matches_live_frontend_decode",
+    "test_multiplatform_export_serializes",
     "test_dropout_config_trains",
     "test_beam_finds_high_probability_sequences",
     "test_scan_layers_matches_loop_layers",
