@@ -54,8 +54,8 @@ def _portable_cfg(cfg: Config) -> Config:
     return dataclasses.replace(cfg, model=m)
 
 
-def _program_name(batch: int, frames: int) -> str:
-    return f"greedy_b{batch}_t{frames}.jaxexp"
+def _program_name(decoder: str, batch: int, frames: int) -> str:
+    return f"{decoder}_b{batch}_t{frames}.jaxexp"
 
 
 def export_transcriber(cfg: Config, params, out_dir: str, *,
@@ -63,18 +63,24 @@ def export_transcriber(cfg: Config, params, out_dir: str, *,
                        batch: int = 1,
                        frame_buckets: Sequence[int] = (256, 512, 1024),
                        input_kind: str = "wav",
+                       decoder: str = "greedy",
+                       beam_width: int = 4,
                        platforms: Sequence[str] = ("cpu", "tpu"),
                        max_symbols: int = 3,
                        max_output_len: int = 256) -> str:
-    """Export greedy transcription programs for every frame bucket into
+    """Export transcription programs for every frame bucket into
     ``out_dir`` (created).  Returns ``out_dir``.
 
     Each program maps ``(wav (B,S) f32, wav_lengths (B,) i32)`` (or
     ``(feats (B,T,n_mels) f32, feat_lengths)`` for ``input_kind="logmel"``)
     to ``(tokens (B, max_output_len) i32 blank-padded, lengths (B,) i32)``.
+    ``decoder="beam"`` bakes the device-batched beam (decode/beam_batched.py,
+    width ``beam_width``, length-normalized) and emits its best hypothesis —
+    same program interface as greedy, so bundles are drop-in swappable.
     """
     from jax import export as jexport
 
+    from rnntransducer_tpu.decode.beam_batched import batched_beam_decode
     from rnntransducer_tpu.decode.greedy import greedy_decode
     from rnntransducer_tpu.frontend import LogMelFrontend
     from rnntransducer_tpu.train import build_model
@@ -82,12 +88,25 @@ def export_transcriber(cfg: Config, params, out_dir: str, *,
     if input_kind not in ("wav", "logmel"):
         raise ValueError(f"input_kind must be 'wav' or 'logmel', "
                          f"got {input_kind!r}")
+    if decoder not in ("greedy", "beam"):
+        raise ValueError(f"decoder must be 'greedy' or 'beam', got {decoder!r}")
     cfg = _portable_cfg(cfg)
     model = build_model(cfg)
     blank = cfg.data.text.pad_token_id
     hop = cfg.data.audio.hop_length
     variables = {"params": params}
     os.makedirs(out_dir, exist_ok=True)
+
+    def decode_fn(feats, feat_lengths):
+        if decoder == "beam":
+            toks, lens, _ = batched_beam_decode(
+                model, variables, feats, feat_lengths, blank_id=blank,
+                beam_width=beam_width, max_symbols=max_symbols,
+                max_output_len=max_output_len)
+            return toks[:, 0], lens[:, 0]  # best-first rank -> top-1
+        return greedy_decode(model, variables, feats, feat_lengths,
+                             blank_id=blank, max_symbols=max_symbols,
+                             max_output_len=max_output_len)
 
     programs = []
     for frames in sorted(set(int(t) for t in frame_buckets)):
@@ -97,23 +116,17 @@ def export_transcriber(cfg: Config, params, out_dir: str, *,
             def fn(wav, wav_lengths):
                 feats, feat_lengths = LogMelFrontend(cfg.data.audio)(
                     wav, wav_lengths)
-                return greedy_decode(model, variables, feats, feat_lengths,
-                                     blank_id=blank, max_symbols=max_symbols,
-                                     max_output_len=max_output_len)
+                return decode_fn(feats, feat_lengths)
 
             args = (jax.ShapeDtypeStruct((batch, samples), jnp.float32),
                     jax.ShapeDtypeStruct((batch,), jnp.int32))
         else:
-            def fn(feats, feat_lengths):
-                return greedy_decode(model, variables, feats, feat_lengths,
-                                     blank_id=blank, max_symbols=max_symbols,
-                                     max_output_len=max_output_len)
-
+            fn = decode_fn
             args = (jax.ShapeDtypeStruct((batch, frames, cfg.data.audio.n_mels),
                                          jnp.float32),
                     jax.ShapeDtypeStruct((batch,), jnp.int32))
         exp = jexport.export(jax.jit(fn), platforms=list(platforms))(*args)
-        name = _program_name(batch, frames)
+        name = _program_name(decoder, batch, frames)
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(exp.serialize())
         programs.append({"frames": frames, "file": name})
@@ -133,6 +146,8 @@ def export_transcriber(cfg: Config, params, out_dir: str, *,
         "blank_id": blank,
         "max_output_len": max_output_len,
         "max_symbols": max_symbols,
+        "decoder": decoder,
+        "beam_width": beam_width if decoder == "beam" else None,
     }
     with open(os.path.join(out_dir, BUNDLE_MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -197,7 +212,8 @@ class ExportedTranscriber:
     def _program(self, frames: int):
         if frames not in self._programs:
             from jax import export as jexport
-            name = _program_name(self.batch, frames)
+            name = _program_name(self.manifest.get("decoder", "greedy"),
+                                 self.batch, frames)
             with open(os.path.join(self.dir, name), "rb") as f:
                 exp = jexport.deserialize(bytearray(f.read()))
             self._programs[frames] = jax.jit(exp.call)
@@ -271,6 +287,8 @@ def main(argv=None):
     ap.add_argument("--frame_buckets", type=int, nargs="+",
                     default=[256, 512, 1024])
     ap.add_argument("--input_kind", choices=["wav", "logmel"], default="wav")
+    ap.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
+    ap.add_argument("--beam_width", type=int, default=4)
     ap.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
     ap.add_argument("--max_output_len", type=int, default=256)
     ap.add_argument("--vocab_path", default=None)
@@ -279,6 +297,7 @@ def main(argv=None):
         args.checkpoint_dir, args.out_dir, step=args.step,
         vocab_path=args.vocab_path, batch=args.batch,
         frame_buckets=tuple(args.frame_buckets), input_kind=args.input_kind,
+        decoder=args.decoder, beam_width=args.beam_width,
         platforms=tuple(args.platforms),
         max_output_len=args.max_output_len)
     print(f"exported bundle: {out}")

@@ -122,3 +122,35 @@ def test_multiplatform_export_serializes(tiny_model, tmp_path):
     text = t.transcribe(np.random.RandomState(2)
                         .randn(20, 80).astype(np.float32))
     assert isinstance(text, str)
+
+
+def test_beam_bundle_matches_live_batched_beam(tiny_model, tmp_path):
+    """decoder="beam" bakes the device-batched beam; the bundle's top-1
+    matches the live batched_beam_decode rank."""
+    cfg, params = tiny_model
+    out = export_transcriber(cfg, params, str(tmp_path / "beam_bundle"),
+                             batch=2, frame_buckets=(32,),
+                             input_kind="logmel", decoder="beam",
+                             beam_width=3, platforms=("cpu",),
+                             max_output_len=32)
+    t = ExportedTranscriber(out)
+    assert t.manifest["decoder"] == "beam"
+    assert t.manifest["beam_width"] == 3
+
+    rng = np.random.RandomState(3)
+    feats = [rng.randn(n, 80).astype(np.float32) for n in (24, 30)]
+    got = t.transcribe_batch(feats)
+
+    from rnntransducer_tpu.decode.beam_batched import batched_beam_decode
+    model = build_model(cfg)
+    padded = np.zeros((2, 32, 80), np.float32)
+    for i, f in enumerate(feats):
+        padded[i, :f.shape[0]] = f
+    toks, lens, _ = batched_beam_decode(
+        model, {"params": params}, jnp.asarray(padded),
+        jnp.asarray([24, 30], np.int32),
+        blank_id=cfg.data.text.pad_token_id, beam_width=3, max_output_len=32)
+    tok = GraphemeTokenizer.default(cfg.model.jointnet.num_classes)
+    for i in range(2):
+        ids = np.asarray(toks[i, 0, :int(lens[i, 0])]).tolist()
+        assert got[i] == compose_jamo(tok.decode(ids, group_tokens=False))
