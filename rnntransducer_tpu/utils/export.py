@@ -67,7 +67,8 @@ def export_transcriber(cfg: Config, params, out_dir: str, *,
                        beam_width: int = 4,
                        platforms: Sequence[str] = ("cpu", "tpu"),
                        max_symbols: int = 3,
-                       max_output_len: int = 256) -> str:
+                       max_output_len: int = 256,
+                       streaming_chunk_frames: Optional[int] = None) -> str:
     """Export transcription programs for every frame bucket into
     ``out_dir`` (created).  Returns ``out_dir``.
 
@@ -77,6 +78,13 @@ def export_transcriber(cfg: Config, params, out_dir: str, *,
     ``decoder="beam"`` bakes the device-batched beam (decode/beam_batched.py,
     width ``beam_width``, length-normalized) and emits its best hypothesis —
     same program interface as greedy, so bundles are drop-in swappable.
+
+    ``streaming_chunk_frames=N`` additionally exports a chunked streaming
+    step program (unidirectional encoders only): greedy decode resumed
+    across N-frame feature chunks with the recurrent state as an explicit,
+    flattened carry — the loader (``ExportedStreamingSession``) threads it
+    as an opaque list of arrays, so streaming serving also needs no model
+    code.
     """
     from jax import export as jexport
 
@@ -131,6 +139,49 @@ def export_transcriber(cfg: Config, params, out_dir: str, *,
             f.write(exp.serialize())
         programs.append({"frames": frames, "file": name})
 
+    streaming_meta = None
+    if streaming_chunk_frames:
+        if cfg.model.transnet.bidirectional:
+            raise ValueError("streaming export requires a unidirectional "
+                             "encoder (transnet.bidirectional=false)")
+        from rnntransducer_tpu.decode.greedy import (
+            greedy_decode_frames, init_greedy_carry,
+        )
+        from rnntransducer_tpu.decode.streaming import _zero_encoder_state
+
+        n = int(streaming_chunk_frames)
+        stream_len = max_output_len
+        carry0 = (_zero_encoder_state(model, variables, 1),
+                  init_greedy_carry(model, variables, 1, blank, stream_len))
+        flat0, treedef = jax.tree.flatten(carry0)
+
+        def stream_step(chunk, n_valid, *flat):
+            enc_state, g = jax.tree.unflatten(treedef, flat)
+            enc, enc_state2 = model.apply(variables, chunk, n_valid,
+                                          enc_state, method=model.encode)
+            g2 = greedy_decode_frames(model, variables, enc, n_valid, g,
+                                      blank_id=blank,
+                                      max_symbols=max_symbols)
+            return (g2.tokens, g2.lengths,
+                    *jax.tree.leaves((enc_state2, g2)))
+
+        args = ((jax.ShapeDtypeStruct((1, n, cfg.data.audio.n_mels),
+                                      jnp.float32),
+                 jax.ShapeDtypeStruct((1,), jnp.int32))
+                + tuple(jax.ShapeDtypeStruct(x.shape, x.dtype)
+                        for x in flat0))
+        exp = jexport.export(jax.jit(stream_step),
+                             platforms=list(platforms))(*args)
+        sfile = f"stream_greedy_t{n}.jaxexp"
+        with open(os.path.join(out_dir, sfile), "wb") as f:
+            f.write(exp.serialize())
+        np.savez(os.path.join(out_dir, "stream_init.npz"),
+                 **{f"c{i}": np.asarray(x) for i, x in enumerate(flat0)})
+        streaming_meta = {
+            "chunk_frames": n, "file": sfile, "init": "stream_init.npz",
+            "n_carry": len(flat0), "max_output_len": stream_len,
+        }
+
     tok = tokenizer or GraphemeTokenizer.default(
         cfg.model.jointnet.num_classes)
     tok.save(os.path.join(out_dir, "vocab.json"))
@@ -148,6 +199,8 @@ def export_transcriber(cfg: Config, params, out_dir: str, *,
         "max_symbols": max_symbols,
         "decoder": decoder,
         "beam_width": beam_width if decoder == "beam" else None,
+        "streaming": streaming_meta,
+        "audio": dataclasses.asdict(cfg.data.audio),
     }
     with open(os.path.join(out_dir, BUNDLE_MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -273,6 +326,84 @@ class ExportedTranscriber:
         return self.transcribe_batch([wav], **kw)[0]
 
 
+class ExportedStreamingSession:
+    """Streaming recognition from a bundle exported with
+    ``streaming_chunk_frames`` — raw PCM in, incremental token ids out.
+
+    The recurrent carry crosses chunks as an opaque flat list of arrays
+    (the flattened (encoder RNNState, GreedyCarry) pytree), so no model
+    code is needed; the log-mel/normalization frontend runs host-side
+    (decode/streaming.StreamingFrontend, numpy-only)."""
+
+    def __init__(self, bundle_dir: str, normalize: str = "none",
+                 norm_mean: float = 0.0, norm_var: float = 1.0):
+        from jax import export as jexport
+
+        from rnntransducer_tpu.config import AudioConfig
+        from rnntransducer_tpu.decode.streaming import StreamingFrontend
+
+        with open(os.path.join(bundle_dir, BUNDLE_MANIFEST)) as f:
+            self.manifest = json.load(f)
+        sm = self.manifest.get("streaming")
+        if not sm:
+            raise ValueError(
+                "bundle has no streaming program (re-export with "
+                "streaming_chunk_frames=N)")
+        self.chunk_frames = int(sm["chunk_frames"])
+        self.tokenizer = GraphemeTokenizer.from_file(
+            os.path.join(bundle_dir, "vocab.json"))
+        audio = AudioConfig(**self.manifest["audio"])
+        self.frontend = StreamingFrontend(audio, normalize,
+                                          norm_mean=norm_mean,
+                                          norm_var=norm_var)
+        with open(os.path.join(bundle_dir, sm["file"]), "rb") as f:
+            self._step = jax.jit(jexport.deserialize(bytearray(f.read())).call)
+        init = np.load(os.path.join(bundle_dir, sm["init"]))
+        self._carry = [init[f"c{i}"] for i in range(int(sm["n_carry"]))]
+        self._feat_buf = np.zeros((0, audio.n_mels), np.float32)
+        self._tokens: list = []
+        self._n_mels = audio.n_mels
+
+    def _run(self, final: bool) -> list:
+        new = []
+        n = self.chunk_frames
+        while (len(self._feat_buf) >= n
+               or (final and len(self._feat_buf) > 0)):
+            valid = min(len(self._feat_buf), n)
+            chunk = np.zeros((1, n, self._n_mels), np.float32)
+            chunk[0, :valid] = self._feat_buf[:valid]
+            self._feat_buf = self._feat_buf[valid:]
+            out = self._step(chunk, np.asarray([valid], np.int32),
+                             *self._carry)
+            tokens, lengths = np.asarray(out[0]), np.asarray(out[1])
+            self._carry = list(out[2:])
+            emitted = tokens[0, :int(lengths[0])].tolist()
+            new.extend(emitted[len(self._tokens):])
+            self._tokens = emitted
+        return new
+
+    def feed(self, samples: np.ndarray) -> list:
+        """Feed PCM; returns NEWLY emitted token ids (monotone)."""
+        feats = self.frontend.feed(np.asarray(samples, np.float32))
+        if len(feats):
+            self._feat_buf = np.concatenate([self._feat_buf, feats])
+        return self._run(final=False)
+
+    def flush(self) -> list:
+        tail = self.frontend.flush()
+        if len(tail):
+            self._feat_buf = np.concatenate([self._feat_buf, tail])
+        return self._run(final=True)
+
+    @property
+    def tokens(self) -> list:
+        return list(self._tokens)
+
+    def text(self, compose_hangul: bool = True) -> str:
+        t = self.tokenizer.decode(self._tokens, group_tokens=False)
+        return compose_jamo(t) if compose_hangul else t
+
+
 def main(argv=None):
     import argparse
 
@@ -289,6 +420,9 @@ def main(argv=None):
     ap.add_argument("--input_kind", choices=["wav", "logmel"], default="wav")
     ap.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
     ap.add_argument("--beam_width", type=int, default=4)
+    ap.add_argument("--streaming_chunk_frames", type=int, default=None,
+                    help="also export a chunked streaming greedy program "
+                         "(unidirectional encoders only)")
     ap.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
     ap.add_argument("--max_output_len", type=int, default=256)
     ap.add_argument("--vocab_path", default=None)
@@ -298,6 +432,7 @@ def main(argv=None):
         vocab_path=args.vocab_path, batch=args.batch,
         frame_buckets=tuple(args.frame_buckets), input_kind=args.input_kind,
         decoder=args.decoder, beam_width=args.beam_width,
+        streaming_chunk_frames=args.streaming_chunk_frames,
         platforms=tuple(args.platforms),
         max_output_len=args.max_output_len)
     print(f"exported bundle: {out}")

@@ -42,6 +42,7 @@ _SLOW_TESTS = {
     "test_wav_bundle_matches_live_frontend_decode",
     "test_multiplatform_export_serializes",
     "test_beam_bundle_matches_live_batched_beam",
+    "test_streaming_bundle_matches_live_streaming",
     "test_dropout_config_trains",
     "test_beam_finds_high_probability_sequences",
     "test_scan_layers_matches_loop_layers",

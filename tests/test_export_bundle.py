@@ -154,3 +154,55 @@ def test_beam_bundle_matches_live_batched_beam(tiny_model, tmp_path):
     for i in range(2):
         ids = np.asarray(toks[i, 0, :int(lens[i, 0])]).tolist()
         assert got[i] == compose_jamo(tok.decode(ids, group_tokens=False))
+
+
+def test_streaming_bundle_matches_live_streaming(tmp_path):
+    """A bundle exported with streaming_chunk_frames streams PCM through
+    the opaque-carry program and reproduces the live StreamingRecognizer
+    token-for-token (which itself equals offline greedy)."""
+    import dataclasses
+
+    from rnntransducer_tpu.decode.streaming import StreamingRecognizer
+    from rnntransducer_tpu.utils.export import ExportedStreamingSession
+
+    cfg = _cfg(tmp_path)
+    m = cfg.model
+    m = dataclasses.replace(
+        m, transnet=dataclasses.replace(m.transnet, bidirectional=False))
+    cfg = dataclasses.replace(cfg, model=m)
+    params = TrainState.create(cfg).params
+
+    out = export_transcriber(cfg, params, str(tmp_path / "sbundle"),
+                             batch=1, frame_buckets=(64,),
+                             input_kind="wav", platforms=("cpu",),
+                             max_output_len=64, streaming_chunk_frames=16)
+    sess = ExportedStreamingSession(out)
+
+    hop = cfg.data.audio.hop_length
+    rng = np.random.RandomState(7)
+    wav = rng.randn(45 * hop).astype(np.float32) * 0.1
+
+    got = []
+    for i in range(0, len(wav), 4000):  # uneven PCM chunking
+        got.extend(sess.feed(wav[i:i + 4000]))
+    got.extend(sess.flush())
+    assert got == sess.tokens
+    assert isinstance(sess.text(), str)
+
+    live = StreamingRecognizer(build_model(cfg), {"params": params},
+                               cfg.data.audio,
+                               blank_id=cfg.data.text.pad_token_id,
+                               chunk_frames=16, max_output_len=64)
+    want = []
+    for i in range(0, len(wav), 4000):
+        want.extend(live.feed(wav[i:i + 4000]))
+    want.extend(live.flush())
+    assert got == want
+
+
+def test_streaming_export_rejects_bidirectional(tiny_model, tmp_path):
+    cfg, params = tiny_model  # trainer-loop cfg: bidirectional GRU
+    with pytest.raises(ValueError, match="unidirectional"):
+        export_transcriber(cfg, params, str(tmp_path / "x"),
+                           frame_buckets=(32,), input_kind="logmel",
+                           platforms=("cpu",), streaming_chunk_frames=8)
