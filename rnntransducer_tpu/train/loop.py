@@ -77,12 +77,11 @@ class Trainer:
         self.model = build_model(cfg)
         # replicated on a 1-D data mesh; vocab-sharded joint classifier (+
         # matching Adam moments) when the mesh carries a 'model' axis; Adam
-        # moments ZeRO-1-split over 'data' when shard_optimizer_state
-        if (cfg.train.shard_optimizer_state and jax.process_count() > 1):
-            raise ValueError(
-                "shard_optimizer_state is supported single-process "
-                "(multi-device) only: a multi-host ZeRO save/restore path "
-                "is not validated here. Drop the flag or run single-host.")
+        # moments ZeRO-1-split over 'data' when shard_optimizer_state (works
+        # across processes too — TrainState.create is seed-deterministic so
+        # every process holds the same host values, and orbax saves/restores
+        # the process-spanning moment shards; validated by the real
+        # 2-process run in tests/_multihost_worker.py)
         self.state = shard_tree(
             self.mesh, TrainState.create(cfg, tx=self.tx),
             shard_opt_over_data=cfg.train.shard_optimizer_state)

@@ -144,4 +144,58 @@ assert st_tp.params["joint"]["fc"]["kernel"].sharding.spec == \
     P(None, MODEL_AXIS)
 print(f"LOCKSTEP tp loss {loss_tp:.6f}", flush=True)
 
+# ---- ZeRO-1 across hosts: Adam moments split over the process-spanning ----
+# data axis; step math must match the replicated trainer bit-for-bit-close,
+# and the sharded optimizer state must survive an orbax checkpoint
+# round-trip with every process holding only its moment shards.
+from rnntransducer_tpu.parallel import DATA_AXIS
+
+# NB: the checkpoint directory must be the SAME path on every process —
+# orbax coordinates a multiprocess save across ranks and deadlocks if each
+# rank names its own directory (each waits for the other's shards there).
+# The per-process ckpt_dir argv is fine for the sections above (they never
+# save); here we derive a shared sibling.
+zero_dir = os.path.join(os.path.dirname(ckpt_dir), "zero_shared")
+cfg_z = dataclasses.replace(cfg, train=dataclasses.replace(
+    cfg.train, shard_optimizer_state=True, checkpoint_dir=zero_dir))
+trainer_z = Trainer(cfg_z, ds)
+split = [l for p, l in
+         jax.tree_util.tree_flatten_with_path(trainer_z.state.opt_state)[0]
+         if hasattr(l, "sharding") and DATA_AXIS in tuple(l.sharding.spec)]
+assert split, "no moment sharded over the process-spanning data axis"
+# each device (4 global, 2 per process) addresses 1/4 of a split moment
+probe = split[0]
+assert probe.addressable_shards[0].data.size == probe.size // 4, \
+    (probe.shape, probe.addressable_shards[0].data.shape)
+
+gb_z = next(iter(DevicePrefetcher(
+    trainer_z._host_batches(ds, 0, trainer_z._global_batch()),
+    mesh=trainer_z.mesh)))
+with trainer_z._mesh_context():
+    st_z, m_z = train_step(cfg_z, trainer_z.tx, trainer_z.state, gb_z)
+loss_z = float(m_z["loss"])
+
+# replicated reference on the SAME global batch + same (seed-identical) init
+trainer_r = Trainer(dataclasses.replace(cfg, train=dataclasses.replace(
+    cfg.train, checkpoint_dir=ckpt_dir + "_zr")), ds)
+st_r, m_r = train_step(cfg, trainer_r.tx, trainer_r.state, gb_z)
+np.testing.assert_allclose(loss_z, float(m_r["loss"]), rtol=1e-6)
+dmax = max(float(jnp.abs(a - b).max()) for a, b in zip(
+    jax.tree.leaves(st_z.params), jax.tree.leaves(st_r.params)))
+assert dmax < 1e-6, dmax
+print(f"LOCKSTEP zero loss {loss_z:.6f} dmax_ok", flush=True)
+
+# checkpoint round-trip of the process-spanning sharded state
+trainer_z.ckpt.save(int(st_z.step), st_z, config=cfg_z)
+restored = trainer_z.ckpt.restore(trainer_z.state)
+trainer_z.ckpt.close()
+for a, b in zip(jax.tree.leaves(st_z.opt_state),
+                jax.tree.leaves(restored.opt_state)):
+    np.testing.assert_array_equal(np.asarray(a.addressable_shards[0].data),
+                                  np.asarray(b.addressable_shards[0].data))
+rsum = float(jnp.sum(jax.tree.leaves(restored.opt_state)[1]))
+zsum = float(jnp.sum(jax.tree.leaves(st_z.opt_state)[1]))
+assert rsum == zsum, (rsum, zsum)
+print(f"LOCKSTEP zero ckpt roundtrip ok {rsum:.6f}", flush=True)
+
 print("WORKER_OK", flush=True)

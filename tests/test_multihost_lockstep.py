@@ -169,7 +169,7 @@ def test_two_real_processes_lockstep_and_global_batch(tmp_path):
         for i in range(2)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=420)
+        out, _ = p.communicate(timeout=560)
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"

@@ -53,7 +53,7 @@ def parse_args():
     p.add_argument("--shard_optimizer_state", action="store_true",
                    default=None,
                    help="ZeRO-1: split the Adam moments over the data axis "
-                        "(optimizer memory / DP width; single-host)")
+                        "(optimizer memory / DP width; works across hosts)")
     p.add_argument("--precision", type=str, default=None,
                    choices=["bf16", "fp32"])
     p.add_argument("--seed", type=int, default=None)
