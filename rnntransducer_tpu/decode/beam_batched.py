@@ -58,7 +58,10 @@ def init_beam_carry(model: RNNTransducer, variables, batch: int,
     dec_out0, state0 = model.apply(variables, blank_flat, None,
                                    method=model.predict_step)
     return BeamCarry(
-        scores=jnp.full((B, K), NEG).at[:, 0].set(0.0),
+        # explicit dtype: a weak-typed scores leaf would make the
+        # init carry compile a tick program no post-reset carry can
+        # reuse (reset outputs are strongly typed f32)
+        scores=jnp.full((B, K), NEG, jnp.float32).at[:, 0].set(0.0),
         tokens=jnp.full((B, K, max_output_len), blank_id, jnp.int32),
         lens=jnp.zeros((B, K), jnp.int32),
         last=jnp.full((B, K), blank_id, jnp.int32),

@@ -346,6 +346,40 @@ class BatchedStreamingRunner:
             # concurrent open() reusing the slot rewrites the live row
             return self._tokens[slot].copy(), int(self._lengths[slot])
 
+    # ------------------------------------------------------------- warmup
+    def warmup(self) -> None:
+        """Compile every device program the runner needs BEFORE serving
+        traffic: the tick (encode + decode over all lanes), the slot reset,
+        and the partials fetch.  Serving processes should pay XLA compile at
+        deploy time, not on the first client's request — the round-3 scale
+        sweep's beam-64 tick p99 (58.6 s) was the compile landing inside
+        live traffic.  An all-idle tick (every ``n_valid`` = 0) is a proven
+        no-op on the persistent state (asserted by tests), so warming
+        against the live state is safe; the jitted programs are pure and
+        their outputs are discarded."""
+        with self._tick_lock:
+            feats = np.zeros((self.max_sessions, self.chunk_frames,
+                              self.audio_cfg.n_mels), np.float32)
+            n_valid = np.zeros((self.max_sessions,), np.int32)
+            if self.mesh is not None:
+                feats = jax.device_put(feats, self._lane_sharding(feats))
+                n_valid = jax.device_put(n_valid,
+                                         self._lane_sharding(n_valid))
+            step = (_batched_chunk_step_beam if self.decoder == "beam"
+                    else _batched_chunk_step)
+            enc_state, carry = step(
+                self.model, self.variables, feats, n_valid,
+                self._enc_state, self._carry, self.blank_id,
+                self.max_symbols)
+            if self.decoder == "beam":
+                jax.device_get(best_hyp_all(carry))
+                _reset_slot_beam(self.model, self.variables, enc_state,
+                                 carry, 0, self.blank_id, self.beam_width)
+            else:
+                jax.device_get((carry.tokens, carry.lengths))
+                _reset_slot(self.model, self.variables, enc_state, carry,
+                            0, self.blank_id)
+
     # ---------------------------------------------------------------- tick
     def drain(self, final_session: Optional[BatchedSession] = None) -> int:
         """Tick until no session has a full chunk pending (plus the final

@@ -55,13 +55,15 @@ def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
 class StreamingServer:
     def __init__(self, recognizer, host: str = "127.0.0.1", port: int = 0,
                  chunk_frames: Optional[int] = None, batch_sessions: int = 0,
-                 mesh=None, **session_kw):
+                 mesh=None, warmup: bool = True, **session_kw):
         """batch_sessions > 0 enables continuous batching: up to that many
         concurrent connections share ONE compiled device program per tick
         (decode/session_batch) instead of one B=1 program per session;
         follows the recognizer's decoder (greedy or batched beam).
         mesh: optional 1-D device mesh — batched lanes shard across its
-        devices (multi-chip serving)."""
+        devices (multi-chip serving).
+        warmup: compile the batched tick/reset/fetch programs in start(),
+        before the socket binds — clients never pay XLA compile."""
         self.recognizer = recognizer
         self.host = host
         self._requested_port = port
@@ -73,6 +75,7 @@ class StreamingServer:
         self._running = False
         self.port: Optional[int] = None
         self._runner = None
+        self._warmup = warmup
         if batch_sessions > 0 and getattr(recognizer, "fused", False):
             # batched lanes share one compiled device program; LM/hotword
             # fusion runs in the per-session host beam — refuse loudly
@@ -179,6 +182,10 @@ class StreamingServer:
             t.start()
 
     def start(self) -> "StreamingServer":
+        if self._runner is not None and self._warmup:
+            # compile before binding: the server is never reachable in a
+            # state where a client's first chunk pays a multi-second compile
+            self._runner.warmup()
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((self.host, self._requested_port))

@@ -38,9 +38,9 @@ def _wavs(n, seed=0):
             for _ in range(n)]
 
 
-def _reference_tokens(model, variables, wav, pieces):
+def _reference_tokens(model, variables, wav, pieces, max_symbols=2):
     rec = StreamingRecognizer(model, variables, AudioConfig(normalize=False),
-                              chunk_frames=16, max_symbols=2,
+                              chunk_frames=16, max_symbols=max_symbols,
                               normalize="none")
     for i in range(0, len(wav), pieces):
         rec.feed(wav[i:i + pieces])
@@ -241,3 +241,72 @@ def test_mesh_sharded_lanes_match_unsharded():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="divide evenly"):
         test_err()
+
+
+def test_warmup_precompiles_every_device_program():
+    """warmup() compiles the tick, the slot reset, and the fetch up front:
+    after it, real traffic adds ZERO new jit-cache entries — and the
+    decoded tokens are exactly the no-warmup reference's."""
+    from rnntransducer_tpu.decode import session_batch as sb
+
+    model, variables = _uni_model()
+    wav = _wavs(1, seed=7)[0]
+    want = _reference_tokens(model, variables, wav, 1600)
+
+    for decoder, step_fn, reset_fn in (
+            ("greedy", sb._batched_chunk_step, sb._reset_slot),
+            ("beam", sb._batched_chunk_step_beam, sb._reset_slot_beam)):
+        runner = BatchedStreamingRunner(model, variables,
+                                        AudioConfig(normalize=False),
+                                        max_sessions=4, chunk_frames=16,
+                                        max_symbols=2, decoder=decoder)
+        runner.warmup()
+        sizes = (step_fn._cache_size(), reset_fn._cache_size())
+        sess = runner.open()
+        got = []
+        for i in range(0, len(wav), 1600):
+            got += sess.feed(wav[i:i + 1600])
+        fin = sess.flush()
+        got = fin if decoder == "beam" else got + fin
+        if decoder == "greedy":  # beam ranking can differ from greedy
+            assert got == want
+        assert got  # beam path: decoded something
+        assert (step_fn._cache_size(),
+                reset_fn._cache_size()) == sizes, decoder
+
+
+def test_server_start_warms_batched_runner(tmp_path):
+    """StreamingServer.start() compiles the batched programs before the
+    socket binds (warmup=True default); a client interaction then adds no
+    jit-cache entries."""
+    from rnntransducer_tpu.decode import session_batch as sb
+    from rnntransducer_tpu.serve_socket import StreamingServer, stream_wav
+    from rnntransducer_tpu.serve import Recognizer
+
+    model, variables = _uni_model()
+    rec = Recognizer.__new__(Recognizer)  # server uses these attrs only
+    rec.model, rec.variables = model, variables
+    cfg = rt.tiny_config()
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data,
+                                      audio=AudioConfig(normalize=False)))
+    rec.cfg = cfg
+    rec.tokenizer = type("Tok", (), {"blank_token_id": 0})()
+    rec.max_output_len = 64
+    rec.decoder = "greedy"
+    rec.beam_width = 2
+    rec.lm, rec.hotwords = None, None  # fused property reads these
+    rec._decode_text = lambda toks: "".join(map(str, toks))
+
+    with StreamingServer(rec, batch_sessions=2, chunk_frames=16,
+                         normalize="none") as srv:
+        sizes = (sb._batched_chunk_step._cache_size(),
+                 sb._reset_slot._cache_size())
+        wav = _wavs(1, seed=3)[0]
+        partials, final = stream_wav("127.0.0.1", srv.port, wav)
+        want = _reference_tokens(model, variables, wav, 1600,
+                                 max_symbols=cfg.train.greedy_max_symbols)
+        assert final["tokens"] == want
+        assert (sb._batched_chunk_step._cache_size(),
+                sb._reset_slot._cache_size()) == sizes
