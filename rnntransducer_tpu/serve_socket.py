@@ -182,10 +182,24 @@ class StreamingServer:
             t.start()
 
     def start(self) -> "StreamingServer":
-        if self._runner is not None and self._warmup:
-            # compile before binding: the server is never reachable in a
-            # state where a client's first chunk pays a multi-second compile
-            self._runner.warmup()
+        # compile before binding: the server is never reachable in a state
+        # where a client's first chunk pays a multi-second XLA compile
+        if self._warmup:
+            if self._runner is not None:
+                self._runner.warmup()
+            else:
+                # throwaway session: the B=1 chunk programs it compiles are
+                # keyed by shape, so every future session reuses them
+                sess = self.recognizer.stream(chunk_frames=self.chunk_frames,
+                                              **self.session_kw)
+                acfg = self.recognizer.cfg.data.audio
+                cf = self.chunk_frames or \
+                    self.recognizer.cfg.inference.streaming_chunk_frames
+                hop = int(acfg.sample_rate * acfg.window_stride_sec)
+                n = (cf + 2) * hop + int(acfg.sample_rate *
+                                         acfg.window_size_sec)
+                sess.feed(np.zeros(n, np.float32))
+                sess.flush()
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((self.host, self._requested_port))
