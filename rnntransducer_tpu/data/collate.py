@@ -50,17 +50,23 @@ def _load_pack_lib():
         try:
             lib.pack_quantize_wav_i16
         except AttributeError:
-            # stale .so from before the quantizer existed — rebuild once
-            _build_pack_lib(so)
-            lib = ctypes.CDLL(so)
+            # stale .so from before the quantizer existed — rebuild once;
+            # if the toolchain is gone, keep the old lib for pack_batch_f32
+            # (it served that fine) and let the quantizer use numpy
+            try:
+                _build_pack_lib(so)
+                lib = ctypes.CDLL(so)
+            except (OSError, subprocess.CalledProcessError):
+                pass
         lib.pack_batch_f32.argtypes = [
             ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
-        lib.pack_quantize_wav_i16.argtypes = [
-            ctypes.POINTER(ctypes.c_void_p),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        if hasattr(lib, "pack_quantize_wav_i16"):
+            lib.pack_quantize_wav_i16.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         _pack_lib = lib
     except (OSError, AttributeError, subprocess.CalledProcessError):
         _pack_lib = False
@@ -166,7 +172,7 @@ def quantize_waveforms(arrays: Sequence[np.ndarray], max_samples: int,
     arrays = [np.ascontiguousarray(a[:max_samples], np.float32)
               for a in arrays]
     lib = _load_pack_lib()
-    if lib:
+    if lib and hasattr(lib, "pack_quantize_wav_i16"):
         out = np.empty((B, max_samples), np.int16)
         scales = np.empty((B,), np.float32)
         ptrs = (ctypes.c_void_p * B)(

@@ -36,7 +36,10 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 def _load_lib() -> ctypes.CDLL:
     so = os.path.join(_NATIVE_DIR, "libngram_lm.so")
     cpp = os.path.join(_NATIVE_DIR, "ngram_lm.cpp")
-    stale = os.path.exists(so) and os.path.getmtime(so) < os.path.getmtime(cpp)
+    # the source may be absent (prebuilt .so shipped without native/ src):
+    # an existing library is then authoritative, never "stale"
+    stale = (os.path.exists(so) and os.path.exists(cpp)
+             and os.path.getmtime(so) < os.path.getmtime(cpp))
     if not os.path.exists(so) or stale:
         # atomic build (concurrent first calls must not load a partial .so)
         tmp = f"{so}.build.{os.getpid()}"

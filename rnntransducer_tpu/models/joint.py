@@ -61,14 +61,16 @@ class JointNetwork(nn.Module):
         ge = jax.nn.gelu(enc, approximate=True)
         gd = jax.nn.gelu(dec, approximate=True)
         De, Dd = ge.shape[-1], gd.shape[-1]
-        # zero-pad trick keeps the fc parameter layout checkpoint-compatible
-        # (one (De+Dd, V) kernel), as in __call__
-        A = self.fc(jnp.concatenate(
-            [ge, jnp.zeros(ge.shape[:-1] + (Dd,), ge.dtype)], axis=-1))
-        C = self.fc(jnp.concatenate(
-            [jnp.zeros(gd.shape[:-1] + (De,), gd.dtype), gd], axis=-1))
-        bias = self.fc(jnp.zeros((De + Dd,), ge.dtype))
-        return A - bias, C
+        # fc keeps its single (De+Dd, V) kernel (checkpoint-compatible); the
+        # split is realized by SLICING it, so each projection is a
+        # (rows, De) x (De, V) GEMM — zero-padding the activations instead
+        # would double the FLOPs of the V-wide classifier (XLA does not
+        # strength-reduce a dot against a concat-with-zeros)
+        bias = self.fc(jnp.zeros((De + Dd,), ge.dtype))  # also materializes
+        kernel = self.fc.variables["params"]["kernel"]   # the params at init
+        ge, gd, kernel = nn.dtypes.promote_dtype(
+            ge, gd, kernel, dtype=None)  # match nn.Dense's dtype promotion
+        return ge @ kernel[:De], gd @ kernel[De:] + bias
 
     def __call__(self, enc, dec):
         """enc: (..., T, De) or (..., De); dec: (..., U, Dd) or (..., Dd).
@@ -90,18 +92,9 @@ class JointNetwork(nn.Module):
             # tensors instead of one per-LATTICE-POINT GEMM: the broadcast
             # lattice carries V (=num_classes) logits, never the De+Dd
             # hidden.  Exact (same math, float reassociation only); measured
-            # the difference on the flagship step in BASELINE.md.  The fc
-            # parameter layout is unchanged (checkpoint-compatible): the
-            # split is realized by zero-padding the absent half.
-            ge = jax.nn.gelu(enc, approximate=True)
-            gd = jax.nn.gelu(dec, approximate=True)
-            De, Dd = ge.shape[-1], gd.shape[-1]
-            A = self.fc(jnp.concatenate(
-                [ge, jnp.zeros(ge.shape[:-1] + (Dd,), ge.dtype)], axis=-1))
-            C = self.fc(jnp.concatenate(
-                [jnp.zeros(gd.shape[:-1] + (De,), gd.dtype), gd], axis=-1))
-            bias = self.fc(jnp.zeros((De + Dd,), ge.dtype))
-            return A[..., :, None, :] + C[..., None, :, :] - bias
+            # the difference on the flagship step in BASELINE.md.
+            A, C = self.factors(enc, dec)
+            return A[..., :, None, :] + C[..., None, :, :]
         enc, dec = self._broadcast(enc, dec)
         x = jnp.concatenate([enc, dec], axis=-1)
         # GELU(approximate="tanh") — networks/transducer.py:38,68

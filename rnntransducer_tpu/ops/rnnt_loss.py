@@ -306,8 +306,14 @@ def factored_compact_lattice(A, C, labels, blank: int = 0):
     maxC = jax.lax.stop_gradient(jnp.max(C, axis=-1))    # (B, U+1)
     EA = jnp.exp(A - maxA[..., None])
     EC = jnp.exp(C - maxC[..., None])
+    # precision=HIGHEST: TPU matmuls default to bf16 operand truncation
+    # (preferred_element_type only widens the accumulator), which would
+    # silently degrade the training loss/grads to ~2e-3 — measured — while
+    # this docstring promises fp32.  HIGHEST keeps fp32 operands; the GEMMs
+    # are ~2 ms of a 256 ms flagship step, so the cost is noise.
     S = jnp.einsum("btv,buv->btu", EA, EC,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     S = jnp.maximum(S, jnp.float32(np.finfo(np.float32).tiny))
     lse = maxA[:, :, None] + maxC[:, None, :] + jnp.log(S)
 
@@ -315,7 +321,8 @@ def factored_compact_lattice(A, C, labels, blank: int = 0):
                   ((0, 0), (0, U1 - labels.shape[1])), constant_values=blank)
     onehot = jax.nn.one_hot(lab, A.shape[-1], dtype=jnp.float32)  # (B,U+1,V)
     a_lab = jnp.einsum("btv,buv->btu", A, onehot,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     c_lab = jnp.sum(C * onehot, axis=-1)                 # (B, U+1)
 
     bl = A[..., blank][:, :, None] + C[..., blank][:, None, :] - lse

@@ -39,14 +39,11 @@ from rnntransducer_tpu.utils.profiling import StepTimer
 
 
 def _eval_frontend(cfg: Config, wav, wav_lengths):
-    """On-device log-mel for raw-PCM eval batches (same tiering as the train
-    loss path, train/state.py loss_fn: fused Pallas DFT on TPU, XLA rfft
-    elsewhere)."""
-    if jax.default_backend() == "tpu":
-        from rnntransducer_tpu.frontend import logmel_pallas
-        return logmel_pallas(wav, cfg.data.audio, wav_lengths)
-    from rnntransducer_tpu.frontend import LogMelFrontend
-    return LogMelFrontend(cfg.data.audio)(wav, wav_lengths)
+    """On-device log-mel for raw-PCM eval batches — the SAME dispatch the
+    train loss path uses (train/state.py device_frontend), so val metrics
+    are computed on the features training saw."""
+    from rnntransducer_tpu.train.state import device_frontend
+    return device_frontend(cfg.data.audio, wav, wav_lengths)
 
 
 class Trainer:

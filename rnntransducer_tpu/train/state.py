@@ -75,6 +75,17 @@ def dequantize_wav(batch):
     return wav
 
 
+def device_frontend(audio_cfg, wav, wav_lengths):
+    """On-device log-mel, tiered by backend: fused Pallas DFT frontend on
+    TPU (~23x the XLA rfft path on v5e), XLA rfft elsewhere.  The single
+    dispatch point for every raw-PCM consumer (train loss, eval) — the two
+    must featurize identically or val metrics drift from the train loss."""
+    if jax.default_backend() == "tpu":
+        from rnntransducer_tpu.frontend import logmel_pallas
+        return logmel_pallas(wav, audio_cfg, wav_lengths)
+    return LogMelFrontend(audio_cfg)(wav, wav_lengths)
+
+
 def _constrain_vocab_sharded(A, C):
     """Pin the rank factors' vocab axis to the mesh's 'model' axis when the
     step is traced under a tensor-parallel mesh (``jax.set_mesh``; see
@@ -108,15 +119,8 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
     if "feats" in batch:
         feats, feat_lengths = batch["feats"], batch["feat_lengths"]
     else:
-        wav = dequantize_wav(batch)
-        if jax.default_backend() == "tpu":
-            # fused Pallas DFT/mel frontend (~23x the XLA rfft path on v5e)
-            from rnntransducer_tpu.frontend import logmel_pallas
-            feats, feat_lengths = logmel_pallas(wav, cfg.data.audio,
-                                                batch["wav_lengths"])
-        else:
-            frontend = LogMelFrontend(cfg.data.audio)
-            feats, feat_lengths = frontend(wav, batch["wav_lengths"])
+        feats, feat_lengths = device_frontend(
+            cfg.data.audio, dequantize_wav(batch), batch["wav_lengths"])
     if not deterministic and cfg.data.audio.spec_augment:
         feats = spec_augment(
             aug_rng, feats, feat_lengths,
