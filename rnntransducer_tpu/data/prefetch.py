@@ -14,7 +14,6 @@ from typing import Callable, Iterator, Optional
 
 import jax
 
-from rnntransducer_tpu.parallel.mesh import batch_sharding
 
 
 class DevicePrefetcher:
@@ -27,32 +26,40 @@ class DevicePrefetcher:
         if put_fn is not None:
             self._put = put_fn
         elif mesh is not None:
-            sharding = batch_sharding(mesh)
-            if jax.process_count() > 1:
-                # multi-host: each process holds its local slice of the
-                # global batch; assemble the global array from local shards
-                self._put = lambda b: jax.tree.map(
-                    lambda x: jax.make_array_from_process_local_data(
-                        sharding, x), b)
-            else:
-                self._put = lambda b: jax.tree.map(
-                    lambda x: jax.device_put(x, sharding), b)
+            # shard_batch handles both single-host device_put and multi-host
+            # global-array assembly from per-process local slices
+            from rnntransducer_tpu.parallel.mesh import shard_batch
+            self._put = lambda b: shard_batch(mesh, b)
         else:
             self._put = lambda b: jax.tree.map(jax.device_put, b)
         self._q: queue.Queue = queue.Queue(maxsize=size)
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker,
                                         args=(host_iter,), daemon=True)
         self._thread.start()
 
+    def _qput(self, item) -> bool:
+        """put() that a close() can interrupt — a worker blocked forever in
+        Queue.put would outlive an abandoned iterator, pinning its queued
+        device batches in HBM for the process lifetime."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker(self, host_iter):
         try:
             for batch in host_iter:
-                self._q.put(self._put(batch))
+                if self._stop.is_set() or not self._qput(self._put(batch)):
+                    return
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:
-            self._q.put(self._SENTINEL)
+            self._qput(self._SENTINEL)
 
     def __iter__(self):
         return self
@@ -64,3 +71,17 @@ class DevicePrefetcher:
                 raise self._err
             raise StopIteration
         return item
+
+    def close(self) -> None:
+        """Release the worker and every queued device batch.  Call when
+        abandoning the iterator before exhaustion (max_steps reached,
+        preemption) — otherwise the worker stays blocked in put() holding
+        2-3 device batches in HBM."""
+        self._stop.set()
+        for _ in range(2):  # drain; once more after the thread exits
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=5)

@@ -146,6 +146,12 @@ class BeamSearchDecoder:
             for hyp in beams:
                 text = tok.decode(hyp.y_star, group_tokens=False)
                 if not text:
+                    # no words yet -> zero LM/hotword contribution.  The key
+                    # must still track THIS hyp's acoustics: inheriting the
+                    # parent's lm_score would rank a delimiter-only expansion
+                    # by a stale (typically 0.0) key above every legitimately
+                    # scored hypothesis.
+                    hyp.lm_score = hyp.asr_score
                     continue
                 hyp.lm_score = (hyp.asr_score + hw.score(text) +
                                 hw.score_partial_token(text.split()[-1]))
@@ -156,6 +162,7 @@ class BeamSearchDecoder:
             lm_score = 0.0
             text = tok.decode(hyp.y_star, group_tokens=False)
             if not text:
+                hyp.lm_score = hyp.asr_score  # see the hotword-only branch
                 continue
             words = text.split()
             current_text = " ".join(words[:-1])
@@ -314,7 +321,12 @@ class BeamSearchDecoder:
                         new_A.append(cand)
                 A_hyps.extend(new_A)
                 if self._use_lm and new_A:
-                    self._score_lm_beams(A_hyps, cached_lm, cached_partial,
+                    # only the fresh expansions: _score_lm_beams is a pure
+                    # per-hyp function of y_star (+ monotone caches), so
+                    # re-scoring the surviving A members would only re-decode
+                    # every full token history each expansion — O(|A|) decode
+                    # calls per pop in the weak-pruning regime
+                    self._score_lm_beams(new_A, cached_lm, cached_partial,
                                          is_eos=False)
                 if len(A_hyps) > self.max_live:
                     # safety valve (not in reference): when pruning is weak

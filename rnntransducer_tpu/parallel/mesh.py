@@ -76,8 +76,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch so its leading axis is split across the mesh."""
+    """Place a host batch so its leading axis is split across the mesh.
+
+    Multi-host: the host batch holds only this process's rows (the strided
+    local slice, train/loop.py _host_batches); the global array is assembled
+    from the per-process shards.  Single host: a plain sharded device_put."""
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(s, x), batch)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 

@@ -28,7 +28,7 @@ from rnntransducer_tpu.parallel import (
 )
 from rnntransducer_tpu.tokenizer import GraphemeTokenizer
 from rnntransducer_tpu.train.checkpoint import CheckpointManager
-from rnntransducer_tpu.train.metrics import char_error_rate, word_error_rate
+from rnntransducer_tpu.train.metrics import error_counts
 from rnntransducer_tpu.train.optim import make_optimizer
 from rnntransducer_tpu.train.state import (
     TrainState, build_model, eval_step, learning_rate_at, train_step,
@@ -36,6 +36,22 @@ from rnntransducer_tpu.train.state import (
 )
 from rnntransducer_tpu.utils.logging import MetricsLogger
 from rnntransducer_tpu.utils.profiling import StepTimer
+
+
+def _local_rows(arr) -> dict:
+    """{global_row: numpy row} for every row of a (B, ...) device array held
+    on THIS process's devices.  Works for row-sharded outputs (each global
+    row appears on one process) and replicated ones (every process sees all
+    rows — callers filter to the rows they own via the _pos marker)."""
+    out = {}
+    for s in arr.addressable_shards:
+        start = 0
+        if s.index and s.index[0].start is not None:
+            start = int(s.index[0].start)
+        data = np.asarray(s.data)
+        for i in range(data.shape[0]):
+            out.setdefault(start + i, data[i])
+    return out
 
 
 def _eval_frontend(cfg: Config, wav, wav_lengths):
@@ -174,12 +190,14 @@ class Trainer:
             if "wav" in items[0]:
                 # raw-PCM path: collate waveforms; log-mel (+SpecAugment) runs
                 # on-device inside the step (train/state.py loss_fn). Sample
-                # bucket = largest S with num_frames(S) <= frame bucket, so
-                # frame buckets and wav buckets compile to the same shapes.
+                # bucket = largest S with num_frames(S) <= frame bucket
+                # (= frames_b*hop - 1, since num_frames = S//hop + 1), so
+                # frame buckets and wav buckets compile to the same shapes
+                # and no utterance admitted to the bucket loses samples.
                 frames_b = self.cfg.data.audio_buckets[b_idx]
                 hop = self.cfg.data.audio.hop_length
                 batch = collate_waveforms(
-                    items, max_samples=(frames_b - 1) * hop,
+                    items, max_samples=frames_b * hop - 1,
                     max_labels=label_bucket,
                     pad_id=self.cfg.data.text.pad_token_id,
                     transfer_dtype=self.cfg.train.wav_transfer_dtype)
@@ -226,6 +244,9 @@ class Trainer:
             made_progress = False
             for batch in batches:
                 if step >= cfg.train.max_steps or self._preempted:
+                    # abandoning the iterator early: release the worker and
+                    # its queued device batches (HBM) before val/save run
+                    batches.close()
                     break
                 made_progress = True
                 if (self.profile_dir and not profiling
@@ -359,7 +380,9 @@ class Trainer:
     def _evaluate_inner(self, dataset,
                         max_batches: Optional[int] = None) -> dict:
         cfg = self.cfg
-        losses, preds, refs = [], [], []
+        pi, pc = jax.process_index(), jax.process_count()
+        loss_sum, loss_n = 0.0, 0
+        preds, refs = [], []  # this process's utterances only
         n = 0
         for batch, n_valid in self._host_batches(
                 dataset, epoch=0,
@@ -367,9 +390,21 @@ class Trainer:
                             self.n_data_shards),
                 shuffle=False, with_counts=True):
             # shard over the data mesh like training (unsharded device_put
-            # would replicate the whole eval batch on every device)
+            # would replicate the whole eval batch on every device).  The
+            # host batch holds only this process's rows (the strided local
+            # slice); a _pos marker rides through the same placement so each
+            # locally-held GLOBAL row maps back to its collation position —
+            # exact whatever device order or output sharding XLA picks.
             from rnntransducer_tpu.parallel import shard_batch
-            batch_dev = shard_batch(self.mesh, batch)
+            n_local = len(batch["target_lengths"])
+            batch_dev = shard_batch(self.mesh, dict(
+                batch, _pos=np.asarray(pi + np.arange(n_local) * pc,
+                                       np.int32)))
+            pos_rows = _local_rows(batch_dev.pop("_pos"))
+            # owned = rows this process collated, excluding the wrap-padding
+            # duplicates the static batch shape requires
+            owned = {g: int(p) // pc for g, p in pos_rows.items()
+                     if int(p) % pc == pi and int(p) < n_valid}
             if "feats" not in batch_dev:
                 # raw-PCM eval: run the on-device frontend once, decode from
                 # the resulting features (no SpecAugment at eval)
@@ -378,12 +413,13 @@ class Trainer:
                     cfg, dequantize_wav(batch_dev), batch_dev["wav_lengths"])
                 batch_dev = dict(batch_dev, feats=feats,
                                  feat_lengths=feat_lengths)
-            # per-sample losses so wrap-padding duplicates (needed for the
-            # static batch shape) don't bias the metrics
-            per_sample = np.asarray(eval_step(
+            # per-sample losses so the padding duplicates don't bias metrics
+            per_sample = _local_rows(eval_step(
                 cfg, self.state.params, batch_dev,
                 loss_backend=self.loss_backend, reduction="none"))
-            losses.extend(per_sample[:n_valid].tolist())
+            for g in owned:
+                loss_sum += float(per_sample[g])
+                loss_n += 1
             if cfg.train.val_decoder == "beam":
                 from rnntransducer_tpu.decode import batched_beam_decode
                 toks, lens, _ = batched_beam_decode(
@@ -393,7 +429,8 @@ class Trainer:
                     beam_width=cfg.train.val_beam_width,
                     max_symbols=cfg.train.greedy_max_symbols,
                     max_output_len=max(cfg.data.label_buckets))
-                toks, lens = np.asarray(toks[:, 0]), np.asarray(lens[:, 0])
+                toks = {g: r[0] for g, r in _local_rows(toks).items()}
+                lens = {g: r[0] for g, r in _local_rows(lens).items()}
             else:
                 toks, lens = greedy_decode(
                     self.model, {"params": self.state.params},
@@ -401,18 +438,27 @@ class Trainer:
                     blank_id=cfg.data.text.pad_token_id,
                     max_symbols=cfg.train.greedy_max_symbols,
                     max_output_len=max(cfg.data.label_buckets))
-                toks, lens = np.asarray(toks), np.asarray(lens)
-            for i in range(n_valid):
-                preds.append(self.tokenizer.decode(toks[i, :lens[i]],
+                toks, lens = _local_rows(toks), _local_rows(lens)
+            for g, j in owned.items():
+                k = int(lens[g])
+                preds.append(self.tokenizer.decode(toks[g][:k],
                                                    group_tokens=False))
-                u = int(batch["target_lengths"][i])
-                refs.append(self.tokenizer.decode(batch["targets"][i, :u],
+                u = int(batch["target_lengths"][j])
+                refs.append(self.tokenizer.decode(batch["targets"][j, :u],
                                                   group_tokens=False))
             n += 1
             if max_batches is not None and n >= max_batches:
                 break
+        # corpus-level reduction: sum sufficient statistics over processes
+        we, wt, ce, ct = error_counts(preds, refs)
+        stats = np.asarray([loss_sum, loss_n, we, wt, ce, ct], np.float64)
+        if pc > 1:
+            from jax.experimental import multihost_utils
+            stats = np.asarray(
+                multihost_utils.process_allgather(stats)).sum(axis=0)
         return {
-            "loss": float(np.mean(losses)) if losses else float("nan"),
-            "wer": word_error_rate(preds, refs),
-            "cer": char_error_rate(preds, refs),
+            "loss": (float(stats[0] / stats[1]) if stats[1]
+                     else float("nan")),
+            "wer": float(stats[2] / max(stats[3], 1)),
+            "cer": float(stats[4] / max(stats[5], 1)),
         }

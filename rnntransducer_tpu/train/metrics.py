@@ -29,18 +29,26 @@ def edit_distance(ref: Sequence, hyp: Sequence) -> int:
     return prev[m]
 
 
-def word_error_rate(preds: List[str], refs: List[str]) -> float:
-    errs = total = 0
+def error_counts(preds: List[str], refs: List[str]) -> tuple:
+    """(word_errs, word_total, char_errs, char_total) — the corpus-level
+    sufficient statistics, so multi-host eval can sum counts across
+    processes instead of averaging per-process rates (which would weight
+    processes, not utterances)."""
+    we = wt = ce = ct = 0
     for p, r in zip(preds, refs):
         rw, pw = r.split(), p.split()
-        errs += edit_distance(rw, pw)
-        total += len(rw)
-    return errs / max(total, 1)
+        we += edit_distance(rw, pw)
+        wt += len(rw)
+        ce += edit_distance(list(r), list(p))
+        ct += len(r)
+    return we, wt, ce, ct
+
+
+def word_error_rate(preds: List[str], refs: List[str]) -> float:
+    we, wt, _, _ = error_counts(preds, refs)
+    return we / max(wt, 1)
 
 
 def char_error_rate(preds: List[str], refs: List[str]) -> float:
-    errs = total = 0
-    for p, r in zip(preds, refs):
-        errs += edit_distance(list(r), list(p))
-        total += len(r)
-    return errs / max(total, 1)
+    _, _, ce, ct = error_counts(preds, refs)
+    return ce / max(ct, 1)

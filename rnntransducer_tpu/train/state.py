@@ -269,6 +269,13 @@ def watch_step(cfg: Config, params, batch, rng, loss_backend: str = "auto",
     ``{"params": {name: (counts, edges)}, "grads": {...}}``.
     """
     model = build_model(cfg)
+    accum = cfg.train.accumulate_grad_batches
+    if accum > 1:
+        # histogram ONE microbatch: train_step scans microbatches so only
+        # one microbatch's activations are ever live, but a grad over the
+        # full accum*micro batch would hold accum x that activation HBM —
+        # OOM on configs tuned so a training microbatch fills the chip
+        batch = jax.tree.map(lambda a: a[: a.shape[0] // accum], batch)
     grads = jax.grad(
         lambda p: loss_fn(model, cfg, p, batch, rng, deterministic=False,
                           loss_backend=loss_backend))(params)

@@ -198,4 +198,62 @@ zsum = float(jnp.sum(jax.tree.leaves(st_z.opt_state)[1]))
 assert rsum == zsum, (rsum, zsum)
 print(f"LOCKSTEP zero ckpt roundtrip ok {rsum:.6f}", flush=True)
 
+# ---- multi-host validation: Trainer.validate() over the process-spanning --
+# mesh must (a) run at all (it fetches only locally-addressable rows and
+# allgathers corpus statistics), (b) agree across processes (LOCKSTEP), and
+# (c) match an independent single-device reference computed from the same
+# replicated params — covering every utterance exactly once.
+from rnntransducer_tpu.data import SyntheticAudioDataset as _SDS
+from rnntransducer_tpu.decode import greedy_decode
+from rnntransducer_tpu.train.metrics import error_counts
+from rnntransducer_tpu.train.state import eval_step
+
+val_ds = _SDS(10, AudioConfig(), min_sec=0.3, max_sec=1.0,
+              min_labels=3, max_labels=8, seed=5)
+cfg_v = dataclasses.replace(cfg, train=dataclasses.replace(
+    cfg.train, per_device_eval_batch_size=1, checkpoint_dir=ckpt_dir + "_v"))
+trainer_v = Trainer(cfg_v, ds, val_dataset=val_ds)
+got = trainer_v.validate()
+print(f"LOCKSTEP val loss {got['val_loss']:.5f} wer {got['val_wer']:.5f} "
+      f"cer {got['val_cer']:.5f}", flush=True)
+
+# independent reference: same replicated params, one local device, full
+# (unsliced) batches through the same sampler/collate/decode
+params_h = jax.tree.map(np.asarray, trainer_v.state.params)
+# the eval loop's global batch: per_device_eval_batch_size * data shards
+vb = cfg_v.train.per_device_eval_batch_size * trainer_v.n_data_shards
+vs = LengthBucketSampler(val_ds.lengths(), cfg.data.audio_buckets, vb,
+                         seed=cfg.train.seed, shuffle=False,
+                         label_lengths=val_ds.label_lengths(),
+                         max_label_length=cfg.data.label_buckets[-1])
+loss_sum = loss_n = 0
+preds, refs = [], []
+for b_idx, idxs, n_valid in vs.epoch_batches(0):
+    items = [val_ds[i] for i in idxs]
+    max_u = int(max(val_ds.label_lengths()[i] for i in idxs))
+    b = collate(items, max_frames=cfg.data.audio_buckets[b_idx],
+                max_labels=trainer_v._label_bucket_for(max_u),
+                pad_id=cfg.data.text.pad_token_id)
+    per = np.asarray(eval_step(cfg_v, params_h, b, reduction="none"))
+    loss_sum += float(per[:n_valid].sum())
+    loss_n += n_valid
+    toks, lens = greedy_decode(
+        trainer_v.model, {"params": params_h}, b["feats"],
+        b["feat_lengths"], blank_id=cfg.data.text.pad_token_id,
+        max_symbols=cfg.train.greedy_max_symbols,
+        max_output_len=max(cfg.data.label_buckets))
+    toks, lens = np.asarray(toks), np.asarray(lens)
+    for i in range(n_valid):
+        preds.append(trainer_v.tokenizer.decode(toks[i, :lens[i]],
+                                                group_tokens=False))
+        u = int(b["target_lengths"][i])
+        refs.append(trainer_v.tokenizer.decode(b["targets"][i, :u],
+                                               group_tokens=False))
+assert loss_n == len(val_ds), (loss_n, len(val_ds))
+we, wt, ce, ct = error_counts(preds, refs)
+np.testing.assert_allclose(got["val_loss"], loss_sum / loss_n, rtol=1e-5)
+np.testing.assert_allclose(got["val_wer"], we / max(wt, 1), atol=1e-9)
+np.testing.assert_allclose(got["val_cer"], ce / max(ct, 1), atol=1e-9)
+print("LOCKSTEP val reference ok", flush=True)
+
 print("WORKER_OK", flush=True)

@@ -217,6 +217,7 @@ def test_mesh_sharded_lanes_match_unsharded():
                                      AudioConfig(normalize=False),
                                      max_sessions=n, chunk_frames=16,
                                      max_symbols=2, mesh=mesh)
+    sharded.warmup()  # must handle lane-sharded operands (device_put path)
 
     def collect(runner):
         sessions = [runner.open(normalize="none") for _ in range(n)]
