@@ -27,7 +27,18 @@ Faithful reference quirks kept (documented):
 * the final ranking normalizes by ``len(y_star)`` which includes the initial
   blank (``transducer.py:360``);
 * duplicate hypotheses are not merged (scores are per-expansion, not
-  marginalized).
+  marginalized);
+* the cumulative completed-word LM score is read ONLY at word boundaries
+  (``transducer.py:185-202`` gates the ``cached_lm`` read on the delimiter
+  flag): a mid-word hypothesis is keyed by asr + partial-token score alone,
+  and a single-word utterance that never emits a delimiter reaches
+  ``finalize(is_eos=True)`` with ``flag False`` — its word gets only the
+  partial-token score.  pyctcdecode proper reads the cumulative score
+  unconditionally; kept as-is for reference parity;
+* a hypothesis ending in the delimiter scores its just-completed word with
+  BOTH the completed-hotword bonus and ``score_partial_token`` (the
+  reference does too, ``transducer.py:172-174,204-210``; pyctcdecode scores
+  the empty in-progress word as zero).
 
 Deliberate divergences from the reference (CTC-isms corrected for RNN-T):
 * hypothesis texts decode with ``group_tokens=False`` — the reference's

@@ -210,7 +210,11 @@ class NGramLM:
             new_state = prev_state
         else:
             lm_log10 = self.raw_score(prev_state or (), wid)
-            new_state = (tuple(prev_state or ()) + (wid,))[-(self.order - 1):]
+            # keep the last order-1 words; [-0:] would keep EVERYTHING, so
+            # an order-1 LM's state must be pinned to () explicitly
+            keep = self.order - 1
+            new_state = ((tuple(prev_state or ()) + (wid,))[-keep:]
+                         if keep > 0 else ())
         score = self.alpha * lm_log10 * _LOG10 + self.beta
         if is_last_word and self._eos >= 0:
             score += self.alpha * self.raw_score(new_state, self._eos) * _LOG10

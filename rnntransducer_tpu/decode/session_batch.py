@@ -228,6 +228,19 @@ class BatchedSession:
         toks, total = self._runner.slot_tokens(self.slot)
         return [int(t) for t in toks[:total]]
 
+    def abort(self) -> None:
+        """Free the slot WITHOUT the final drain — for abnormal client
+        termination (disconnect mid-stream, protocol error).  Idempotent;
+        a session that was already flushed is a no-op.  Without this, every
+        abnormally-ended connection would leak its slot permanently (only
+        flush() releases) until no new session can open."""
+        if self._closed:
+            return
+        self._closed = True
+        with self._runner._state_lock:
+            self._feat_buf = self._feat_buf[:0]
+        self._runner._release(self)
+
 
 class BatchedStreamingRunner:
     def __init__(self, model: RNNTransducer, variables,

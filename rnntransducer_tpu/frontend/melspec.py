@@ -155,10 +155,7 @@ class LogMelFrontend:
     computations are shared across instances with equal configs."""
 
     def __init__(self, cfg: AudioConfig):
-        self.cfg = cfg
-        self.window = jnp.asarray(WINDOWS[cfg.window](cfg.win_length))
-        self.fb = jnp.asarray(mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels,
-                                             cfg.sample_rate))
+        self.cfg = cfg  # _logmel derives window + filterbank from this
 
     def __call__(self, wav, wav_lengths=None):
         """wav: (B, S) float32 PCM at cfg.sample_rate."""

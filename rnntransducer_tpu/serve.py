@@ -214,6 +214,7 @@ class Recognizer:
             kw.setdefault("improved", self.cfg.inference.improved)
             kw.setdefault("state_beam", self.cfg.inference.state_beam)
             kw.setdefault("expand_beam", self.cfg.inference.expand_beam)
+        kw.setdefault("max_output_len", self.max_output_len)
         return StreamingRecognizer(
             self.model, self.variables, self.cfg.data.audio,
             blank_id=self.tokenizer.blank_token_id,

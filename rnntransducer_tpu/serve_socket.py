@@ -33,6 +33,7 @@ CLI: ``python -m rnntransducer_tpu.serve_socket --checkpoint_dir ckpts
 
 from __future__ import annotations
 
+import contextlib
 import json
 import socket
 import struct
@@ -117,48 +118,66 @@ class StreamingServer:
             except Exception as e:  # e.g. bidirectional encoder, slots full
                 conn.sendall((json.dumps({"error": str(e)}) + "\n").encode())
                 return
+            # batched sessions synchronize through the runner's own
+            # tick/state locks — the point of continuous batching is that
+            # other connections keep buffering and polling while a tick is
+            # in flight, so the process-wide device lock must NOT wrap them
+            # (it would serialize all lanes).  Unbatched B=1 sessions share
+            # the chip with no internal locking and keep it.
+            lock = (contextlib.nullcontext() if self._runner is not None
+                    else self._device_lock)
             beam = getattr(sess, "decoder", "greedy") == "beam"
             emitted: list = []  # greedy partials accumulate from feed()'s
             # returns; a .tokens poll would re-fetch the whole buffer per
             # chunk (one extra device round trip)
-            while True:
-                hdr = _recv_exact(conn, 4)
-                if hdr is None:
-                    return  # client vanished mid-stream: no final
-                (n,) = struct.unpack("<i", hdr)
-                if n <= 0:
-                    break  # end of stream
-                payload = _recv_exact(conn, n)
-                if payload is None:
-                    return
-                if n % 2:
-                    conn.sendall((json.dumps(
-                        {"error": f"odd payload length {n}: samples are "
-                                  "int16"}) + "\n").encode())
-                    return
-                pcm = np.frombuffer(payload, dtype="<i2").astype(np.float32)
-                pcm /= 32768.0
-                with self._device_lock:
-                    emitted += sess.feed(pcm)
-                    toks = sess.tokens if beam else emitted
-                    partial = self.recognizer._decode_text(toks)
-                conn.sendall((json.dumps({"partial": partial}) + "\n")
-                             .encode())
-            with self._device_lock:
-                fin = sess.flush()
-                # flush() frees a batched session's slot, so .tokens must
-                # never be read afterwards (another connection's open() can
-                # reuse the slot).  For beam, flush() returns the final
-                # ranked-best sequence; for greedy, the trailing emission.
-                if beam:
-                    tokens = list(fin)
-                else:
-                    emitted += fin
-                    tokens = list(emitted)
-                final = self.recognizer._decode_text(tokens)
-            conn.sendall((json.dumps(
-                {"final": final, "tokens": [int(t) for t in tokens]}) + "\n")
-                .encode())
+            try:
+                while True:
+                    hdr = _recv_exact(conn, 4)
+                    if hdr is None:
+                        return  # client vanished mid-stream: no final
+                    (n,) = struct.unpack("<i", hdr)
+                    if n <= 0:
+                        break  # end of stream
+                    payload = _recv_exact(conn, n)
+                    if payload is None:
+                        return
+                    if n % 2:
+                        conn.sendall((json.dumps(
+                            {"error": f"odd payload length {n}: samples are "
+                                      "int16"}) + "\n").encode())
+                        return
+                    pcm = np.frombuffer(payload, dtype="<i2")
+                    pcm = pcm.astype(np.float32) / 32768.0
+                    with lock:
+                        emitted += sess.feed(pcm)
+                        toks = sess.tokens if beam else emitted
+                        partial = self.recognizer._decode_text(toks)
+                    conn.sendall((json.dumps({"partial": partial}) + "\n")
+                                 .encode())
+                with lock:
+                    fin = sess.flush()
+                    # flush() frees a batched session's slot, so .tokens
+                    # must never be read afterwards (another connection's
+                    # open() can reuse the slot).  For beam, flush() returns
+                    # the final ranked-best; for greedy, the trailing
+                    # emission.
+                    if beam:
+                        tokens = list(fin)
+                    else:
+                        emitted += fin
+                        tokens = list(emitted)
+                    final = self.recognizer._decode_text(tokens)
+                conn.sendall((json.dumps(
+                    {"final": final,
+                     "tokens": [int(t) for t in tokens]}) + "\n").encode())
+            finally:
+                # abnormal exit paths (disconnect, protocol error, feed
+                # exception) must still free a batched session's slot —
+                # otherwise each one leaks a lane until no client can
+                # connect.  No-op after a clean flush().
+                abort = getattr(sess, "abort", None)
+                if abort is not None:
+                    abort()
         except (ConnectionError, BrokenPipeError):
             pass
         except Exception as e:

@@ -84,6 +84,12 @@ class GraphemeTokenizer:
         ids = []
         for ch in text:
             if ch == " ":
+                if self.word_delimiter_token_id is None:
+                    # fail here, not as a TypeError deep in the data
+                    # pipeline when a None id hits an int array
+                    raise ValueError(
+                        "text contains spaces but the vocab has no "
+                        f"word-delimiter token {self.word_delimiter_token!r}")
                 ids.append(self.word_delimiter_token_id)
             else:
                 ids.append(self.vocab.get(ch, self.unk_token_id))

@@ -119,7 +119,10 @@ def export_transcriber(cfg: Config, params, out_dir: str, *,
     programs = []
     for frames in sorted(set(int(t) for t in frame_buckets)):
         if input_kind == "wav":
-            samples = (frames - 1) * hop
+            # the full sample range of the bucket: num_frames = S//hop + 1,
+            # so frames admits S up to frames*hop - 1; anything shorter
+            # would truncate the longest utterances' final ~hop samples
+            samples = frames * hop - 1
 
             def fn(wav, wav_lengths):
                 feats, feat_lengths = LogMelFrontend(cfg.data.audio)(
@@ -299,7 +302,7 @@ class ExportedTranscriber:
             lens = [len(w) if kind == "wav" else w.shape[0] for w in group]
             if kind == "wav":
                 frames = self._bucket_for(max(lens) // hop + 1)
-                width = (frames - 1) * hop
+                width = frames * hop - 1  # matches the exported shape
                 batch = np.zeros((B, width), np.float32)
                 for i, w in enumerate(group):
                     batch[i, :min(len(w), width)] = w[:width]

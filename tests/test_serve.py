@@ -290,3 +290,48 @@ def test_streaming_socket_server_lm_fusion(tmp_path):
 
     with pytest.raises(ValueError, match="no LM/hotword fusion"):
         StreamingServer(rec, port=0, batch_sessions=4)
+
+
+def test_abnormal_disconnect_frees_batched_slot(tmp_path):
+    """A client that vanishes mid-stream (no end marker, no flush) must not
+    leak its batched-session slot: with batch_sessions=1, a clean second
+    connection must still be served."""
+    import socket
+    import struct
+    import time
+
+    from rnntransducer_tpu.serve_socket import StreamingServer, stream_wav
+
+    cfg = _cfg(tmp_path)
+    ds = SyntheticAudioDataset(4, AudioConfig(), min_sec=0.3, max_sec=0.6,
+                               min_labels=3, max_labels=6, seed=5)
+    trainer = Trainer(cfg, ds, val_dataset=None)
+    trainer.fit()
+    trainer.ckpt.close()
+
+    rec = Recognizer.from_checkpoint(str(tmp_path / "ckpt"), decoder="greedy")
+    rng = np.random.RandomState(6)
+    wav = rng.randn(8000).astype(np.float32) * 0.1
+
+    with StreamingServer(rec, port=0, chunk_frames=16,
+                         batch_sessions=1) as server:
+        runner = server._runner
+        for attempt in ("disconnect", "odd_payload"):
+            with socket.socket() as s:  # abnormal client
+                s.connect(("127.0.0.1", server.port))
+                pcm16 = np.clip(wav[:1600] * 32768, -32768,
+                                32767).astype("<i2")
+                chunk = pcm16.tobytes()
+                if attempt == "odd_payload":
+                    chunk = chunk[:-1]  # protocol error path
+                s.sendall(struct.pack("<i", len(chunk)) + chunk)
+                if attempt == "disconnect":
+                    s.recv(4096)  # one partial, then vanish (no end marker)
+            deadline = time.time() + 10
+            while time.time() < deadline and len(runner._free) == 0:
+                time.sleep(0.05)
+            assert len(runner._free) == 1, attempt  # slot reclaimed
+
+        # the slot serves a clean session afterwards
+        partials, final = stream_wav("127.0.0.1", server.port, wav)
+        assert final["tokens"], final
