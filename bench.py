@@ -85,11 +85,13 @@ def step_model_flops(cfg, batch: int, t_frames: int, u_labels: int) -> float:
         fwd += 2 * batch * u1 * pg * Hp * (in_p + Hp)
         in_p = Hp
     fwd += 2 * batch * u1 * Hp * pn.output_size
-    # rank-decomposed concat joint: per-side projections + lattice classifier
-    Hj, V = jn.hidden_size, jn.num_classes
-    fwd += 2 * batch * t_frames * tn.output_size * Hj
-    fwd += 2 * batch * u1 * pn.output_size * Hj
-    fwd += 2 * batch * t_frames * u1 * Hj * V
+    # rank-decomposed concat joint (models/joint.py factors): each side
+    # projects straight to V through its slice of the fc kernel — there is
+    # NO (B,T,U,*) lattice GEMM at all (the lattice only sees the O(V)
+    # broadcast-add inside the loss), so the model must not count one.
+    V = jn.num_classes
+    fwd += 2 * batch * t_frames * tn.output_size * V
+    fwd += 2 * batch * u1 * pn.output_size * V
     return 3.0 * fwd
 
 

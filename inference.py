@@ -85,6 +85,16 @@ def main():
     args.lm_weight = pick(args.lm_weight, inf.lm_weight)
     args.hotwords = pick(args.hotwords, list(inf.hotwords) or None)
     args.hotword_weight = pick(args.hotword_weight, inf.hotword_weight)
+    if args.decoder != "beam" and (args.lm_path or args.hotwords):
+        # fusion lives in the host A/B-set decoder only; refusing beats
+        # silently transcribing without the LM.  Checked AFTER the merge so
+        # a checkpoint-persisted lm_path/hotwords is caught too, not only
+        # CLI flags (pass --lm_path '' to override a persisted LM path).
+        raise SystemExit(
+            f"--decoder {args.decoder} has no LM/hotword fusion (fusion "
+            "runs in the host beam). Use --decoder beam, or drop the "
+            "LM/hotword flags (pass --lm_path '' to override a "
+            "checkpoint-persisted LM path).")
     tok = (GraphemeTokenizer.from_file(args.vocab_path or cfg.vocab_path)
            if (args.vocab_path or cfg.vocab_path)
            else GraphemeTokenizer.default(cfg.model.jointnet.num_classes))
@@ -108,16 +118,8 @@ def main():
     wavs = [read_wav(p, cfg.data.audio.sample_rate) for p in args.wav]
 
     if args.stream:
-        if (args.lm_path or args.hotwords) and args.decoder == "beam_batched":
-            # fusion lives in the host A/B-set decoder (decoder=beam); the
-            # device batched beam has none — refusing beats silently
-            # transcribing without the LM the user asked for (these flags may
-            # also arrive via the checkpoint's persisted InferenceConfig)
-            raise SystemExit(
-                "--stream --decoder beam_batched has no LM/hotword fusion "
-                "(fusion runs in the host beam). Use --decoder beam, or drop "
-                "--lm_path/--hotwords (pass --lm_path '' to override a "
-                "checkpoint-persisted LM path).")
+        # (decoder/fusion consistency — incl. checkpoint-persisted LM
+        # paths — was checked right after the InferenceConfig merge above)
         lm = None
         if args.lm_path:
             from rnntransducer_tpu.decode.ngram_lm import NGramLM

@@ -101,8 +101,16 @@ class CheckpointManager:
         self._mgr.wait_until_finished()
         pending, self._pending = self._pending, []
         import jax
-        if jax.process_index() != 0:
-            return  # retention bookkeeping is process-0 work (shared FS)
+
+        # EVERY process must run the delete loop: orbax's delete() ends in a
+        # multihost sync_global_processes barrier, so a process-0-only call
+        # would leave the other processes' coordination service waiting on a
+        # barrier they never join.  The pruning decision is deterministic
+        # across processes — the ledger file is read after the
+        # wait_until_finished() global sync (which orders it after process
+        # 0's previous atomic write), and val metrics are allgathered, so
+        # every process computes the same `keep` set.  Only process 0
+        # mutates the ledger file (shared FS).
         ledger = self._read_ledger()
         for step, metrics in pending:
             ledger[int(step)] = {k: float(v) for k, v in metrics.items()}
@@ -111,10 +119,14 @@ class CheckpointManager:
             if s not in keep:
                 try:
                     self._mgr.delete(s)
+                except FileNotFoundError:
+                    pass  # files already gone (crash between a past delete
+                    # and its ledger write): dropping the entry IS the retry
                 except Exception:
-                    continue  # keep the ledger entry; retry next save
+                    continue  # transient FS error: keep the entry, retry
                 del ledger[s]
-        self._write_ledger(ledger)
+        if jax.process_index() == 0:
+            self._write_ledger(ledger)
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         self.wait()  # an in-flight save may be the step being restored

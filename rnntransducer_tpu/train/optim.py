@@ -15,15 +15,18 @@ from rnntransducer_tpu.config import TrainConfig
 
 
 def onecycle_schedule(cfg: TrainConfig) -> optax.Schedule:
-    # optax divides by int(transition_steps * pct_start); if that truncates to
-    # zero (tiny max_steps) every lr is NaN — stretch the schedule so the
-    # warmup phase is at least one step.
-    import math
-    min_steps = int(math.ceil(1.0 / max(cfg.warmup_ratio, 1e-6)))
+    # optax divides by int(transition_steps * pct_start); if that truncates
+    # to zero every lr of the run is NaN — hit by tiny max_steps AND by
+    # warmup_ratio == 0 ("no warmup": int(N*0.0) == 0 for any N).  Pin the
+    # warmup phase to an exact whole number of steps >= 1 instead: the +0.5
+    # makes int(steps * pct) == warmup regardless of float rounding, and the
+    # schedule still completes within the run (no stretching).
+    steps = max(cfg.max_steps, 2)
+    warmup = min(max(int(steps * cfg.warmup_ratio), 1), steps - 1)
     return optax.cosine_onecycle_schedule(
-        transition_steps=max(cfg.max_steps, min_steps),
+        transition_steps=steps,
         peak_value=cfg.learning_rate,
-        pct_start=cfg.warmup_ratio,
+        pct_start=(warmup + 0.5) / steps,
         div_factor=cfg.div_factor,
         final_div_factor=cfg.final_div_factor,
     )

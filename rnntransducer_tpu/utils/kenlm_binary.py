@@ -57,7 +57,14 @@ def chain_hash(ids: List[int]) -> int:
 
 
 def _buckets(entries: int, multiplier: float) -> int:
-    return max(entries + 1, int(multiplier * entries))
+    # float32 on purpose: real kenlm (and native/ngram_lm.cpp KenlmBuckets)
+    # computes (uint64)(multiplier * (float)entries) in SINGLE precision —
+    # double math here would disagree by one slot once entries exceeds
+    # float32's 2^23 integer spacing (~5.6M n-grams), misaligning every
+    # table after the first oversized one.
+    import numpy as np
+    scaled = int(np.float32(multiplier) * np.float32(entries))
+    return max(entries + 1, scaled)
 
 
 def _place(table: List[Tuple[int, bytes]], buckets: int,

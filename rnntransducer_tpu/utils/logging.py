@@ -19,18 +19,30 @@ from typing import Optional
 class MetricsLogger:
     def __init__(self, log_dir: Optional[str] = None, name: str = "metrics",
                  stdout: bool = True, wandb_project: Optional[str] = None):
+        # multi-host: metrics are identical on every process (losses psum,
+        # eval stats allgathered), and log_dir is a shared FS by the same
+        # assumption checkpointing makes — so only process 0 writes the
+        # jsonl / wandb mirror, or every record lands N times, interleaved.
+        # stdout keeps printing everywhere (per-process logs are per-file).
+        primary = True
+        try:
+            import jax
+            primary = jax.process_index() == 0
+        except Exception:
+            pass
         self.stdout = stdout
         self._fh = None
         self._hist_fh = None
-        self._log_dir = log_dir
-        if log_dir:
-            os.makedirs(log_dir, exist_ok=True)
-            self._fh = open(os.path.join(log_dir, f"{name}.jsonl"), "a")
+        self._log_dir = log_dir if primary else None
+        if self._log_dir:
+            os.makedirs(self._log_dir, exist_ok=True)
+            self._fh = open(os.path.join(self._log_dir, f"{name}.jsonl"),
+                            "a")
         self._t0 = time.time()
         # optional W&B mirror (the reference's WandbLogger, train.py:15);
         # gated: wandb isn't a dependency of this framework
         self._wandb = None
-        if wandb_project:
+        if wandb_project and primary:
             try:
                 import wandb
                 self._wandb = wandb

@@ -198,6 +198,22 @@ zsum = float(jnp.sum(jax.tree.leaves(st_z.opt_state)[1]))
 assert rsum == zsum, (rsum, zsum)
 print(f"LOCKSTEP zero ckpt roundtrip ok {rsum:.6f}", flush=True)
 
+# ---- multi-host top-k pruning: orbax delete() ends in a global barrier ----
+# that every process must join — saves that push a step out of top-k must
+# not deadlock or desynchronize the coordination service.
+from rnntransducer_tpu.train.checkpoint import CheckpointManager
+
+prune_dir = os.path.join(os.path.dirname(ckpt_dir), "prune_shared")
+cm = CheckpointManager(prune_dir, save_top_k=1, monitor="val_cer")
+st_small = {"w": jnp.ones((4,))}
+cm.save(1, st_small, metrics={"val_cer": 0.5})
+cm.save(2, st_small, metrics={"val_cer": 0.9})  # prunes nothing (2 = latest)
+cm.save(3, st_small, metrics={"val_cer": 0.1})  # prunes 1 and 2 -> barrier
+kept = sorted(cm._mgr.all_steps())
+cm.close()
+print(f"LOCKSTEP prune kept {kept}", flush=True)
+assert kept == [3], kept
+
 # ---- multi-host validation: Trainer.validate() over the process-spanning --
 # mesh must (a) run at all (it fetches only locally-addressable rows and
 # allgathers corpus statistics), (b) agree across processes (LOCKSTEP), and

@@ -295,7 +295,9 @@ def test_fit_raw_pcm_waveform_dataset(tmp_path):
     # wav collation respects the frame-bucket <-> sample-bucket mapping:
     # every produced batch's wav length fits the configured frame buckets
     hop = cfg.data.audio.hop_length
-    allowed = {(fb - 1) * hop for fb in cfg.data.audio_buckets}
+    # largest S with num_frames(S) = S//hop + 1 <= fb: no admitted
+    # utterance loses samples to the static wav bucket
+    allowed = {fb * hop - 1 for fb in cfg.data.audio_buckets}
     for batch in trainer._host_batches(ds, epoch=0, batch_size=2):
         assert "wav" in batch and "feats" not in batch
         assert batch["wav"].shape[1] in allowed

@@ -135,24 +135,39 @@ def main():
             # only process 0 preprocesses (a bare isdir check would race on a
             # shared filesystem), others poll for the markers
             import time as _time
+            import os as _os
             splits = ("train", "dev", "eval_clean", "eval_other")
+            # the all-splits marker, not per-split _SUCCESS: waiting on
+            # train/_SUCCESS alone would release the other processes while
+            # process 0 is still writing the dev shards they load next
+            done_marker = _os.path.join(args.pl_data_dir, "_PREPARED")
             if jax.process_index() == 0:
-                for split in splits:
-                    try:
-                        prepare_logmel_dataset(
-                            args.hf_data_dirs, args.pl_data_dir, split,
-                            cfg.data.audio, num_shards=(
-                                args.num_shards if split == "train" else 1),
-                            num_proc=args.num_proc or 1)
-                    except FileNotFoundError:
-                        print(f"[prepare] no source for split '{split}', "
-                              f"skipping")
+                if not _os.path.exists(done_marker):
+                    for split in splits:
+                        try:
+                            prepare_logmel_dataset(
+                                args.hf_data_dirs, args.pl_data_dir, split,
+                                cfg.data.audio, num_shards=(
+                                    args.num_shards if split == "train"
+                                    else 1),
+                                num_proc=args.num_proc or 1)
+                        except FileNotFoundError:
+                            print(f"[prepare] no source for split "
+                                  f"'{split}', skipping")
+                    _os.makedirs(args.pl_data_dir, exist_ok=True)
+                    with open(done_marker, "w") as f:
+                        f.write("ok\n")
             else:
-                import os as _os
-                needed = _os.path.join(args.pl_data_dir, "train", "_SUCCESS")
-                while not _os.path.exists(needed):
+                waited = 0
+                while not _os.path.exists(done_marker):
                     _time.sleep(10)  # the reference used a 30-day DDP
-                    # timeout for the same wait (train.py:41-45)
+                    # timeout for the same wait (train.py:41-45); log so a
+                    # crashed process 0 is diagnosable, not a silent hang
+                    waited += 10
+                    if waited % 600 == 0:
+                        print(f"[prepare] waiting on process 0 "
+                              f"({waited // 60} min): {done_marker}",
+                              flush=True)
         train_ds = ArrowAudioDataset([args.pl_data_dir], "train")
         val_ds = ArrowAudioDataset([args.pl_data_dir], "dev")
 
