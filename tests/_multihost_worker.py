@@ -205,7 +205,11 @@ from rnntransducer_tpu.train.checkpoint import CheckpointManager
 
 prune_dir = os.path.join(os.path.dirname(ckpt_dir), "prune_shared")
 cm = CheckpointManager(prune_dir, save_top_k=1, monitor="val_cer")
-st_small = {"w": jnp.ones((4,))}
+# orbax refuses host-local arrays in a multi-host setting: replicate over
+# the process-spanning mesh like real train state
+st_small = {"w": jax.make_array_from_process_local_data(
+    jax.sharding.NamedSharding(trainer.mesh, P()),
+    np.ones((4,), np.float32))}
 cm.save(1, st_small, metrics={"val_cer": 0.5})
 cm.save(2, st_small, metrics={"val_cer": 0.9})  # prunes nothing (2 = latest)
 cm.save(3, st_small, metrics={"val_cer": 0.1})  # prunes 1 and 2 -> barrier
