@@ -88,34 +88,72 @@ def mean_var_normalize(wav, wav_lengths=None, eps: float = 1e-7):
     return jnp.where(mask, out, 0.0)
 
 
+def _strided_frames(wav, n_fft: int, hop_length: int):
+    """(B, S) -> (B, frames, n_fft) center/reflect frames with NO gather:
+    concatenate shifted views of the hop-reshaped padded signal.  TPU lowers
+    per-element gathers to serial dynamic-slices (measured ~100x slower than
+    this at the flagship raw-PCM shape, experiments/perf_frontend.py)."""
+    B, S = wav.shape
+    pad = n_fft // 2
+    F = num_frames(S, hop_length)
+    x = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+    # rows of length hop; frame i needs rows i .. i + ceil(n_fft/hop)
+    n_rows = F + -(-n_fft // hop_length)
+    total = n_rows * hop_length
+    if x.shape[1] < total:
+        x = jnp.pad(x, ((0, 0), (0, total - x.shape[1])))
+    xr = x[:, :total].reshape(B, n_rows, hop_length)
+    shifts = [xr[:, i:i + F] for i in range(-(-n_fft // hop_length))]
+    return jnp.concatenate(shifts, axis=2)[:, :, :n_fft]
+
+
 def frame_signal(wav, n_fft: int, hop_length: int, lengths=None):
     """(B, S) -> (B, frames, n_fft) frames with center/reflect padding.
 
     With ``lengths``, reflection happens at each utterance's TRUE tail (not
     the batch zero-padding), so the last valid frames of shorter-than-max
     utterances match the per-utterance offline/streaming pipelines exactly.
-    Frames beyond an utterance's valid frame count contain mirror garbage and
-    must be masked downstream (they are, via frame lengths)."""
+    Frames beyond an utterance's valid frame count contain garbage (batch
+    padding / mirror values) and must be masked downstream (they are, via
+    frame lengths).
+
+    Implementation: the strided no-gather framing over the zero-padded batch
+    is exact for every valid frame EXCEPT the <=2 per utterance whose window
+    crosses its true tail (reads past L-1 must reflect at the tail, not read
+    batch padding); those are recomputed with an exact tiny gather
+    (B x n_fix x n_fft elements) and merged back — O(B*S) traffic instead of
+    the O(B*frames*n_fft) full gather this replaces."""
     B, S = wav.shape
     pad = n_fft // 2
     n_frm = num_frames(S, hop_length)
+    frames = _strided_frames(wav, n_fft, hop_length)
     if lengths is None:
-        x = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
-        idx = (jnp.arange(n_frm)[:, None] * hop_length
-               + jnp.arange(n_fft)[None, :])
-        return x[:, idx]
-    pos = (jnp.arange(n_frm)[:, None] * hop_length
-           + jnp.arange(n_fft)[None, :] - pad)         # signal coords
-    L = jnp.maximum(lengths.astype(jnp.int32), 1)[:, None, None]
-    p = jnp.broadcast_to(pos[None], (B, n_frm, n_fft))
-    p = jnp.abs(p)                                     # reflect at 0
-    over = p - (L - 1)
-    p = jnp.where(over > 0, L - 1 - over, p)           # reflect at L-1
+        return frames
+    L = jnp.maximum(lengths.astype(jnp.int32), 1)      # (B,)
+    # Valid frames run to i = L//hop; a window crosses the tail when
+    # i*hop + n_fft-1 - pad >= L, i.e. i >= ceil((L+1-(n_fft-pad))/hop)
+    # >= L//hop - 1 for hop <= n_fft-pad < 2*hop — at most the last two
+    # valid frames.  n_fix covers them with one frame of slack (the extra
+    # recompute is a no-op: frames that don't cross the tail reproduce the
+    # strided values exactly).
+    n_fix = (n_fft - pad) // hop_length + 2
+    j = jnp.arange(n_fix, dtype=jnp.int32)
+    fidx = jnp.clip(L[:, None] // hop_length - j[None, :], 0, n_frm - 1)
+    # exact framing for just those frames (same index math as the full
+    # gather this path used to do over every frame)
+    pos = (fidx[:, :, None] * hop_length
+           + jnp.arange(n_fft, dtype=jnp.int32)[None, None, :] - pad)
+    Lb = L[:, None, None]
+    p = jnp.abs(pos)                                   # reflect at 0
+    over = p - (Lb - 1)
+    p = jnp.where(over > 0, Lb - 1 - over, p)          # reflect at L-1
     p = jnp.clip(p, 0, S - 1)
-    # per-sample gather via vmap: indexing a broadcast_to(wav, (B,F,S))
-    # operand would materialize O(B*frames*S) HBM (gigabytes for seconds of
-    # audio) instead of O(B*S)
-    return jax.vmap(lambda w, idx: w[idx])(wav, p)
+    fixed = jax.vmap(lambda w, idx: w[idx])(wav, p)    # (B, n_fix, n_fft)
+    iota = jnp.arange(n_frm, dtype=jnp.int32)[None, :, None]
+    for k in range(n_fix):
+        sel = iota == fidx[:, k][:, None, None]
+        frames = jnp.where(sel, fixed[:, k][:, None, :], frames)
+    return frames
 
 
 def stft_power(wav, n_fft: int, hop_length: int, window: jnp.ndarray,

@@ -61,27 +61,12 @@ def _dft_mats(n_fft: int, window: str, n_mels: int, sample_rate: int):
 
 
 def _frame_signal(wav, n_fft: int, hop: int, lengths=None):
-    """(B, S) -> (B, F, n_fft) frames with center/reflect padding.
-
-    Full-length batches use shifted views of the hop-reshaped signal (no
-    gather); with per-sample lengths the shared gather-based framing reflects
-    at each utterance's true tail (melspec.frame_signal)."""
-    if lengths is not None:
-        from rnntransducer_tpu.frontend.melspec import frame_signal
-        return frame_signal(wav, n_fft, hop, lengths)
-    B, S = wav.shape
-    pad = n_fft // 2
-    F = num_frames(S, hop)
-    x = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
-    # rows of length hop; frame i needs rows i .. i + ceil(n_fft/hop)
-    n_rows_needed = F + -(-n_fft // hop)
-    total = n_rows_needed * hop
-    if x.shape[1] < total:
-        x = jnp.pad(x, ((0, 0), (0, total - x.shape[1])))
-    xr = x[:, :total].reshape(B, n_rows_needed, hop)
-    shifts = [xr[:, i:i + F] for i in range(-(-n_fft // hop))]
-    frames = jnp.concatenate(shifts, axis=2)[:, :, :n_fft]
-    return frames
+    """(B, S) -> (B, F, n_fft) frames with center/reflect padding — the
+    shared no-gather framing (melspec.frame_signal: strided shifted views,
+    plus an exact tiny-gather fixup of the <=2 tail-crossing frames per
+    utterance when per-sample lengths are given)."""
+    from rnntransducer_tpu.frontend.melspec import frame_signal
+    return frame_signal(wav, n_fft, hop, lengths)
 
 
 def _dot3(x, w):

@@ -239,3 +239,32 @@ def test_frontend_instances_share_compilation():
     misses0 = _logmel._cache_size()
     b = LogMelFrontend(AudioConfig())(wav)  # equal config, new instance
     assert _logmel._cache_size() == misses0
+
+
+def test_frame_signal_lengths_matches_full_gather_oracle():
+    """frame_signal's no-gather framing + tail fixup must equal the
+    reflect-everywhere full gather it replaced (perf: the full gather
+    serialized on TPU) on every VALID frame, for lengths on and off hop
+    boundaries, full-length, and shorter-than-window utterances."""
+    from rnntransducer_tpu.frontend.melspec import frame_signal
+
+    rng = np.random.RandomState(11)
+    B, S, n_fft, hop = 4, 1000, 400, 160
+    pad = n_fft // 2
+    wav = rng.randn(B, S).astype(np.float32)
+    lengths = np.array([1000, 480, 437, 61], np.int32)  # full, on-hop, off, <win
+    got = np.asarray(frame_signal(jnp.asarray(wav), n_fft, hop,
+                                  jnp.asarray(lengths)))
+    n_frm = num_frames(S, hop)
+    assert got.shape == (B, n_frm, n_fft)
+    pos = (np.arange(n_frm)[:, None] * hop
+           + np.arange(n_fft)[None, :] - pad)
+    for b in range(B):
+        L = max(int(lengths[b]), 1)
+        p = np.abs(pos)                      # reflect at 0
+        over = p - (L - 1)
+        p = np.where(over > 0, L - 1 - over, p)  # reflect at true tail
+        p = np.clip(p, 0, S - 1)
+        want = wav[b][p]
+        n_valid = L // hop + 1
+        np.testing.assert_array_equal(got[b, :n_valid], want[:n_valid])
