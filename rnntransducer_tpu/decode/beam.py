@@ -94,6 +94,18 @@ def _predict_joint_step_k(model: RNNTransducer, variables, enc_t, tokens,
     return jax.nn.log_softmax(logits, axis=-1), new_state
 
 
+@partial(jax.jit, static_argnames=("model",))
+def _predict_joint_step_rows(model: RNNTransducer, variables, enc_rows,
+                             tokens, state):
+    """Like ``_predict_joint_step_k`` but with a PER-ROW encoder frame:
+    enc_rows (K, De) — rows from different lanes/frames score in one call
+    (the multilane pump, ``decode_frames_multilane``)."""
+    dec_out, new_state = model.apply(variables, tokens, state,
+                                     method=model.predict_step)
+    logits = model.apply(variables, enc_rows, dec_out, method=model.joint_step)
+    return jax.nn.log_softmax(logits, axis=-1), new_state
+
+
 class _Hyp:
     __slots__ = ("asr_score", "y_star", "state", "lm_score", "lm_state",
                  "cache")
@@ -228,6 +240,76 @@ class BeamSearchDecoder:
                        None if nc is None else nc[:, :, i:i + 1])
             hyp.cache = (log_probs[i].astype(np.float64), state_i)
 
+    def _score_wave_multi(self, requests) -> None:
+        """Fulfill several lanes' wave requests with ONE padded device call.
+
+        requests: list of ``(hyps, enc_t)`` as yielded by ``_search_steps``
+        — each with its own encoder frame (lanes sit at different stream
+        positions).  Rows = all hypotheses concatenated, each against its
+        request's frame (``_predict_joint_step_rows``); per-row results are
+        identical to per-request ``_score_wave`` calls (pure function,
+        padding rows are discarded), so batching changes latency, not
+        tokens."""
+        if len(requests) == 1:
+            self._score_wave(*requests[0])
+            return
+        from rnntransducer_tpu.models.cells import RNNState
+        all_hyps: List[_Hyp] = []
+        enc_rows = []
+        for hyps, enc_t in requests:
+            all_hyps.extend(hyps)
+            enc_rows.append(np.broadcast_to(
+                np.asarray(enc_t), (len(hyps), np.asarray(enc_t).shape[-1])))
+        K = len(all_hyps)
+        Kp = 1 << (K - 1).bit_length()  # pad: bounded compile shapes
+        enc_cat = np.concatenate(enc_rows)
+        enc = np.zeros((Kp, enc_cat.shape[-1]), enc_cat.dtype)
+        enc[:K] = enc_cat
+        tokens = np.full((Kp,), self.blank_id, np.int32)
+        tokens[:K] = [h.y_star[-1] for h in all_hyps]
+        h0, c0 = all_hyps[0].state
+        h = np.zeros(h0.shape[:2] + (Kp,) + h0.shape[3:], np.float32)
+        c = None if c0 is None else np.zeros_like(h)
+        for i, hyp in enumerate(all_hyps):
+            h[:, :, i] = hyp.state[0][:, :, 0]
+            if c is not None:
+                c[:, :, i] = hyp.state[1][:, :, 0]
+        log_probs, new_state = _predict_joint_step_rows(
+            self.model, self.variables, enc, tokens, RNNState(h, c))
+        log_probs, nh, nc = jax.device_get(
+            (log_probs, new_state.h, new_state.c))
+        for i, hyp in enumerate(all_hyps):
+            state_i = (nh[:, :, i:i + 1],
+                       None if nc is None else nc[:, :, i:i + 1])
+            hyp.cache = (log_probs[i].astype(np.float64), state_i)
+
+    def decode_frames_multilane(self, lanes) -> None:
+        """Advance several independent sessions together, batching their
+        device work: ``lanes`` is a list of ``(session, enc_frames)`` pairs.
+
+        Each round advances every live lane's search to its next wave
+        request, then fulfills ALL pending requests in one padded device
+        call.  Per-lane results are bit-identical to calling
+        ``decode_frames(session, enc_frames)`` lane by lane (asserted by
+        tests); device calls per round drop from #lanes to 1.  This is what
+        makes LM/hotword fusion viable under continuous batching
+        (decode/session_batch.py) — the search and the LM stay host-side
+        per lane, but lanes no longer serialize on scoring round trips."""
+        gens = {i: self._search_steps(s, e) for i, (s, e) in enumerate(lanes)}
+        ready = list(gens)
+        while ready:
+            requests, owners = [], []
+            for i in ready:
+                try:
+                    requests.append(next(gens[i]))
+                    owners.append(i)
+                except StopIteration:
+                    pass  # lane finished its frames
+            if not requests:
+                break
+            self._score_wave_multi(requests)
+            ready = owners
+
     # ------------------------------------------------------------ session
     def open_session(self) -> "HostBeamSession":
         """Resumable search state: feed encoder frames in arbitrary chunk
@@ -273,6 +355,21 @@ class BeamSearchDecoder:
     def decode_frames(self, session: "HostBeamSession",
                       enc_frames: np.ndarray) -> None:
         """Advance the search over encoder frames (T, De), resumable."""
+        for wave, enc_t in self._search_steps(session, enc_frames):
+            self._score_wave(wave, enc_t)
+
+    def _search_steps(self, session: "HostBeamSession",
+                      enc_frames: np.ndarray):
+        """The search loop as a generator of device-scoring requests.
+
+        Yields ``(wave_hyps, enc_t)`` whenever the search needs a wave
+        scored; the consumer must fill each hypothesis's ``.cache`` with
+        ``(log_probs (V,), new_state)`` before resuming.  ``decode_frames``
+        pumps it with one device call per request; the multilane pump
+        (``decode_frames_multilane``) gathers requests from many sessions
+        into one batched call — scoring is a pure function of
+        (enc_t, last token, prednet state), so WHO fulfills a request never
+        changes the search."""
         cached_lm = session.cached_lm
         cached_partial = session.cached_partial
         B_hyps = session.B_hyps
@@ -306,8 +403,8 @@ class BeamSearchDecoder:
                     # most_prob_A goes in explicitly: under NaN scores the
                     # sort order is undefined and "max == top of sort" no
                     # longer holds — it must be scored regardless.
-                    self._score_wave([most_prob_A]
-                                     + unscored[:self.wave_size - 1], enc_t)
+                    yield ([most_prob_A]
+                           + unscored[:self.wave_size - 1], enc_t)
                 A_hyps.remove(most_prob_A)
 
                 log_probs, new_state = most_prob_A.cache

@@ -89,6 +89,23 @@ def _batched_chunk_step_beam(model: RNNTransducer, variables, feats, n_valid,
     return new_enc_state, new_carry
 
 
+@partial(jax.jit, static_argnames=("model",))
+def _batched_encode(model: RNNTransducer, variables, feats, n_valid,
+                    enc_state):
+    """Encode-only tick for the fused (host-beam) mode: the search and the
+    LM live on host, so the device program is just the batched encoder."""
+    return model.apply(variables, feats, n_valid, enc_state,
+                       method=model.encode)
+
+
+@jax.jit
+def _reset_enc_slot(enc_state, slot):
+    z = jnp.zeros_like(enc_state.h[:, :, 0])
+    h = enc_state.h.at[:, :, slot].set(z)
+    c = None if enc_state.c is None else enc_state.c.at[:, :, slot].set(z)
+    return RNNState(h, c)
+
+
 @partial(jax.jit, static_argnames=("model", "beam_width"))
 def _reset_slot_beam(model: RNNTransducer, variables, enc_state,
                      carry: BeamCarry, slot, blank_id, beam_width: int):
@@ -247,16 +264,35 @@ class BatchedStreamingRunner:
                  audio_cfg: AudioConfig, max_sessions: int = 8,
                  chunk_frames: int = 64, blank_id: int = 0,
                  max_symbols: int = 3, max_output_len: int = 512,
-                 decoder: str = "greedy", beam_width: int = 4, mesh=None):
+                 decoder: str = "greedy", beam_width: int = 4, mesh=None,
+                 lm=None, hotwords=None, hotword_weight=None, tokenizer=None,
+                 improved: bool = True, state_beam: float = 4.6,
+                 expand_beam: float = 2.3):
         """mesh: optional 1-D jax.sharding Mesh ("data" axis) — session
         lanes shard across its devices (params replicated), scaling serve
         capacity with chip count; lanes are independent, so the tick
         partitions with zero collectives.  Requires
-        max_sessions % n_devices == 0 so every shard holds whole lanes."""
+        max_sessions % n_devices == 0 so every shard holds whole lanes.
+
+        LM / hotword shallow fusion: pass ``lm`` (decode/ngram_lm.NGramLM)
+        and/or ``hotwords`` with ``decoder="beam"`` and a ``tokenizer``.
+        Fusion runs each lane's A/B-set search host-side (same semantics as
+        the offline/streaming fused paths, decode/beam.py), with every
+        lane's wave-scoring requests batched into ONE device call per pump
+        round (``decode_frames_multilane``) — so lanes don't serialize on
+        scoring round trips.  The tick's device program is then encode-only
+        (``_batched_encode``); there is no device-side beam carry."""
         if model.cfg.transnet.bidirectional:
             raise ValueError("streaming requires a unidirectional encoder")
         if decoder not in ("greedy", "beam"):
             raise ValueError(f"unknown decoder: {decoder}")
+        self.fused = lm is not None or bool(hotwords)
+        if self.fused and decoder != "beam":
+            raise ValueError("LM/hotword fusion requires decoder='beam'")
+        if self.fused and mesh is not None:
+            raise ValueError(
+                "LM/hotword fusion + lane sharding is unsupported (the "
+                "fused search is host-side; shard plain beam lanes instead)")
         if mesh is not None:
             n_dev = len(mesh.devices.ravel())
             if max_sessions % n_dev:
@@ -279,7 +315,23 @@ class BatchedStreamingRunner:
         self._free = list(range(max_sessions))
         self._live: dict[int, BatchedSession] = {}
         self._enc_state = _zero_encoder_state(model, variables, max_sessions)
-        if decoder == "beam":
+        self._host_beam = None
+        self._host_sessions: dict[int, object] = {}
+        self.max_output_len = max_output_len
+        if self.fused:
+            from rnntransducer_tpu.decode.beam import BeamSearchDecoder
+            from rnntransducer_tpu.decode.hotwords import (
+                DEFAULT_HOTWORD_WEIGHT,
+            )
+            self._host_beam = BeamSearchDecoder(
+                model, variables, blank_id=blank_id, tokenizer=tokenizer,
+                beam_width=beam_width, improved=improved,
+                state_beam=state_beam, expand_beam=expand_beam, lm=lm,
+                hotwords=hotwords,
+                hotword_weight=(DEFAULT_HOTWORD_WEIGHT if hotword_weight
+                                is None else hotword_weight))
+            self._carry = None  # no device-side decode carry in fused mode
+        elif decoder == "beam":
             self._carry = init_beam_carry(model, variables, max_sessions,
                                           beam_width, blank_id,
                                           max_output_len)
@@ -297,9 +349,10 @@ class BatchedStreamingRunner:
             self._enc_state = jax.tree.map(
                 lambda a: jax.device_put(a, self._lane_sharding(a)),
                 self._enc_state)
-            self._carry = jax.tree.map(
-                lambda a: jax.device_put(a, self._lane_sharding(a)),
-                self._carry)
+            if self._carry is not None:
+                self._carry = jax.tree.map(
+                    lambda a: jax.device_put(a, self._lane_sharding(a)),
+                    self._carry)
         # host mirror of (tokens, lengths), refreshed once per tick
         self._tokens = np.full((max_sessions, max_output_len), blank_id,
                                np.int32)
@@ -330,7 +383,10 @@ class BatchedStreamingRunner:
                     raise RuntimeError(
                         f"all {self.max_sessions} session slots in use")
                 slot = self._free.pop()
-            if self.decoder == "beam":
+            if self.fused:
+                self._enc_state = _reset_enc_slot(self._enc_state, slot)
+                self._host_sessions[slot] = self._host_beam.open_session()
+            elif self.decoder == "beam":
                 self._enc_state, self._carry = _reset_slot_beam(
                     self.model, self.variables, self._enc_state, self._carry,
                     slot, self.blank_id, self.beam_width)
@@ -351,6 +407,7 @@ class BatchedStreamingRunner:
     def _release(self, sess: BatchedSession) -> None:
         with self._state_lock:
             self._live.pop(sess.slot, None)
+            self._host_sessions.pop(sess.slot, None)
             self._free.append(sess.slot)
 
     def slot_tokens(self, slot: int):
@@ -378,6 +435,23 @@ class BatchedStreamingRunner:
                 feats = jax.device_put(feats, self._lane_sharding(feats))
                 n_valid = jax.device_put(n_valid,
                                          self._lane_sharding(n_valid))
+            if self.fused:
+                # encode-only tick + the two wave-scoring widths a fused
+                # fleet hits first (single-lane wave, full-width pump);
+                # other power-of-two widths compile on first use
+                enc, _ = _batched_encode(self.model, self.variables, feats,
+                                         n_valid, self._enc_state)
+                jax.device_get(enc)
+                _reset_enc_slot(self._enc_state, 0)
+                hb = self._host_beam
+                sessions = [hb.open_session()
+                            for _ in range(self.max_sessions)]
+                enc0 = np.zeros((1, enc.shape[-1]), np.float32)
+                for n_lanes in {1, self.max_sessions}:
+                    hb._score_wave_multi(
+                        [(list(s.B_hyps), enc0)
+                         for s in sessions[:n_lanes]])
+                return
             step = (_batched_chunk_step_beam if self.decoder == "beam"
                     else _batched_chunk_step)
             enc_state, carry = step(
@@ -405,15 +479,15 @@ class BatchedStreamingRunner:
                         (self.max_sessions, self.chunk_frames,
                          self.audio_cfg.n_mels), np.float32)
                     n_valid = np.zeros((self.max_sessions,), np.int32)
-                    any_work = False
+                    active: list = []  # (slot, frames) with work this tick
                     for slot, sess in self._live.items():
                         taken = sess._take_chunk(
                             final=(sess is final_session))
                         if taken is not None:
                             feats[slot], n_valid[slot] = taken
-                            any_work = True
-                if not any_work:
-                    return ticks
+                            active.append((slot, taken[1]))
+                if not active:
+                    break
                 # device dispatch + fetch run WITHOUT the state lock: other
                 # connections keep buffering audio and polling partials
                 # while a wide tick is in flight
@@ -421,6 +495,10 @@ class BatchedStreamingRunner:
                     feats = jax.device_put(feats, self._lane_sharding(feats))
                     n_valid = jax.device_put(
                         n_valid, self._lane_sharding(n_valid))
+                if self.fused:
+                    self._tick_fused(feats, n_valid, active)
+                    ticks += 1
+                    continue
                 step = (_batched_chunk_step_beam if self.decoder == "beam"
                         else _batched_chunk_step)
                 self._enc_state, self._carry = step(
@@ -439,3 +517,34 @@ class BatchedStreamingRunner:
                 with self._state_lock:
                     self._tokens, self._lengths = np.array(t), np.array(l)
                 ticks += 1
+            if (self.fused and final_session is not None
+                    and final_session.slot in self._host_sessions):
+                # settle the ending lane's EOS LM scoring once; flush()
+                # then serves the final ranked best from the mirror
+                best = self._host_beam.finalize(
+                    self._host_sessions[final_session.slot])[0]
+                self._publish_fused(final_session.slot, best)
+        return ticks
+
+    def _tick_fused(self, feats, n_valid, active) -> None:
+        """One fused-mode tick: batched encode on device, then every active
+        lane's host A/B search advances together with cross-lane wave
+        batching (one device call per pump round)."""
+        enc, self._enc_state = _batched_encode(
+            self.model, self.variables, feats, n_valid, self._enc_state)
+        # one transfer for every active lane's frames; lanes at different
+        # stream positions each get their own valid slice
+        enc_host = np.asarray(jax.device_get(enc))
+        lanes = [(self._host_sessions[slot], enc_host[slot, :n])
+                 for slot, n in active if slot in self._host_sessions]
+        self._host_beam.decode_frames_multilane(lanes)
+        for slot, _ in active:
+            hs = self._host_sessions.get(slot)
+            if hs is not None:
+                self._publish_fused(slot, self._host_beam.current_best(hs))
+
+    def _publish_fused(self, slot: int, tokens) -> None:
+        n = min(len(tokens), self.max_output_len)
+        with self._state_lock:
+            self._tokens[slot, :n] = tokens[:n]
+            self._lengths[slot] = n

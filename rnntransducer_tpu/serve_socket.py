@@ -77,20 +77,24 @@ class StreamingServer:
         self.port: Optional[int] = None
         self._runner = None
         self._warmup = warmup
-        if batch_sessions > 0 and getattr(recognizer, "fused", False):
-            # batched lanes share one compiled device program; LM/hotword
-            # fusion runs in the per-session host beam — refuse loudly
-            # instead of silently dropping the LM from batched sessions
-            raise ValueError(
-                "--batch_sessions has no LM/hotword fusion (fusion runs in "
-                "the host beam, one session per device program); drop "
-                "--batch_sessions or the LM/hotword flags")
         if batch_sessions > 0:
             from rnntransducer_tpu.decode.session_batch import (
                 BatchedStreamingRunner,
             )
             rec = recognizer
             cf = chunk_frames or rec.cfg.inference.streaming_chunk_frames
+            fused_kw = {}
+            if getattr(rec, "fused", False):
+                # batched sessions + LM/hotword fusion: each lane runs the
+                # host A/B search, wave scoring batches across lanes
+                # (decode/session_batch fused mode)
+                fused_kw = dict(
+                    lm=rec.lm, hotwords=rec.hotwords,
+                    hotword_weight=rec.hotword_weight,
+                    tokenizer=rec.tokenizer,
+                    improved=rec.cfg.inference.improved,
+                    state_beam=rec.cfg.inference.state_beam,
+                    expand_beam=rec.cfg.inference.expand_beam)
             self._runner = BatchedStreamingRunner(
                 rec.model, rec.variables, rec.cfg.data.audio,
                 max_sessions=batch_sessions, chunk_frames=cf,
@@ -98,7 +102,7 @@ class StreamingServer:
                 max_symbols=rec.cfg.train.greedy_max_symbols,
                 max_output_len=rec.max_output_len,
                 decoder="beam" if rec.decoder != "greedy" else "greedy",
-                beam_width=rec.beam_width, mesh=mesh)
+                beam_width=rec.beam_width, mesh=mesh, **fused_kw)
 
     # ------------------------------------------------------------- session
     def _serve_conn(self, conn: socket.socket) -> None:
@@ -307,15 +311,15 @@ def main():
     p.add_argument("--batch_sessions", type=int, default=0,
                    help="continuous batching: serve up to N concurrent "
                         "sessions with one device program per tick "
-                        "(greedy decoding)")
+                        "(greedy, beam, or beam + LM/hotword fusion)")
     p.add_argument("--shard_sessions", action="store_true",
                    help="shard --batch_sessions lanes across all local "
                         "devices (multi-chip serving; lanes must divide "
                         "evenly)")
     p.add_argument("--lm_path", type=str, default=None,
                    help="ARPA / kenlm-binary / pyctcdecode-dir LM for "
-                        "shallow fusion (requires --decoder beam, no "
-                        "--batch_sessions)")
+                        "shallow fusion (requires --decoder beam; composes "
+                        "with --batch_sessions)")
     p.add_argument("--lm_weight", type=float, default=None)
     p.add_argument("--hotwords", type=str, nargs="*", default=None)
     p.add_argument("--hotword_weight", type=float, default=None)

@@ -320,3 +320,45 @@ def test_kenlm_binary_corrupt_counts_fail_loudly(tmp_path):
     bin_path2.write_bytes(whole[:len(whole) // 2])
     with pytest.raises(FileNotFoundError):
         NGramLM.load(str(bin_path2))
+
+
+# ------------------------------------------------------- multilane pumping
+def test_multilane_pump_matches_per_lane_decode(lm_path):
+    """decode_frames_multilane (one padded device call fulfills every
+    lane's wave request per round — the continuous-batching fusion path)
+    must leave each session bit-identical to decode_frames lane by lane:
+    scoring is a pure function of (enc_t, token, state), so batching must
+    change latency only, never tokens or scores."""
+    from rnntransducer_tpu.decode.ngram_lm import NGramLM
+
+    V = 6
+    model, variables = _make_model(seed=3, V=V)
+    tok = GraphemeTokenizer({"<pad>": 0, "<unk>": 1, "c": 2, "a": 3,
+                             "|": 4, "t": 5})
+    lm = NGramLM.load(lm_path, weight=0.5)
+    dec = BeamSearchDecoder(model, variables, blank_id=0, tokenizer=tok,
+                            beam_width=3, improved=True, lm=lm,
+                            hotwords=["cat"], hotword_weight=2.0)
+    rng = np.random.RandomState(9)
+    # lanes of different lengths — the pump must handle early-finishing lanes
+    encs = []
+    for n_frames in (3, 6, 1, 5):
+        feats = jnp.asarray(rng.randn(1, n_frames, 6).astype(np.float32))
+        encs.append(np.asarray(
+            model.apply(variables, feats, jnp.array([n_frames]),
+                        method=model.encode)[0][0]))
+
+    def snapshot(sess):
+        return sorted((tuple(h.y_star), round(h.asr_score, 9),
+                       round(h.lm_score, 9)) for h in sess.B_hyps)
+
+    serial = [dec.open_session() for _ in encs]
+    for s, e in zip(serial, encs):
+        dec.decode_frames(s, e)
+
+    pumped = [dec.open_session() for _ in encs]
+    dec.decode_frames_multilane(list(zip(pumped, encs)))
+
+    for i, (a, b) in enumerate(zip(serial, pumped)):
+        assert snapshot(a) == snapshot(b), i
+        assert dec.finalize(a) == dec.finalize(b), i

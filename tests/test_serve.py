@@ -288,8 +288,19 @@ def test_streaming_socket_server_lm_fusion(tmp_path):
         direct.flush()
         assert final["tokens"] == [int(t) for t in direct.tokens]
 
-    with pytest.raises(ValueError, match="no LM/hotword fusion"):
-        StreamingServer(rec, port=0, batch_sessions=4)
+    # fusion composes with continuous batching: batched lanes run the same
+    # host fused search (wave scoring batched across lanes) and produce the
+    # same final tokens as the direct fused session
+    with StreamingServer(rec, port=0, chunk_frames=16,
+                         batch_sessions=2) as server:
+        assert server._runner.fused
+        _, final_b = stream_wav("127.0.0.1", server.port, wav)
+    assert final_b["tokens"] == final["tokens"]
+    # ... but cannot shard over a mesh (the search is host-side)
+    from rnntransducer_tpu.parallel.mesh import make_mesh
+    with pytest.raises(ValueError, match="lane sharding"):
+        StreamingServer(rec, port=0, batch_sessions=8, mesh=make_mesh(),
+                        warmup=False)
 
 
 def test_abnormal_disconnect_frees_batched_slot(tmp_path):

@@ -311,3 +311,163 @@ def test_server_start_warms_batched_runner(tmp_path):
         assert final["tokens"] == want
         assert (sb._batched_chunk_step._cache_size(),
                 sb._reset_slot._cache_size()) == sizes
+
+
+# ------------------------------------------------------ LM/hotword fusion
+def _fused_fixture(tmp_path):
+    """Tiny ARPA LM + tokenizer matching _uni_model's 32 classes (only ids
+    0-6 map to graphemes; the trained-nothing model emits from the full
+    vocab, decoded via <unk> semantics like the streaming fusion test)."""
+    import textwrap
+
+    from rnntransducer_tpu.decode.ngram_lm import NGramLM
+    from rnntransducer_tpu.tokenizer import GraphemeTokenizer
+
+    arpa = textwrap.dedent(r"""
+    \data\
+    ngram 1=6
+    ngram 2=2
+
+    \1-grams:
+    -1.0    <s>    -0.5
+    -1.0    </s>
+    -0.8    at    -0.3
+    -1.1    it    -0.2
+    -1.3    to    -0.2
+    -2.0    <unk>
+
+    \2-grams:
+    -0.4    <s> at
+    -0.6    at it
+
+    \end\
+    """).strip()
+    lm_path = tmp_path / "lm.arpa"
+    lm_path.write_text(arpa)
+    lm = NGramLM.load(str(lm_path), weight=0.8, beta=0.5)
+    tok = GraphemeTokenizer({"<pad>": 0, "<unk>": 1, "a": 2,
+                             "t": 3, "i": 4, "o": 5, "|": 6})
+    return lm, tok
+
+
+def test_fused_batched_sessions_match_independent_streaming(tmp_path):
+    """Batched beam sessions WITH LM + hotword fusion (host A/B search per
+    lane, wave scoring batched across lanes) are token-exact vs independent
+    fused StreamingRecognizer sessions — partials and finals."""
+    model, variables = _uni_model(seed=7)
+    lm, tok = _fused_fixture(tmp_path)
+    fused_kw = dict(lm=lm, hotwords=["at"], hotword_weight=2.0)
+    wavs = _wavs(3, seed=17)
+
+    def ref_fused(wav):
+        rec = StreamingRecognizer(
+            model, variables, AudioConfig(normalize=False), chunk_frames=16,
+            max_symbols=2, normalize="none", decoder="beam", beam_width=3,
+            tokenizer=tok, **fused_kw)
+        partials = []
+        for i in range(0, len(wav), 1600):
+            rec.feed(wav[i:i + 1600])
+            partials.append(list(rec.tokens))
+        return partials, rec.flush()
+
+    want = [ref_fused(w) for w in wavs]
+
+    runner = BatchedStreamingRunner(
+        model, variables, AudioConfig(normalize=False), max_sessions=4,
+        chunk_frames=16, max_symbols=2, decoder="beam", beam_width=3,
+        tokenizer=tok, **fused_kw)
+    assert runner.fused
+    runner.warmup()
+    sessions = [runner.open() for _ in wavs]
+    got_partials = [[] for _ in wavs]
+    pos = [0] * len(wavs)
+    while any(pos[i] < len(wavs[i]) for i in range(len(wavs))):
+        for i, s in enumerate(sessions):
+            if pos[i] < len(wavs[i]):
+                assert s.feed(wavs[i][pos[i]:pos[i] + 1600]) == []
+                got_partials[i].append(list(s.tokens))
+                pos[i] += 1600
+    got_final = [s.flush() for s in sessions]
+    for i in range(len(wavs)):
+        assert got_final[i] == want[i][1], i
+        assert got_partials[i] == want[i][0], i
+
+
+def test_fused_runner_slot_reuse_and_validation(tmp_path):
+    """Fused lanes recycle cleanly (host session + enc lane reset), and the
+    constructor rejects greedy fusion and fused lane sharding."""
+    import pytest
+
+    from rnntransducer_tpu.parallel.mesh import make_mesh
+
+    model, variables = _uni_model(seed=7)
+    lm, tok = _fused_fixture(tmp_path)
+    kw = dict(lm=lm, tokenizer=tok)
+    with pytest.raises(ValueError, match="requires decoder='beam'"):
+        BatchedStreamingRunner(model, variables, AudioConfig(normalize=False),
+                               max_sessions=2, decoder="greedy", **kw)
+    with pytest.raises(ValueError, match="lane sharding"):
+        BatchedStreamingRunner(model, variables, AudioConfig(normalize=False),
+                               max_sessions=8, decoder="beam",
+                               mesh=make_mesh(), **kw)
+
+    runner = BatchedStreamingRunner(
+        model, variables, AudioConfig(normalize=False), max_sessions=2,
+        chunk_frames=16, max_symbols=2, decoder="beam", beam_width=3, **kw)
+    wav = _wavs(1, seed=23)[0]
+
+    def run_once():
+        s = runner.open()
+        for i in range(0, len(wav), 2000):
+            s.feed(wav[i:i + 2000])
+        return s.flush()
+
+    first = run_once()
+    second = run_once()  # likely the same slot, freshly reset
+    assert first == second and first
+    assert not runner._host_sessions  # no leaked host sessions
+
+
+def test_server_batched_sessions_with_lm(tmp_path):
+    """StreamingServer + batch_sessions + LM/hotword fusion end to end over
+    the socket: final tokens equal the independent fused streaming path."""
+    from rnntransducer_tpu.serve_socket import StreamingServer, stream_wav
+    from rnntransducer_tpu.serve import Recognizer
+    import dataclasses
+
+    model, variables = _uni_model(seed=7)
+    lm, tok = _fused_fixture(tmp_path)
+
+    rec = Recognizer.__new__(Recognizer)
+    rec.model, rec.variables = model, variables
+    cfg = rt.tiny_config()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data,
+                                      audio=AudioConfig(normalize=False)))
+    rec.cfg = cfg
+    rec.tokenizer = tok
+    rec.max_output_len = 64
+    rec.decoder = "beam"
+    rec.beam_width = 3
+    rec.lm, rec.hotwords, rec.hotword_weight = lm, ["at"], 2.0
+    rec._decode_text = lambda toks: tok.decode(toks, group_tokens=False)
+
+    wav = _wavs(1, seed=29)[0]
+    ref = StreamingRecognizer(
+        model, variables, AudioConfig(normalize=False), chunk_frames=16,
+        max_symbols=cfg.train.greedy_max_symbols, normalize="none",
+        decoder="beam", beam_width=3, tokenizer=tok, lm=lm, hotwords=["at"],
+        hotword_weight=2.0)
+    for i in range(0, len(wav), 1600):
+        ref.feed(wav[i:i + 1600])
+    want = ref.flush()
+
+    with StreamingServer(rec, batch_sessions=2, chunk_frames=16,
+                         normalize="none") as srv:
+        assert srv._runner.fused
+        partials, final = stream_wav("127.0.0.1", srv.port, wav)
+    assert final["tokens"] == want
+    assert final["final"] == tok.decode(want, group_tokens=False)
+    # one partial reply per chunk (mid-stream ranked best may be empty on an
+    # untrained model — EOS settling can promote a hypothesis at flush)
+    assert len(partials) == -(-len(wav) // 1600)
