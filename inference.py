@@ -25,6 +25,10 @@ def parse_args():
     p.add_argument("--checkpoint_dir", type=str, required=True)
     p.add_argument("--step", type=int, default=None,
                    help="checkpoint step (default: best by val_cer, else latest)")
+    p.add_argument("--average_k", type=int, default=None,
+                   help="decode with the element-wise mean of the best K "
+                        "retained checkpoints (SWA-style averaging) instead "
+                        "of a single step")
     p.add_argument("--wav", type=str, nargs="+", required=True)
     p.add_argument("--vocab_path", type=str, default=None)
     # unset beam/LM flags fall back to the InferenceConfig persisted with
@@ -106,14 +110,25 @@ def main():
     import os as _os
     if _os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-    mgr = CheckpointManager(args.checkpoint_dir, save_top_k=cfg.train.save_top_k)
-    step = args.step if args.step is not None else mgr.best_or_latest_step()
     # abstract template: restore allocates only what comes off disk, with no
     # throwaway init compute for a state we only read params from
     template = jax.eval_shape(lambda: TrainState.create(cfg))
-    state = mgr.restore(template, step=step)
+    if args.average_k is not None:
+        if args.step is not None:
+            raise SystemExit("pass either --step or --average_k, not both")
+        from rnntransducer_tpu.train import average_checkpoint_params
+        params, used = average_checkpoint_params(args.checkpoint_dir,
+                                                 template, k=args.average_k)
+        print(f"averaged checkpoints: steps {used}")
+    else:
+        mgr = CheckpointManager(args.checkpoint_dir,
+                                save_top_k=cfg.train.save_top_k)
+        step = (args.step if args.step is not None
+                else mgr.best_or_latest_step())
+        params = mgr.restore(template, step=step).params
+        mgr.close()
     model = build_model(cfg)
-    variables = {"params": state.params}
+    variables = {"params": params}
 
     wavs = [read_wav(p, cfg.data.audio.sample_rate) for p in args.wav]
 

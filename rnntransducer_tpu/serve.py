@@ -100,15 +100,26 @@ class Recognizer:
     # -- constructors --------------------------------------------------
     @classmethod
     def from_checkpoint(cls, checkpoint_dir: str, step: Optional[int] = None,
-                        vocab_path: Optional[str] = None, **kw) -> "Recognizer":
+                        vocab_path: Optional[str] = None,
+                        average_k: Optional[int] = None, **kw) -> "Recognizer":
+        """``average_k``: decode with the element-wise mean of the best k
+        retained checkpoints' params (SWA-style checkpoint averaging — see
+        ``train.average_checkpoint_params``) instead of a single step."""
         from rnntransducer_tpu.train import (
-            CheckpointManager, TrainState, load_config,
+            CheckpointManager, TrainState, average_checkpoint_params,
+            load_config,
         )
         cfg = load_config(checkpoint_dir)
+        template = jax.eval_shape(lambda: TrainState.create(cfg))
+        if average_k is not None:
+            if step is not None:
+                raise ValueError("pass either step or average_k, not both")
+            params, _ = average_checkpoint_params(checkpoint_dir, template,
+                                                  k=average_k)
+            return cls(cfg, params, _load_tokenizer(cfg, vocab_path), **kw)
         mgr = CheckpointManager(checkpoint_dir,
                                 save_top_k=cfg.train.save_top_k)
         step = step if step is not None else mgr.best_or_latest_step()
-        template = jax.eval_shape(lambda: TrainState.create(cfg))
         state = mgr.restore(template, step=step)
         mgr.close()
         return cls(cfg, state.params, _load_tokenizer(cfg, vocab_path), **kw)

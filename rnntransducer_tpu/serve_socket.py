@@ -71,6 +71,12 @@ class StreamingServer:
         self.chunk_frames = chunk_frames
         self.session_kw = session_kw
         self._device_lock = threading.Lock()
+        # served-connection counter: lets tests (and health checks) wait for
+        # an abnormal client's handler to have fully finished — a handler
+        # thread can lag its client's disconnect under load, briefly holding
+        # a batched-session slot after the socket is gone
+        self._conns_done = 0
+        self._count_lock = threading.Lock()
         self._sock: Optional[socket.socket] = None
         self._thread: Optional[threading.Thread] = None
         self._running = False
@@ -192,6 +198,8 @@ class StreamingServer:
                 pass
         finally:
             conn.close()
+            with self._count_lock:
+                self._conns_done += 1
 
     # -------------------------------------------------------------- server
     def _accept_loop(self) -> None:

@@ -1,4 +1,6 @@
-from rnntransducer_tpu.train.checkpoint import CheckpointManager, load_config
+from rnntransducer_tpu.train.checkpoint import (
+    CheckpointManager, average_checkpoint_params, load_config,
+)
 from rnntransducer_tpu.train.loop import Trainer
 from rnntransducer_tpu.train.metrics import char_error_rate, word_error_rate
 from rnntransducer_tpu.train.optim import make_optimizer, onecycle_schedule

@@ -182,3 +182,69 @@ class CheckpointManager:
 def load_config(checkpoint_dir: str) -> Config:
     with open(os.path.join(os.path.abspath(checkpoint_dir), "config.json")) as f:
         return Config.from_dict(json.load(f))
+
+
+def average_checkpoint_params(checkpoint_dir: str, state_template: Any,
+                              steps: Optional[list] = None,
+                              k: Optional[int] = None,
+                              monitor: str = "val_cer"):
+    """Stochastic-weight-style checkpoint averaging: the element-wise mean of
+    the PARAMS of several retained checkpoints (optimizer state/step are not
+    averaged — the result is an inference artifact, not a resume point).
+
+    A standard production-ASR accuracy lever the reference lacks (its
+    ModelCheckpoint keeps top-3 by val_cer, ``/root/reference/train.py:31-37``,
+    but offers no way to combine them); averaging the last/best few
+    checkpoints typically recovers a few relative percent of WER for free.
+
+    ``steps``: explicit checkpoint steps to average; or ``k``: the best k by
+    ``monitor`` from the retention ledger (falling back to the k most recent
+    steps when no metrics were recorded).  Returns ``(params, used_steps)``.
+    Averaging accumulates in fp32 regardless of the stored dtype and casts
+    back, so bf16-trained checkpoints don't lose the mean to rounding.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    mgr = CheckpointManager(checkpoint_dir, monitor=monitor)
+    try:
+        if steps is None:
+            n = k if k is not None else 3
+            ledger = mgr._read_ledger()
+            with_metric = sorted((s for s in ledger if monitor in ledger[s]),
+                                 key=lambda s: ledger[s][monitor])
+            steps = with_metric[:n]
+            if not steps:  # no metrics recorded: most recent n
+                steps = sorted(mgr._mgr.all_steps())[-n:]
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints in {checkpoint_dir}")
+        steps = sorted(set(int(s) for s in steps))
+
+        def _f32(x):
+            # np.array COPIES: np.asarray of a jax CPU array can be a
+            # zero-copy view whose device buffer dies with the jax array
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+                return np.array(x, dtype=np.float32)
+            return np.array(x)
+
+        acc = None
+        dtypes = None
+        for s in steps:
+            params = mgr.restore(state_template, step=s).params
+            p32 = jax.tree.map(_f32, params)
+            if acc is None:
+                acc = p32
+                dtypes = jax.tree.map(lambda x: x.dtype, params)
+            else:
+                acc = jax.tree.map(np.add, acc, p32)
+        inv = 1.0 / len(steps)
+
+        def _finish(a, dt):
+            if jnp.issubdtype(dt, jnp.floating):
+                return jnp.asarray(a * inv, dtype=dt)
+            return jnp.asarray(a)  # integer leaves must be identical anyway
+
+        return jax.tree.map(_finish, acc, dtypes), steps
+    finally:
+        mgr.close()

@@ -57,6 +57,12 @@ def test_recognizer_end_to_end(tmp_path):
     rec_g = Recognizer.from_checkpoint(str(tmp_path / "ckpt"),
                                        decoder="greedy")
     _ = rec_g.transcribe(wav_path)
+
+    # SWA-style checkpoint averaging at the serving entry point: with max_steps=2
+    # the manager retains both steps; the averaged model must decode
+    rec_avg = Recognizer.from_checkpoint(str(tmp_path / "ckpt"),
+                                         average_k=2, decoder="greedy")
+    assert isinstance(rec_avg.transcribe(wav_path), str)
     session = rec_g.stream(chunk_frames=16)
     session.feed(rng.randn(3200).astype(np.float32))
     session.flush()
@@ -327,7 +333,7 @@ def test_abnormal_disconnect_frees_batched_slot(tmp_path):
     with StreamingServer(rec, port=0, chunk_frames=16,
                          batch_sessions=1) as server:
         runner = server._runner
-        for attempt in ("disconnect", "odd_payload"):
+        for k, attempt in enumerate(("disconnect", "odd_payload")):
             with socket.socket() as s:  # abnormal client
                 s.connect(("127.0.0.1", server.port))
                 pcm16 = np.clip(wav[:1600] * 32768, -32768,
@@ -338,9 +344,13 @@ def test_abnormal_disconnect_frees_batched_slot(tmp_path):
                 s.sendall(struct.pack("<i", len(chunk)) + chunk)
                 if attempt == "disconnect":
                     s.recv(4096)  # one partial, then vanish (no end marker)
-            deadline = time.time() + 10
-            while time.time() < deadline and len(runner._free) == 0:
+            # wait for the handler to FINISH (not just for a free slot: a
+            # lagging handler may not have opened its session yet when the
+            # poll runs, then grab the slot under the next connection)
+            deadline = time.time() + 30
+            while time.time() < deadline and server._conns_done < k + 1:
                 time.sleep(0.05)
+            assert server._conns_done == k + 1, attempt
             assert len(runner._free) == 1, attempt  # slot reclaimed
 
         # the slot serves a clean session afterwards

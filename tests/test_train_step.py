@@ -319,3 +319,55 @@ def test_checkpoint_async_save(tmp_path):
     import os
     assert not os.path.isdir(str(tmp_path / "ckpt" / "1"))
     mgr.close()
+
+
+def test_checkpoint_averaging(tmp_path):
+    """average_checkpoint_params: exact fp32-accumulated mean of the best-k
+    params by val_cer; integer leaves pass through; Recognizer.from_checkpoint
+    accepts average_k and the averaged model decodes."""
+    from rnntransducer_tpu.train import (
+        CheckpointManager, average_checkpoint_params,
+    )
+
+    cfg = _tiny_cfg()
+    tx = make_optimizer(cfg.train)
+    state = TrainState.create(cfg)
+    batch = _batch(cfg)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_top_k=3)
+    saved_params = []  # numpy snapshots: train_step donates its input state
+    for step, cer in ((1, 0.5), (2, 0.2), (3, 0.9), (4, 0.3)):
+        state, _ = train_step(cfg, tx, state, batch)
+        saved_params.append(jax.tree.map(lambda x: np.array(x), state.params))
+        mgr.save(step, state, metrics={"val_cer": cer}, config=cfg)
+    mgr.close()
+
+    template = jax.eval_shape(lambda: TrainState.create(cfg))
+    avg, used = average_checkpoint_params(str(tmp_path / "ckpt"), template,
+                                          k=2)
+    assert used == [2, 4]  # best two by val_cer (0.2, 0.3), sorted by step
+    want = jax.tree.map(lambda a, b: (np.asarray(a, np.float32)
+                                      + np.asarray(b, np.float32)) / 2,
+                        saved_params[1], saved_params[3])
+    err = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a, np.float32) - b).max()),
+        avg, want)
+    assert max(jax.tree.leaves(err)) < 1e-6
+
+    # explicit steps + dtype preservation (step 3, worst val_cer, was pruned
+    # by top-k retention — the retained set is {1, 2, 4})
+    avg3, used3 = average_checkpoint_params(str(tmp_path / "ckpt"), template,
+                                            steps=[1, 2, 4])
+    assert used3 == [1, 2, 4]
+    flat_a = jax.tree.leaves(avg3)
+    flat_p = jax.tree.leaves(saved_params[0])
+    assert all(a.dtype == p.dtype for a, p in zip(flat_a, flat_p))
+
+    # step and average_k are mutually exclusive at the serving entry point
+    # (full Recognizer decode with average_k is covered in test_serve.py,
+    # where the checkpoint has a speech-shaped config)
+    from rnntransducer_tpu.serve import Recognizer
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not both"):
+        Recognizer.from_checkpoint(str(tmp_path / "ckpt"), step=2,
+                                   average_k=2)
