@@ -2,7 +2,13 @@ from rnntransducer_tpu.parallel.mesh import (
     DATA_AXIS, MODEL_AXIS, batch_sharding, constrain_state, make_mesh,
     replicate, replicated, shard_batch, shard_tree, tree_shardings,
 )
+from rnntransducer_tpu.parallel.wavefront import (
+    TIME_AXIS, make_time_mesh, pad_time_to_multiple, wavefront_encode,
+    wavefront_scan,
+)
 
-__all__ = ["DATA_AXIS", "MODEL_AXIS", "batch_sharding", "constrain_state",
-           "make_mesh", "replicate", "replicated", "shard_batch",
-           "shard_tree", "tree_shardings"]
+__all__ = ["DATA_AXIS", "MODEL_AXIS", "TIME_AXIS", "batch_sharding",
+           "constrain_state", "make_mesh", "make_time_mesh",
+           "pad_time_to_multiple", "replicate", "replicated", "shard_batch",
+           "shard_tree", "tree_shardings", "wavefront_encode",
+           "wavefront_scan"]
