@@ -44,6 +44,39 @@ class TransNetConfig:
     # persistent-VMEM Pallas recurrent kernel (ops/rnn_pallas.py):
     # "auto" (TPU + supported shapes), "off", or "interpret" (CPU debugging)
     use_pallas_cells: str = "auto"
+    # Time reduction (frame stacking): after `time_reduction_layer` RNN
+    # layers, stack every `time_reduction_stride` consecutive frames into one
+    # (feature dim x stride), so the remaining layers, the joint lattice, and
+    # the decoders run at 1/stride the frame rate.  The standard production
+    # RNN-T throughput/memory lever the reference lacks (its encoder runs
+    # every layer at the 10 ms frame rate, ``networks/encoder.py:67-75``).
+    # stride=1 disables; layer=0 stacks the input features themselves;
+    # layer=num_layers stacks right before the output projection.
+    time_reduction_stride: int = 1
+    time_reduction_layer: int = 1
+
+    def __post_init__(self):
+        if self.time_reduction_stride < 1:
+            raise ValueError(
+                f"time_reduction_stride ({self.time_reduction_stride}) "
+                "must be >= 1")
+        if self.time_reduction_stride > 1 and not (
+                0 <= self.time_reduction_layer <= self.num_layers):
+            raise ValueError(
+                f"time_reduction_layer ({self.time_reduction_layer}) must "
+                f"lie in [0, num_layers={self.num_layers}]")
+
+    def output_lengths(self, lengths):
+        """Encoder-output frame counts for input frame counts ``lengths``
+        (array or int): ceil-divided by the time-reduction stride — a group
+        with at least one valid frame is a valid output frame."""
+        s = self.time_reduction_stride
+        return lengths if s <= 1 else -(-lengths // s)
+
+    def output_frames(self, t: int) -> int:
+        """Static encoder-output sequence length for input length ``t``."""
+        s = self.time_reduction_stride
+        return t if s <= 1 else -(-t // s)
 
 
 @dataclass(frozen=True)

@@ -348,8 +348,9 @@ class BeamSearchDecoder:
         batch-1 by design (transducer.py:267). Returns n-best token lists."""
         model, variables = self.model, self.variables
         enc = np.asarray(_encode(model, variables, feats, feat_lengths)[0])
+        n_enc = int(model.cfg.transnet.output_lengths(int(feat_lengths[0])))
         session = self.open_session()
-        self.decode_frames(session, enc[:int(feat_lengths[0])])
+        self.decode_frames(session, enc[:n_enc])
         return self.finalize(session, n_best)
 
     def decode_frames(self, session: "HostBeamSession",

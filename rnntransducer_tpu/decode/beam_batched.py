@@ -229,8 +229,9 @@ def batched_beam_decode(model: RNNTransducer, variables, feats, feat_lengths,
     rank. Returns (tokens (B, K, max_output_len), lengths (B, K),
     scores (B, K)) best-first."""
     enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
+    enc_lengths = model.cfg.transnet.output_lengths(feat_lengths)
     carry = init_beam_carry(model, variables, feats.shape[0], beam_width,
                             blank_id, max_output_len)
-    carry = beam_decode_frames(model, variables, enc, feat_lengths, carry,
+    carry = beam_decode_frames(model, variables, enc, enc_lengths, carry,
                                blank_id, max_symbols)
     return rank_beam(carry, length_norm)

@@ -112,9 +112,10 @@ def greedy_decode(model: RNNTransducer, variables, feats, feat_lengths,
     max_symbols mirrors the reference's ``max_iters=3`` (``model.py:76``).
     """
     enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
+    enc_lengths = model.cfg.transnet.output_lengths(feat_lengths)
     carry = init_greedy_carry(model, variables, feats.shape[0], blank_id,
                               max_output_len)
-    carry = greedy_decode_frames(model, variables, enc, feat_lengths, carry,
+    carry = greedy_decode_frames(model, variables, enc, enc_lengths, carry,
                                  blank_id, max_symbols)
     return carry.tokens, carry.lengths
 
@@ -147,7 +148,8 @@ def greedy_decode_label_looping(model: RNNTransducer, variables, feats,
     """
     B, T = feats.shape[0], feats.shape[1]
     enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
-    lengths = feat_lengths.astype(jnp.int32)
+    lengths = model.cfg.transnet.output_lengths(
+        feat_lengths).astype(jnp.int32)
     blank_tokens = jnp.full((B,), blank_id, jnp.int32)
     dec_out0, state0 = model.apply(variables, blank_tokens, None,
                                    method=model.predict_step)

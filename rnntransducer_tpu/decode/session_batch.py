@@ -73,7 +73,8 @@ def _batched_chunk_step(model: RNNTransducer, variables, feats, n_valid,
     """
     enc, new_enc_state = model.apply(variables, feats, n_valid,
                                      enc_state, method=model.encode)
-    new_carry = greedy_decode_frames(model, variables, enc, n_valid, carry,
+    n_enc = model.cfg.transnet.output_lengths(n_valid)
+    new_carry = greedy_decode_frames(model, variables, enc, n_enc, carry,
                                      blank_id, max_symbols)
     return new_enc_state, new_carry
 
@@ -84,7 +85,8 @@ def _batched_chunk_step_beam(model: RNNTransducer, variables, feats, n_valid,
                              max_symbols: int):
     enc, new_enc_state = model.apply(variables, feats, n_valid,
                                      enc_state, method=model.encode)
-    new_carry = beam_decode_frames(model, variables, enc, n_valid, carry,
+    n_enc = model.cfg.transnet.output_lengths(n_valid)
+    new_carry = beam_decode_frames(model, variables, enc, n_enc, carry,
                                    blank_id, max_symbols)
     return new_enc_state, new_carry
 
@@ -284,6 +286,12 @@ class BatchedStreamingRunner:
         (``_batched_encode``); there is no device-side beam carry."""
         if model.cfg.transnet.bidirectional:
             raise ValueError("streaming requires a unidirectional encoder")
+        stride = model.cfg.transnet.time_reduction_stride
+        if stride > 1 and chunk_frames % stride:
+            raise ValueError(
+                f"chunk_frames ({chunk_frames}) must be a multiple of "
+                f"time_reduction_stride ({stride}) so reduced groups align "
+                "across chunks")
         if decoder not in ("greedy", "beam"):
             raise ValueError(f"unknown decoder: {decoder}")
         self.fused = lm is not None or bool(hotwords)
@@ -535,7 +543,8 @@ class BatchedStreamingRunner:
         # one transfer for every active lane's frames; lanes at different
         # stream positions each get their own valid slice
         enc_host = np.asarray(jax.device_get(enc))
-        lanes = [(self._host_sessions[slot], enc_host[slot, :n])
+        red = self.model.cfg.transnet.output_lengths
+        lanes = [(self._host_sessions[slot], enc_host[slot, :int(red(n))])
                  for slot, n in active if slot in self._host_sessions]
         self._host_beam.decode_frames_multilane(lanes)
         for slot, _ in active:

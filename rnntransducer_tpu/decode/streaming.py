@@ -189,6 +189,12 @@ class StreamingRecognizer:
             raise ValueError(
                 "streaming requires a unidirectional encoder "
                 "(transnet.bidirectional=false)")
+        stride = model.cfg.transnet.time_reduction_stride
+        if stride > 1 and chunk_frames % stride:
+            raise ValueError(
+                f"chunk_frames ({chunk_frames}) must be a multiple of "
+                f"time_reduction_stride ({stride}) so reduced groups align "
+                "across chunks")
         if decoder not in ("greedy", "beam"):
             raise ValueError(f"unknown streaming decoder: {decoder}")
         fused = lm is not None or bool(hotwords)
@@ -246,24 +252,26 @@ class StreamingRecognizer:
             enc, self._enc_state = _encode_chunk(
                 self.model, self.variables, jnp.asarray(chunk[None]),
                 jnp.array([n_valid], jnp.int32), self._enc_state)
+            # time reduction: the encoder emits ceil(n/stride) frames
+            n_enc = int(self.model.cfg.transnet.output_lengths(n_valid))
             if self._host_beam is not None:
                 # fused beam: the search itself is host-side (A/B sets, LM
                 # caches); fetch the chunk's valid frames in one transfer
-                enc_host = np.asarray(enc[0, :n_valid])
+                enc_host = np.asarray(enc[0, :n_enc])
                 self._host_beam.decode_frames(self._carry, enc_host)
             elif self.decoder == "beam":
                 from rnntransducer_tpu.decode.beam_batched import (
                     beam_decode_frames,
                 )
                 self._carry = beam_decode_frames(
-                    self.model, self.variables, enc, jnp.array([n_valid]),
+                    self.model, self.variables, enc, jnp.array([n_enc]),
                     self._carry, self.blank_id, self.max_symbols)
                 # partials are available on demand via .tokens — fetching the
                 # ranked best every chunk would cost one device->host round
                 # trip per chunk; the final fetch happens after the drain loop
             else:
                 self._carry = greedy_decode_frames(
-                    self.model, self.variables, enc, jnp.array([n_valid]),
+                    self.model, self.variables, enc, jnp.array([n_enc]),
                     self._carry, self.blank_id, self.max_symbols)
                 toks, total = jax.device_get(
                     (self._carry.tokens[0], self._carry.lengths[0]))

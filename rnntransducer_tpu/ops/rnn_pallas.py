@@ -395,15 +395,20 @@ def _block_k(rnn_type: str, phase: str, T: int, hidden: int, batch: int,
             kf //= 2
         return max(kf, 1)
     budget = _vmem_budget_bwd() if phase == "bwd" else _VMEM_BUDGET
-    if phase == "bwd" and 64 < T < 160:
-        # Measured (v5e, flagship H=1024 B=64 bf16): in this T window XLA
-        # additionally places kernel outputs in VMEM (S(1) layouts in the
-        # failing HLO), inflating Mosaic's real scoped allocation ~3.5 MB
-        # past the stream model and overflowing the 16 MB limit at the
-        # model's k (T=96 k=2: 16.04 MiB real; T=128 k=2: 16.08; while
-        # T=64/160/192/256/512 all fit at the same k).  Shave the budget so
-        # the chooser steps down one k here — k=1 compiles and runs
-        # (verified at T=96 and T=128 on the real chip).
+    if phase == "bwd" and 64 < T < 512:
+        # Measured (v5e, flagship H=1024 B=64 bf16): in this T range XLA can
+        # additionally place kernel outputs in VMEM (S(1) layouts in the
+        # failing HLO) DEPENDING ON THE SURROUNDING PROGRAM, inflating
+        # Mosaic's real scoped allocation several MB past the stream model
+        # and overflowing the 16 MB limit at the model's k.  First seen at
+        # T=96/128 (k=2: ~16.05 MiB real); later the time-reduced flagship
+        # (stride 2 -> post-stack T=256) hit it too (k=2: 18.42 MiB real in
+        # the train_step HLO, while the SAME kernel standalone compiles at
+        # k=2) — so the window is not a property of T alone.  Shave the
+        # budget so the chooser steps down one k anywhere in the range;
+        # k=1 compiles and runs in every observed context (T=96/128/256 on
+        # the real chip).  T>=512 keeps the full budget: the flagship k=2
+        # operating point is validated end-to-end there.
         budget -= 4 * 1024 * 1024
     for k in (8, 4, 2, 1):
         if T % k == 0 and _kernel_vmem(rnn_type, phase, hidden, batch, k,

@@ -241,6 +241,11 @@ def wavefront_encode(encoder_params, cfg, x, lengths, mesh: Mesh,
             "wavefront sequence parallelism needs a unidirectional encoder: "
             "a bidirectional layer's successor consumes the full backward "
             "sweep, so time chunks cannot pipeline (docs/TUNING.md)")
+    if cfg.time_reduction_stride > 1:
+        raise ValueError(
+            "wavefront sequence parallelism does not support time reduction "
+            "(the layer split + per-chunk frame stacking is not implemented "
+            "for the staircase schedule); use time_reduction_stride=1")
     outs, state = wavefront_scan(
         encoder_params["rnn"], x, lengths, rnn_type=cfg.rnn_type,
         num_layers=cfg.num_layers, mesh=mesh)

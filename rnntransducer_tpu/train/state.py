@@ -135,6 +135,9 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
     rngs = None if deterministic else {"dropout": drop_rng}
     feats = feats.astype(compute_dtype)
     blank = cfg.data.text.pad_token_id
+    # time reduction: the encoder emits ceil(T/stride) frames; the loss (and
+    # its lattice) runs at the reduced rate
+    enc_lengths = cfg.model.transnet.output_lengths(feat_lengths)
 
     chunk_frames = cfg.train.joint_chunk_frames
     if chunk_frames > 0 and cfg.model.jointnet.combine == "concat":
@@ -151,7 +154,7 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
                          method=m.predict)
         A, C = m.apply(variables, enc, dec, method=m.joint_factors)
         A, C = _constrain_vocab_sharded(A, C)
-        loss = rnnt_loss_factored(A, C, batch["targets"], feat_lengths,
+        loss = rnnt_loss_factored(A, C, batch["targets"], enc_lengths,
                                   batch["target_lengths"], blank=blank,
                                   reduction=reduction, backend=loss_backend)
     elif chunk_frames > 0:
@@ -168,7 +171,7 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
                          method=m.predict)
         joint_fn = lambda e, d: m.apply(variables, e, d, method=m.joint_step)
         loss = rnnt_loss_fused(joint_fn, enc, dec, batch["targets"],
-                               feat_lengths, batch["target_lengths"],
+                               enc_lengths, batch["target_lengths"],
                                blank=blank, reduction=reduction,
                                backend=loss_backend,
                                chunk_frames=chunk_frames)
@@ -176,7 +179,7 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
         logits = m.apply(variables, feats, feat_lengths, batch["text_in"],
                          batch["text_lengths"], deterministic=deterministic,
                          rngs=rngs)
-        loss = rnnt_loss(logits, batch["targets"], feat_lengths,
+        loss = rnnt_loss(logits, batch["targets"], enc_lengths,
                          batch["target_lengths"], blank=blank,
                          reduction=reduction, backend=loss_backend)
     return loss

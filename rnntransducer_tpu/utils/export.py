@@ -158,11 +158,18 @@ def export_transcriber(cfg: Config, params, out_dir: str, *,
                   init_greedy_carry(model, variables, 1, blank, stream_len))
         flat0, treedef = jax.tree.flatten(carry0)
 
+        stride = cfg.model.transnet.time_reduction_stride
+        if stride > 1 and n % stride:
+            raise ValueError(
+                f"streaming_chunk_frames ({n}) must be a multiple of "
+                f"time_reduction_stride ({stride})")
+
         def stream_step(chunk, n_valid, *flat):
             enc_state, g = jax.tree.unflatten(treedef, flat)
             enc, enc_state2 = model.apply(variables, chunk, n_valid,
                                           enc_state, method=model.encode)
-            g2 = greedy_decode_frames(model, variables, enc, n_valid, g,
+            n_enc = cfg.model.transnet.output_lengths(n_valid)
+            g2 = greedy_decode_frames(model, variables, enc, n_enc, g,
                                       blank_id=blank,
                                       max_symbols=max_symbols)
             return (g2.tokens, g2.lengths,

@@ -248,9 +248,11 @@ def test_sigterm_preempts_real_training_process(tmp_path):
          "--per_device_train_batch_size", "1", "--precision", "fp32"],
         env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True)
-    # wait for training to actually step (metrics.jsonl appears + grows)
+    # wait for training to actually step (metrics.jsonl appears + grows).
+    # Generous deadline: the first step is a cold jit compile, ~2 min alone
+    # on this box — under full-suite CPU contention 300 s flaked once
     metrics = os.path.join(ckpt, "metrics.jsonl")
-    deadline = time.time() + 300
+    deadline = time.time() + 600
     while time.time() < deadline:
         if os.path.exists(metrics) and any(
                 '"split": "train"' in l for l in open(metrics)):
