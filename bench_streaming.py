@@ -47,6 +47,16 @@ def main():
 
     import sys
     decoder = "beam" if "--beam" in sys.argv else "greedy"
+    stride = 2 if "--time_reduction" in sys.argv else 1
+    if stride > 1:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, transnet=dataclasses.replace(
+            cfg.transnet, time_reduction_stride=stride,
+            time_reduction_layer=1))
+        model = RNNTransducer(cfg)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80)),
+                               jnp.array([8]), jnp.zeros((1, 2), jnp.int32),
+                               jnp.array([2]))
 
     rtfs, first_tok = [], []
     for u in range(n_utts + 1):  # first utterance = warmup/compile
@@ -83,8 +93,8 @@ def main():
     print(json.dumps({
         "metric": "streaming_decode_rtf",
         "value": round(rtf, 4),
-        "unit": f"RTF (6L uni-LSTM 1024, {decoder}"
-                f"{' width 4' if decoder == 'beam' else ''}, {chunk_ms}ms "
+        "unit": f"RTF (6L uni-LSTM 1024{f', stride {stride}' if stride > 1 else ''}, "
+                f"{decoder}{' width 4' if decoder == 'beam' else ''}, {chunk_ms}ms "
                 f"chunks; p50 first-token latency {p50:.3f}s)",
         "vs_baseline": round(1.0 / max(rtf, 1e-9), 2),
     }))

@@ -21,6 +21,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5000)
     ap.add_argument("--ckpt", type=str, default="/tmp/gen_demo_ckpt")
+    ap.add_argument("--time_reduction_stride", type=int, default=1,
+                    help="frame-stacking stride (accuracy check for the "
+                         "reduced-rate encoder: stride 2 should land in the "
+                         "same held-out CER regime as stride 1)")
+    ap.add_argument("--time_reduction_layer", type=int, default=1)
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
@@ -35,10 +40,11 @@ def main():
         data=DataConfig(audio=AudioConfig(spec_augment=False),
                         audio_buckets=(64, 128), label_buckets=(16,)),
         model=ModelConfig(
-            transnet=TransNetConfig(input_size=80, hidden_size=256,
-                                    output_size=160, num_layers=2,
-                                    rnn_type="lstm", dropout=0.0,
-                                    bidirectional=True),
+            transnet=TransNetConfig(
+                input_size=80, hidden_size=256, output_size=160, num_layers=2,
+                rnn_type="lstm", dropout=0.0, bidirectional=True,
+                time_reduction_stride=args.time_reduction_stride,
+                time_reduction_layer=args.time_reduction_layer),
             prednet=PredNetConfig(embedding_size=72, hidden_size=256,
                                   output_size=160, num_layers=1,
                                   rnn_type="lstm", dropout=0.0),
