@@ -71,6 +71,13 @@ _SLOW_TESTS = {
     "test_trainer_fit_model_parallel",
     "test_checkpoint_cross_topology_dp_to_tp",
     "test_tensor_parallel_train_step_matches_single",
+    "test_wavefront_matches_stacked_rnn",
+    "test_wavefront_encoder_and_padding",
+    "test_wavefront_single_layer",
+    "test_train_step_with_reduction",
+    "test_reduction_matches_manual_composition",
+    "test_greedy_decode_respects_reduced_lengths",
+    "test_checkpoint_averaging",
 }
 
 
