@@ -64,12 +64,14 @@ def test_stack_frames():
     assert stack_frames(x, 1) is x
 
 
-@pytest.mark.parametrize("k,bidi", [(0, False), (1, False), (2, True),
-                                    (3, False)])
-def test_reduction_matches_manual_composition(k, bidi):
-    """Encoder with (stride=2, layer=k) == manually composing plain stacks
-    around an explicit stack_frames, using the encoder's own params."""
-    s, L, H, F = 2, 3, 8, 6
+@pytest.mark.parametrize("s,k,bidi", [(2, 0, False), (2, 1, False),
+                                      (2, 2, True), (2, 3, False),
+                                      (3, 1, False), (4, 2, True)])
+def test_reduction_matches_manual_composition(s, k, bidi):
+    """Encoder with (stride=s, layer=k) == manually composing plain stacks
+    around an explicit stack_frames, using the encoder's own params.
+    T=11 is ragged for every stride tested (tail-group zero padding)."""
+    L, H, F = 3, 8, 6
     cfg = _tn(s, k, bidirectional=bidi)
     B, T = 2, 11
     rng = np.random.RandomState(0)
