@@ -32,6 +32,15 @@ def main():
                                         rnn_type="lstm", dropout=0.0),
         jointnet=rt.config.JointNetConfig(num_classes=72),
     )
+    import sys
+    decoder = "beam" if "--beam" in sys.argv else "greedy"
+    stride = 2 if "--time_reduction" in sys.argv else 1
+    if stride > 1:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, transnet=dataclasses.replace(
+            cfg.transnet, time_reduction_stride=stride,
+            time_reduction_layer=1))
+
     acfg = AudioConfig(normalize=False)
     model = RNNTransducer(cfg)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80)),
@@ -44,19 +53,6 @@ def main():
     utt_sec = 10.0
     n_utts = 5
     rng = np.random.RandomState(0)
-
-    import sys
-    decoder = "beam" if "--beam" in sys.argv else "greedy"
-    stride = 2 if "--time_reduction" in sys.argv else 1
-    if stride > 1:
-        import dataclasses
-        cfg = dataclasses.replace(cfg, transnet=dataclasses.replace(
-            cfg.transnet, time_reduction_stride=stride,
-            time_reduction_layer=1))
-        model = RNNTransducer(cfg)
-        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80)),
-                               jnp.array([8]), jnp.zeros((1, 2), jnp.int32),
-                               jnp.array([2]))
 
     rtfs, first_tok = [], []
     for u in range(n_utts + 1):  # first utterance = warmup/compile

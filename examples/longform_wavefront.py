@@ -92,7 +92,6 @@ def main():
     enc_ref, _ = jax.jit(
         lambda p, x, n: model.apply({"params": p}, x, n,
                                     method=model.encode))(params, audio, alen)
-    enc_ref = (enc_ref[0] if isinstance(enc_ref, tuple) else enc_ref)
     enc_ref.block_until_ready()
     t_ref = time.perf_counter() - t0
 

@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from rnntransducer_tpu.config import TransNetConfig
 from rnntransducer_tpu.models.cells import RNNState, StackedRNN
+from rnntransducer_tpu.utils.masking import length_mask
 
 
 def stack_frames(x: jnp.ndarray, stride: int) -> jnp.ndarray:
@@ -103,6 +104,13 @@ class AudioEncoder(nn.Module):
         red_lengths = None if lengths is None else cfg.output_lengths(
             lengths.astype(jnp.int32))
         if k == 0:
+            # zero frames past each row's length BEFORE stacking: the last
+            # valid group may straddle the boundary, and raw pad content
+            # must not leak into it (at k > 0 the masked scans already emit
+            # zeros there; the inputs are the one unmasked surface)
+            if lengths is not None:
+                valid = length_mask(lengths, inputs.shape[1])
+                inputs = jnp.where(valid[..., None], inputs, 0)
             out, state = self.rnn(stack_frames(inputs, stride), red_lengths,
                                   initial_state, deterministic)
         elif k == cfg.num_layers:

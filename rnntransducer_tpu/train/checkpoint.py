@@ -207,6 +207,8 @@ def average_checkpoint_params(checkpoint_dir: str, state_template: Any,
     import jax.numpy as jnp
     import numpy as np
 
+    if k is not None and k < 1:
+        raise ValueError(f"average_k must be >= 1, got {k}")
     mgr = CheckpointManager(checkpoint_dir, monitor=monitor)
     try:
         if steps is None:
@@ -237,13 +239,18 @@ def average_checkpoint_params(checkpoint_dir: str, state_template: Any,
                 acc = p32
                 dtypes = jax.tree.map(lambda x: x.dtype, params)
             else:
-                acc = jax.tree.map(np.add, acc, p32)
+                # only float leaves accumulate; integer/bool leaves (index
+                # buffers etc.) pass the FIRST checkpoint's value through —
+                # summing them k times would silently corrupt the result
+                acc = jax.tree.map(
+                    lambda a, x: np.add(a, x) if a.dtype.kind == "f" else a,
+                    acc, p32)
         inv = 1.0 / len(steps)
 
         def _finish(a, dt):
             if jnp.issubdtype(dt, jnp.floating):
                 return jnp.asarray(a * inv, dtype=dt)
-            return jnp.asarray(a)  # integer leaves must be identical anyway
+            return jnp.asarray(a)  # non-float: first checkpoint's value
 
         return jax.tree.map(_finish, acc, dtypes), steps
     finally:

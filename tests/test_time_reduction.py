@@ -116,10 +116,13 @@ def test_reduction_matches_manual_composition(s, k, bidi):
                                np.asarray(state.h), rtol=1e-6, atol=1e-6)
 
 
-def test_reduction_masking_invariance():
+@pytest.mark.parametrize("k", [0, 1, 3])
+def test_reduction_masking_invariance(k):
     """Garbage in pad frames beyond a row's length must not change its
-    valid outputs (groups straddling the boundary included)."""
-    cfg = _tn(2, 1)
+    valid outputs (groups straddling the boundary included).  k=0 is the
+    regression case: raw inputs are the one unmasked surface, so stacking
+    them without zeroing leaked pad content into the last valid group."""
+    cfg = _tn(2, k)
     B, T = 2, 12
     rng = np.random.RandomState(3)
     x = rng.randn(B, T, 6).astype(np.float32)

@@ -371,3 +371,41 @@ def test_checkpoint_averaging(tmp_path):
     with _pytest.raises(ValueError, match="not both"):
         Recognizer.from_checkpoint(str(tmp_path / "ckpt"), step=2,
                                    average_k=2)
+
+    # k < 1 must error, not silently average every retained checkpoint
+    # (with_metric[:0] is empty and all_steps[-0:] is the WHOLE list)
+    with _pytest.raises(ValueError, match="average_k"):
+        average_checkpoint_params(str(tmp_path / "ckpt"), template, k=0)
+
+    # non-float leaves pass the first checkpoint's value through (never the
+    # k-fold SUM): average a tree with an int leaf via the accumulation path
+    import rnntransducer_tpu.train.checkpoint as _ckpt_mod
+
+    class _FakeState:
+        def __init__(self, params):
+            self.params = params
+
+    class _FakeMgr:
+        def __init__(self, *a, **kw):
+            self._by_step = {
+                1: {"w": np.full((2,), 1.0, np.float32),
+                    "idx": np.array([7, 8], np.int32)},
+                2: {"w": np.full((2,), 3.0, np.float32),
+                    "idx": np.array([7, 8], np.int32)},
+            }
+        def restore(self, template, step):
+            return _FakeState(self._by_step[step])
+        def close(self):
+            pass
+
+    real = _ckpt_mod.CheckpointManager
+    _ckpt_mod.CheckpointManager = _FakeMgr
+    try:
+        avg_mixed, used_m = average_checkpoint_params("ignored", None,
+                                                      steps=[1, 2])
+    finally:
+        _ckpt_mod.CheckpointManager = real
+    assert used_m == [1, 2]
+    np.testing.assert_allclose(np.asarray(avg_mixed["w"]), [2.0, 2.0])
+    np.testing.assert_array_equal(np.asarray(avg_mixed["idx"]), [7, 8])
+    assert avg_mixed["idx"].dtype == jnp.int32
