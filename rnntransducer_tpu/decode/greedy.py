@@ -38,6 +38,11 @@ class GreedyCarry(NamedTuple):
     last_appended: jnp.ndarray  # (B,) int32
     tokens: jnp.ndarray       # (B, max_output_len) int32
     lengths: jnp.ndarray      # (B,) int32 emitted so far
+    # per-token emission frame (absolute ENCODER-frame index across chunks;
+    # multiply by time_reduction_stride * hop to get seconds) + the total
+    # valid frames consumed so far (the cross-chunk offset)
+    times: jnp.ndarray        # (B, max_output_len) int32
+    frames_done: jnp.ndarray  # (B,) int32
 
 
 @partial(jax.jit, static_argnames=("model", "batch", "blank_id",
@@ -51,7 +56,9 @@ def init_greedy_carry(model: RNNTransducer, variables, batch: int,
     return GreedyCarry(
         dec_out=dec_out0, state=state0, last_appended=blank_tokens,
         tokens=jnp.full((batch, max_output_len), blank_id, jnp.int32),
-        lengths=jnp.zeros((batch,), jnp.int32))
+        lengths=jnp.zeros((batch,), jnp.int32),
+        times=jnp.zeros((batch, max_output_len), jnp.int32),
+        frames_done=jnp.zeros((batch,), jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols"))
@@ -67,7 +74,9 @@ def greedy_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
 
     def frame_step(c: GreedyCarry, inp):
         enc_i, t = inp
-        dec_out, state, last_app, out_buf, out_len = c
+        (dec_out, state, last_app, out_buf, out_len,
+         time_buf, frames_done) = c
+        abs_t = frames_done + t  # absolute encoder-frame index
         frame_valid = t < enc_lengths.astype(jnp.int32)
         emitting = frame_valid
 
@@ -81,6 +90,9 @@ def greedy_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
             cur = out_buf[jnp.arange(B), idx]
             out_buf = out_buf.at[jnp.arange(B), idx].set(
                 jnp.where(do_append, tok, cur))
+            cur_t = time_buf[jnp.arange(B), idx]
+            time_buf = time_buf.at[jnp.arange(B), idx].set(
+                jnp.where(do_append, abs_t, cur_t))
             out_len = out_len + do_append.astype(jnp.int32)
             last_app = jnp.where(do_append, tok, last_app)
             feed_tok = jnp.where(advance, tok, blank_tokens)
@@ -94,11 +106,14 @@ def greedy_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
                 new_state, state)
             emitting = advance
 
-        return GreedyCarry(dec_out, state, last_app, out_buf, out_len), None
+        return GreedyCarry(dec_out, state, last_app, out_buf, out_len,
+                           time_buf, frames_done), None
 
     ts = jnp.arange(enc.shape[1], dtype=jnp.int32)
     carry, _ = jax.lax.scan(frame_step, carry, (enc_t, ts))
-    return carry
+    # advance the cross-chunk frame offset by this call's valid frames
+    return carry._replace(
+        frames_done=carry.frames_done + enc_lengths.astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols",
@@ -118,6 +133,26 @@ def greedy_decode(model: RNNTransducer, variables, feats, feat_lengths,
     carry = greedy_decode_frames(model, variables, enc, enc_lengths, carry,
                                  blank_id, max_symbols)
     return carry.tokens, carry.lengths
+
+
+@partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols",
+                                   "max_output_len"))
+def greedy_decode_with_times(model: RNNTransducer, variables, feats,
+                             feat_lengths, blank_id: int = 0,
+                             max_symbols: int = 3, max_output_len: int = 256
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """greedy_decode, additionally returning per-token emission frames
+    ``times`` (B, max_output_len) int32 — ENCODER-frame indices (multiply by
+    ``cfg.transnet.time_reduction_stride * hop_sec`` for seconds).  The
+    reference's decoders carry no timing information at all
+    (``networks/transducer.py:95-145``)."""
+    enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
+    enc_lengths = model.cfg.transnet.output_lengths(feat_lengths)
+    carry = init_greedy_carry(model, variables, feats.shape[0], blank_id,
+                              max_output_len)
+    carry = greedy_decode_frames(model, variables, enc, enc_lengths, carry,
+                                 blank_id, max_symbols)
+    return carry.tokens, carry.lengths, carry.times
 
 
 @partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols",

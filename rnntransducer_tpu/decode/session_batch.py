@@ -161,7 +161,9 @@ def _reset_slot(model: RNNTransducer, variables, enc_state,
             else carry.state.c.at[:, :, slot].set(state0.c[:, :, 0])),
         last_appended=carry.last_appended.at[slot].set(blank_id),
         tokens=carry.tokens.at[slot].set(blank_id),
-        lengths=carry.lengths.at[slot].set(0))
+        lengths=carry.lengths.at[slot].set(0),
+        times=carry.times.at[slot].set(0),
+        frames_done=carry.frames_done.at[slot].set(0))
     return RNNState(h, c), new_carry
 
 

@@ -313,3 +313,17 @@ class StreamingRecognizer:
         toks, n = jax.device_get((self._carry.tokens[0],
                                   self._carry.lengths[0]))
         return [int(t) for t in toks[:int(n)]]
+
+    @property
+    def timestamps(self) -> List[float]:
+        """Per-token emission times in seconds (greedy sessions only —
+        beam hypotheses can rewrite, so a stable per-token time is not
+        defined until finalization).  Parallel to ``.tokens``."""
+        if self.decoder != "greedy":
+            raise ValueError("timestamps are available for greedy sessions")
+        times, n = jax.device_get((self._carry.times[0],
+                                   self._carry.lengths[0]))
+        cfg = self.model.cfg.transnet
+        sec = (cfg.time_reduction_stride *
+               self.frontend.cfg.window_stride_sec)
+        return [float(t) * sec for t in times[:int(n)]]

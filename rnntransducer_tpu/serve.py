@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -200,6 +200,31 @@ class Recognizer:
         toks, lens = np.asarray(toks), np.asarray(lens)
         return [self._decode_text(toks[i, 0, :lens[i, 0]])
                 for i in range(len(waves))]
+
+    def transcribe_with_timestamps(self, wav: Union[str, np.ndarray]
+                                   ) -> Tuple[str, List[Tuple[str, float]]]:
+        """Greedy decode with per-token emission times: returns
+        ``(text, [(token_text, start_sec), ...])``.  Times are the encoder
+        frame that emitted each token, converted to seconds
+        (frame * time_reduction_stride * hop); the reference's decoders
+        expose no timing at all."""
+        from rnntransducer_tpu.decode.greedy import greedy_decode_with_times
+
+        wave = self._to_wave(wav)
+        feats, feat_lengths = self.frontend(
+            jnp.asarray(wave[None]), jnp.asarray([len(wave)], jnp.int32))
+        blank = self.tokenizer.blank_token_id
+        toks, lens, times = greedy_decode_with_times(
+            self.model, self.variables, feats, feat_lengths, blank_id=blank,
+            max_symbols=self.cfg.train.greedy_max_symbols,
+            max_output_len=self.max_output_len)
+        n = int(lens[0])
+        ids = [int(t) for t in np.asarray(toks)[0, :n]]
+        sec = (self.cfg.model.transnet.time_reduction_stride *
+               self.cfg.data.audio.window_stride_sec)
+        stamps = [(self.tokenizer.decode([i]), float(f) * sec)
+                  for i, f in zip(ids, np.asarray(times)[0, :n])]
+        return self._decode_text(ids), stamps
 
     def stream(self, chunk_frames: Optional[int] = None, **kw):
         """New streaming session (requires a unidirectional encoder).
