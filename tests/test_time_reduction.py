@@ -93,7 +93,11 @@ def test_reduction_matches_manual_composition(s, k, bidi):
         return m.apply({"params": sub}, xs, ls)
 
     if k == 0:
-        out, state = run_stack(params["rnn"], s * F, L, stack_frames(x, s),
+        # the encoder zeroes input frames past each row's length before
+        # stacking (pad content must not leak into the last valid group)
+        valid = np.arange(T)[None, :] < np.asarray(lengths)[:, None]
+        xz = jnp.where(jnp.asarray(valid)[..., None], x, 0)
+        out, state = run_stack(params["rnn"], s * F, L, stack_frames(xz, s),
                                red_lengths)
     elif k == L:
         out, state = run_stack(params["rnn"], F, L, x, lengths)
