@@ -179,6 +179,7 @@ class BatchedSession:
         self._feat_buf = np.zeros((0, frontend.cfg.n_mels), np.float32)
         self._emitted = 0
         self._closed = False
+        self._final_times: List[float] = []  # captured at flush (slot reuse)
 
     # -- internal: one pending chunk (or final partial), None if not ready
     def _take_chunk(self, final: bool):
@@ -240,6 +241,7 @@ class BatchedSession:
             out = self.tokens  # final ranked best
         else:
             out = self._new_tokens()
+            self._final_times = self.timestamps  # before the slot is reused
         self._runner._release(self)
         self._closed = True
         return out
@@ -248,6 +250,19 @@ class BatchedSession:
     def tokens(self) -> List[int]:
         toks, total = self._runner.slot_tokens(self.slot)
         return [int(t) for t in toks[:total]]
+
+    @property
+    def timestamps(self) -> List[float]:
+        """Per-token emission seconds, parallel to ``.tokens`` (greedy
+        lanes only — beam hypotheses rewrite).  After ``flush()`` the values
+        captured at stream end are served (the slot may be reused)."""
+        if self._runner.decoder != "greedy" or self._runner.fused:
+            raise ValueError("timestamps are available for greedy sessions")
+        if self._closed:
+            return list(self._final_times)
+        times, total = self._runner.slot_times(self.slot)
+        sec = self._runner.frame_sec
+        return [float(t) * sec for t in times[:total]]
 
     def abort(self) -> None:
         """Free the slot WITHOUT the final drain — for abnormal client
@@ -313,6 +328,9 @@ class BatchedStreamingRunner:
         self.model = model
         self.variables = variables
         self.audio_cfg = audio_cfg
+        # encoder-frame duration in seconds (timestamps surface)
+        self.frame_sec = (model.cfg.transnet.time_reduction_stride *
+                          audio_cfg.window_stride_sec)
         self.max_sessions = max_sessions
         self.chunk_frames = chunk_frames
         self.blank_id = blank_id
@@ -363,10 +381,12 @@ class BatchedStreamingRunner:
                 self._carry = jax.tree.map(
                     lambda a: jax.device_put(a, self._lane_sharding(a)),
                     self._carry)
-        # host mirror of (tokens, lengths), refreshed once per tick
+        # host mirror of (tokens, lengths[, times]), refreshed once per tick
         self._tokens = np.full((max_sessions, max_output_len), blank_id,
                                np.int32)
         self._lengths = np.zeros((max_sessions,), np.int32)
+        # per-token emission frames (greedy only; beam hypotheses rewrite)
+        self._times = np.zeros((max_sessions, max_output_len), np.int32)
 
     def _lane_sharding(self, a):
         """NamedSharding splitting a state leaf's lane axis over the mesh.
@@ -407,6 +427,7 @@ class BatchedStreamingRunner:
             with self._state_lock:
                 self._tokens[slot] = self.blank_id
                 self._lengths[slot] = 0
+                self._times[slot] = 0
                 sess = BatchedSession(
                     self, slot, StreamingFrontend(self.audio_cfg, normalize,
                                                   norm_mean=norm_mean,
@@ -425,6 +446,14 @@ class BatchedStreamingRunner:
             # copy: callers iterate after the lock is released, and a
             # concurrent open() reusing the slot rewrites the live row
             return self._tokens[slot].copy(), int(self._lengths[slot])
+
+    def slot_times(self, slot: int):
+        """Per-token emission frames for a greedy slot (see GreedyCarry):
+        absolute encoder-frame indices, parallel to slot_tokens."""
+        if self.decoder != "greedy" or self.fused:
+            raise ValueError("timestamps are available for greedy sessions")
+        with self._state_lock:
+            return self._times[slot].copy(), int(self._lengths[slot])
 
     # ------------------------------------------------------------- warmup
     def warmup(self) -> None:
@@ -521,11 +550,15 @@ class BatchedStreamingRunner:
                     # ranking (length-normalized, transducer.py:360) runs on
                     # device; the transfer is (S, L) + (S,), not (S, K, L)
                     t, l = jax.device_get(best_hyp_all(self._carry))
+                    with self._state_lock:
+                        self._tokens, self._lengths = np.array(t), np.array(l)
                 else:
-                    t, l = jax.device_get((self._carry.tokens,
-                                           self._carry.lengths))
-                with self._state_lock:
-                    self._tokens, self._lengths = np.array(t), np.array(l)
+                    t, l, tm = jax.device_get((self._carry.tokens,
+                                               self._carry.lengths,
+                                               self._carry.times))
+                    with self._state_lock:
+                        self._tokens, self._lengths = np.array(t), np.array(l)
+                        self._times = np.array(tm)
                 ticks += 1
             if (self.fused and final_session is not None
                     and final_session.slot in self._host_sessions):

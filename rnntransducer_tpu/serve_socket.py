@@ -177,9 +177,11 @@ class StreamingServer:
                         emitted += fin
                         tokens = list(emitted)
                     final = self.recognizer._decode_text(tokens)
-                conn.sendall((json.dumps(
-                    {"final": final,
-                     "tokens": [int(t) for t in tokens]}) + "\n").encode())
+                msg = {"final": final,
+                       "tokens": [int(t) for t in tokens]}
+                if not beam:  # greedy: per-token emission seconds
+                    msg["times"] = [round(t, 3) for t in sess.timestamps]
+                conn.sendall((json.dumps(msg) + "\n").encode())
             finally:
                 # abnormal exit paths (disconnect, protocol error, feed
                 # exception) must still free a batched session's slot —

@@ -148,3 +148,85 @@ def test_recognizer_transcribe_with_timestamps(tmp_path):
     # 0.5 s of audio -> every stamp within the utterance
     assert all(0.0 <= t <= 0.6 for t in secs)
     assert all(isinstance(tok, str) for tok, _ in stamps)
+
+
+def test_batched_session_timestamps():
+    """Continuous-batching lanes expose .timestamps like the single-session
+    recognizer; values survive flush() (slot reuse) and match the
+    single-session streaming path."""
+    from rnntransducer_tpu.decode.session_batch import BatchedStreamingRunner
+    from rnntransducer_tpu.decode.streaming import StreamingRecognizer
+
+    model, variables = _uni_model(seed=7)
+    acfg = AudioConfig(normalize=False)
+    rng = np.random.RandomState(8)
+    wav = (rng.randn(8000) * 2).astype(np.float32)
+
+    ref = StreamingRecognizer(model, variables, acfg, chunk_frames=16,
+                              normalize="none")
+    ref.feed(wav)
+    ref.flush()
+
+    runner = BatchedStreamingRunner(model, variables, acfg, max_sessions=2,
+                                    chunk_frames=16)
+    sess = runner.open()
+    sess.feed(wav)
+    live = sess.timestamps  # pre-flush poll
+    assert all(b >= a for a, b in zip(live, live[1:]))
+    sess.flush()
+    assert sess.timestamps == pytest.approx(ref.timestamps)
+    assert sess.tokens == ref.tokens
+
+    # beam lanes refuse
+    runner_b = BatchedStreamingRunner(model, variables, acfg, max_sessions=1,
+                                      chunk_frames=16, decoder="beam")
+    sb = runner_b.open()
+    with pytest.raises(ValueError, match="greedy"):
+        _ = sb.timestamps
+    sb.abort()
+
+
+def test_socket_final_reply_carries_times(tmp_path):
+    """The TCP server's final greedy reply includes per-token seconds."""
+    import json
+    import socket
+    import struct
+    from rnntransducer_tpu.serve import Recognizer
+    from rnntransducer_tpu.serve_socket import StreamingServer
+    from rnntransducer_tpu.utils.audio_io import write_wav
+    from tests.test_serve import _cfg
+    from rnntransducer_tpu.data import SyntheticAudioDataset
+    from rnntransducer_tpu.train import Trainer
+
+    cfg = _cfg(tmp_path)
+    ds = SyntheticAudioDataset(4, AudioConfig(), min_sec=0.3, max_sec=0.6,
+                               min_labels=3, max_labels=8, seed=0)
+    tr = Trainer(cfg, ds, val_dataset=None)
+    tr.fit()
+    tr.ckpt.close()
+    rec = Recognizer.from_checkpoint(str(tmp_path / "ckpt"), decoder="greedy")
+    wav = (np.random.RandomState(0).randn(8000) * 0.1).astype(np.float32)
+
+    def roundtrip(batch_sessions):
+        with StreamingServer(rec, port=0, chunk_frames=16,
+                             batch_sessions=batch_sessions) as server:
+            with socket.socket() as s:
+                s.connect(("127.0.0.1", server.port))
+                pcm16 = np.clip(wav * 32768, -32768, 32767).astype("<i2")
+                payload = pcm16.tobytes()
+                s.sendall(struct.pack("<i", len(payload)) + payload)
+                s.recv(1 << 16)  # partial
+                s.sendall(struct.pack("<i", 0))
+                buf = b""
+                while not buf.endswith(b"\n"):
+                    chunk = s.recv(1 << 16)
+                    if not chunk:
+                        break
+                    buf += chunk
+                return json.loads(buf.splitlines()[-1])
+
+    for bs in (0, 1):  # unbatched StreamingRecognizer and batched lane
+        final = roundtrip(bs)
+        assert "times" in final, final
+        assert len(final["times"]) == len(final["tokens"])
+        assert all(b >= a for a, b in zip(final["times"], final["times"][1:]))
