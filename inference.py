@@ -35,6 +35,9 @@ def parse_args():
     # the checkpoint (cfg.inference), matching what the model was tuned with
     p.add_argument("--decoder", type=str, default="beam",
                    choices=["greedy", "beam", "beam_batched"])
+    p.add_argument("--timestamps", action="store_true",
+                   help="with --decoder greedy: print per-token emission "
+                        "seconds after each transcript")
     p.add_argument("--beam_width", type=int, default=None)
     p.add_argument("--improved", action="store_true", default=None)
     p.add_argument("--no-improved", dest="improved", action="store_false")
@@ -69,6 +72,9 @@ def main():
         raise SystemExit(
             f"--lm_path/--hotwords require --decoder beam "
             f"(the '{args.decoder}' decoder has no shallow fusion)")
+    if args.timestamps and (args.decoder != "greedy" or args.stream):
+        raise SystemExit("--timestamps requires --decoder greedy (offline; "
+                         "streaming sessions expose .timestamps in the API)")
 
     from rnntransducer_tpu.decode import greedy_decode
     from rnntransducer_tpu.frontend import LogMelFrontend
@@ -177,12 +183,28 @@ def main():
     frontend = LogMelFrontend(cfg.data.audio)
     feats, feat_lengths = frontend(jnp.asarray(batch), jnp.asarray(lengths))
 
+    times = None
     if args.decoder == "greedy":
-        toks, lens = greedy_decode(model, variables, feats, feat_lengths,
-                                   blank_id=tok.blank_token_id,
-                                   max_symbols=cfg.train.greedy_max_symbols,
-                                   max_output_len=args.max_output_len)
-        toks, lens = np.asarray(toks), np.asarray(lens)
+        if args.timestamps:
+            from rnntransducer_tpu.decode import greedy_decode_with_times
+            toks, lens, frames = greedy_decode_with_times(
+                model, variables, feats, feat_lengths,
+                blank_id=tok.blank_token_id,
+                max_symbols=cfg.train.greedy_max_symbols,
+                max_output_len=args.max_output_len)
+            sec = (cfg.model.transnet.time_reduction_stride *
+                   cfg.data.audio.window_stride_sec)
+            frames = np.asarray(frames)
+            toks, lens = np.asarray(toks), np.asarray(lens)
+            times = [[round(float(f) * sec, 3)
+                      for f in frames[i, :lens[i]]] for i in range(len(wavs))]
+        else:
+            toks, lens = greedy_decode(
+                model, variables, feats, feat_lengths,
+                blank_id=tok.blank_token_id,
+                max_symbols=cfg.train.greedy_max_symbols,
+                max_output_len=args.max_output_len)
+            toks, lens = np.asarray(toks), np.asarray(lens)
         hyps = [list(toks[i, :lens[i]]) for i in range(len(wavs))]
     elif args.decoder == "beam_batched":
         from rnntransducer_tpu.decode import batched_beam_decode
@@ -210,8 +232,13 @@ def main():
                                    feat_lengths[i:i + 1])
             hyps.append(nbest[0])
 
-    for path, hyp in zip(args.wav, hyps):
+    for i, (path, hyp) in enumerate(zip(args.wav, hyps)):
         print(f"{path}\t{tok.decode(hyp, group_tokens=False)}")
+        if times is not None:
+            stamps = " ".join(
+                f"{tok.decode([t], group_tokens=False)}@{s}"
+                for t, s in zip(hyp, times[i]))
+            print(f"{path}\ttimes\t{stamps}")
 
 
 if __name__ == "__main__":

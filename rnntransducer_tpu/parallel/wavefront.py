@@ -21,11 +21,16 @@ memory drops by D, so recordings that OOM a single chip simply fit.
 Scope: unidirectional stacks only (the streaming/long-form models).  For a
 bidirectional stack layer l+1 needs layer l's *backward* sweep to have
 crossed the whole sequence, so chunks cannot pipeline (same structural
-argument as docs/TUNING.md's staircase note).  Inference path (deterministic:
-no dropout), exact by construction — each chunk's masked scan is the same
-op sequence as the single-device scan, split at chunk boundaries with the
-carry threaded through; ``tests/test_wavefront.py`` asserts equality against
-``StackedRNN``/``AudioEncoder`` on the 8-virtual-device CPU mesh.
+argument as docs/TUNING.md's staircase note).  Deterministic (no dropout),
+exact by construction — each chunk's masked scan is the same op sequence as
+the single-device scan, split at chunk boundaries with the carry threaded
+through — and **differentiable**: the stage loop's trip count (D + L - 1)
+is static, so it lowers to scan, and ppermute's transpose is the reverse
+permute; param and input gradients match the single-device stack at 1e-5,
+so the schedule supports sequence-parallel TRAINING of long recordings, not
+just inference.  ``tests/test_wavefront.py`` asserts forward equality and
+gradient parity against ``StackedRNN``/``AudioEncoder`` on the
+8-virtual-device CPU mesh.
 """
 
 from __future__ import annotations

@@ -66,6 +66,16 @@ def test_inference_cli_offline_and_stream(tmp_path):
     out = run("--decoder", "greedy")
     assert wav_path in out
 
+    out = run("--decoder", "greedy", "--timestamps")
+    assert "\ttimes\t" in out and "@" in out
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "inference.py"),
+         "--checkpoint_dir", str(tmp_path / "ckpt"), "--wav", wav_path,
+         "--decoder", "beam_batched", "--timestamps"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=560)
+    assert r.returncode != 0 and "--timestamps" in (r.stderr + r.stdout)
+
     out = run("--stream", "--decoder", "greedy", "--chunk_ms", "200",
               "--normalize", "running")
     assert wav_path in out
