@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--train_utts", type=int, default=4096)
     ap.add_argument("--ckpt", type=str, default="/tmp/flagship_acc_ckpt")
     ap.add_argument("--learning_rate", type=float, default=4e-4)
+    ap.add_argument("--time_reduction_stride", type=int, default=1,
+                    help="frame-stacking stride after layer 1 (the reduced-"
+                         "rate production encoder; see BASELINE.md)")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
@@ -45,6 +48,10 @@ def main():
     cfg = rt.base_config()  # the reference's flagship model config
     cfg = dataclasses.replace(
         cfg,
+        model=dataclasses.replace(cfg.model, transnet=dataclasses.replace(
+            cfg.model.transnet,
+            time_reduction_stride=args.time_reduction_stride,
+            time_reduction_layer=1)),
         data=dataclasses.replace(cfg.data, audio_buckets=(64, 128),
                                  label_buckets=(16,)),
         train=TrainConfig(learning_rate=args.learning_rate,
