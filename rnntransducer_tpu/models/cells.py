@@ -58,6 +58,72 @@ def _uniform_init(scale: float):
     return init
 
 
+def _drop_thresh(rate: float) -> int:
+    """Drop rate quantized to n/256 (the uint8 mask granularity)."""
+    return int(round(rate * 256))
+
+
+def _rbg_bits(key, shape):
+    """uint8 random bits from XLA's on-chip generator (``rbg``), seeded from
+    an ordinary (Threefry or raw uint32) PRNG key."""
+    data = (jax.random.key_data(key)
+            if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key)
+    data = data.reshape(-1).astype(jnp.uint32)
+    words = jnp.concatenate([data, data])[:4] if data.size < 4 else data[:4]
+    rk = jax.random.wrap_key_data(words, impl="rbg")
+    return jax.random.bits(rk, shape, jnp.uint8)
+
+
+def _apply_drop_bits(x, bits, rate: float):
+    """Masked-rescale ``x`` with pre-drawn uint8 ``bits`` (same shape)."""
+    thresh = _drop_thresh(rate)
+    keep_scale = jnp.asarray(1.0 / (1.0 - thresh / 256.0), x.dtype)
+    return jnp.where(bits >= jnp.uint8(thresh), x * keep_scale,
+                     jnp.zeros_like(x))
+
+
+class FastDropout(nn.Module):
+    """Drop-in replacement for ``flax.linen.Dropout`` tuned for TPU.
+
+    flax's Dropout draws 32 Threefry bits per element; at the flagship
+    encoder shape the 7 inter-layer masks cost ~23 ms of a 252 ms training
+    step (fwd+bwd, measured on v5e — dropout was 8% of the step).  This
+    module draws 8 bits per element from XLA's on-chip bit generator
+    (``rbg``) instead: measured 1.7 ms for the same masks.  Two deliberate
+    semantic trades, both irrelevant at dropout's precision:
+
+    * the drop rate is quantized to n/256 (e.g. 0.1 -> 26/256 ~ 0.1016);
+      the kept values are rescaled by the *quantized* keep probability, so
+      E[output] == input exactly;
+    * the mask stream comes from the rbg generator (seeded from the
+      'dropout' PRNG key), whose bit sequence is backend-dependent — masks
+      are reproducible per backend+seed but not bit-identical across
+      CPU/TPU, which flax's Threefry masks are.  Nothing numerical depends
+      on *which* units drop.
+
+    Callers keep passing ordinary Threefry keys via ``rngs={"dropout": k}``.
+
+    Inside ``lax.scan`` bodies the generator cannot overlap the surrounding
+    compute (measured ~0.5 ms/site extra inside the layer scan), so
+    ``StackedRNN``'s scan-over-layers mode instead draws ALL inter-layer
+    masks in one call outside the scan and feeds per-layer slices in as
+    scanned inputs (``_call_scan``); this module is for standalone sites.
+    """
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if deterministic or self.rate <= 0.0:
+            return x
+        if self.rate >= 1.0:
+            return jnp.zeros_like(x)
+        if _drop_thresh(self.rate) == 0:  # rate < 1/512 -> keep everything
+            return x
+        bits = _rbg_bits(self.make_rng("dropout"), x.shape)
+        return _apply_drop_bits(x, bits, self.rate)
+
+
 def _lstm_step(h, c, xw, hw):
     """xw/hw: pre-activation input/recurrent projections, (B, 4H)."""
     i, f, g, o = jnp.split(xw + hw, 4, axis=-1)
@@ -181,7 +247,13 @@ class RNNLayer(nn.Module):
 class _ScanLayer(nn.Module):
     """One uniform (bi)layer for scan-over-layers mode.  Applies dropout to
     its INPUT (== torch's dropout-on-every-output-but-the-last when stacked
-    above layer 0), then the forward (and flipped backward) masked scan."""
+    above layer 0), then the forward (and flipped backward) masked scan.
+
+    ``drop_bits`` is this layer's slice of the pre-drawn uint8 mask bits
+    (drawn ONCE for all layers outside the scan — a generator op inside the
+    scan body cannot overlap the recurrent compute, measured ~0.5 ms/site;
+    see ``StackedRNN._call_scan``).  A (1, 1, 1) dummy is passed when
+    dropout is off or the call is deterministic, and never consumed."""
 
     hidden_size: int
     rnn_type: str
@@ -191,10 +263,12 @@ class _ScanLayer(nn.Module):
     use_pallas: str = "auto"
 
     @nn.compact
-    def __call__(self, seq, layer_state, mask, lengths, deterministic):
+    def __call__(self, seq, layer_state, drop_bits, mask, lengths,
+                 deterministic):
         """seq: (B, T, D); layer_state: (h (D_dirs,B,H), c (D_dirs,B,H))."""
-        if self.dropout > 0.0:
-            seq = nn.Dropout(self.dropout)(seq, deterministic=deterministic)
+        if (self.dropout > 0.0 and not deterministic
+                and _drop_thresh(self.dropout) > 0):
+            seq = _apply_drop_bits(seq, drop_bits, self.dropout)
         h_in, c_in = layer_state
         fwd = RNNLayer(seq.shape[-1], self.hidden_size, self.rnn_type,
                        self.unroll, self.use_pallas, name="fwd")
@@ -245,15 +319,15 @@ class StackedRNN(nn.Module):
                 self.input_size, self.hidden_size, self.rnn_type, self.unroll,
                 self.use_pallas, reverse=True,
                 name="bwd_0")] if self.bidirectional else []
-            # deterministic (arg 5 incl. module) must stay a static bool
-            # through remat or Dropout's bool check sees a tracer
-            target = (nn.remat(_ScanLayer, static_argnums=(5,))
+            # deterministic (arg 6 incl. module) must stay a static bool
+            # through remat or the dropout gate's bool check sees a tracer
+            target = (nn.remat(_ScanLayer, static_argnums=(6,))
                       if self.remat else _ScanLayer)
             self.stack = nn.scan(
                 target,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+                in_axes=(0, 0, nn.broadcast, nn.broadcast, nn.broadcast),
                 out_axes=0,
                 length=self.num_layers - 1,
             )(self.hidden_size, self.rnn_type, self.bidirectional,
@@ -276,7 +350,7 @@ class StackedRNN(nn.Module):
             self.bwd_layers = bwd
         # Inter-layer dropout (torch applies it to every layer's output except
         # the last, encoder.py:73). Must be constructed here, not in __call__.
-        self.drop = nn.Dropout(self.dropout) if self.dropout > 0.0 else None
+        self.drop = FastDropout(self.dropout) if self.dropout > 0.0 else None
 
     @property
     def output_size(self) -> int:
@@ -356,8 +430,18 @@ class StackedRNN(nn.Module):
             h_in = initial_state.h[1:]
             c_in = (initial_state.c[1:] if initial_state.c is not None
                     else jnp.zeros_like(h_in))
-        out, (h_rest, c_rest) = self.stack(out, (h_in, c_in), mask, lengths,
-                                           deterministic)
+        # all inter-layer dropout masks in ONE generator call, outside the
+        # scan (inside the body the generator serializes against the
+        # recurrent kernels — measured ~0.5 ms/site at the flagship shape)
+        L1 = self.num_layers - 1
+        if (self.dropout > 0.0 and not deterministic
+                and _drop_thresh(self.dropout) > 0):
+            drop_bits = _rbg_bits(self.make_rng("dropout"),
+                                  (L1,) + out.shape)
+        else:
+            drop_bits = jnp.zeros((L1, 1, 1, 1), jnp.uint8)  # never consumed
+        out, (h_rest, c_rest) = self.stack(out, (h_in, c_in), drop_bits,
+                                           mask, lengths, deterministic)
         h = jnp.concatenate([h0, h_rest], axis=0)
         if self.rnn_type == "lstm":
             return out, RNNState(h, jnp.concatenate([c0, c_rest], axis=0))

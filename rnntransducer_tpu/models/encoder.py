@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rnntransducer_tpu.config import TransNetConfig
-from rnntransducer_tpu.models.cells import RNNState, StackedRNN
+from rnntransducer_tpu.models.cells import FastDropout, RNNState, StackedRNN
 from rnntransducer_tpu.utils.masking import length_mask
 
 
@@ -82,7 +82,7 @@ class AudioEncoder(nn.Module):
             self.rnn_post = None
         # inter-layer dropout for the stack boundary (torch semantics:
         # dropout on every layer's output except the last's)
-        self.boundary_drop = (nn.Dropout(cfg.dropout)
+        self.boundary_drop = (FastDropout(cfg.dropout)
                               if self.rnn_post is not None and cfg.dropout > 0.0
                               else None)
         # reference: out_proj = Linear(2H if bidir else H, output_size)

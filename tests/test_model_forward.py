@@ -42,6 +42,34 @@ def test_dropout_config_trains():
     assert float(jnp.abs(o_eval - o_train).max()) > 1e-4
 
 
+def test_fast_dropout_semantics():
+    """FastDropout (cells.py): quantized-rate rbg masks must drop ~rate of
+    units, rescale survivors by the quantized keep prob (E[out] == in), and
+    be the identity in deterministic mode."""
+    from rnntransducer_tpu.models.cells import FastDropout
+
+    x = jnp.ones((64, 64, 64), jnp.float32)
+    mod = FastDropout(0.1)
+    y = np.asarray(mod.apply({}, x, False,
+                             rngs={"dropout": jax.random.PRNGKey(0)}))
+    q = 26 / 256  # 0.1 quantized to n/256
+    dropped = float((y == 0).mean())
+    assert abs(dropped - q) < 0.01, dropped
+    np.testing.assert_allclose(y[y != 0], 1.0 / (1.0 - q), rtol=1e-6)
+    assert abs(y.mean() - 1.0) < 0.02
+    # distinct keys -> distinct masks
+    y2 = np.asarray(mod.apply({}, x, False,
+                              rngs={"dropout": jax.random.PRNGKey(1)}))
+    assert (y != y2).any()
+    # deterministic / rate-0 are the identity; rate>=1 zeroes
+    np.testing.assert_array_equal(np.asarray(mod.apply({}, x, True)), x)
+    np.testing.assert_array_equal(
+        np.asarray(FastDropout(0.0).apply(
+            {}, x, False, rngs={"dropout": jax.random.PRNGKey(0)})), x)
+    assert not np.asarray(FastDropout(1.0).apply(
+        {}, x, False, rngs={"dropout": jax.random.PRNGKey(0)})).any()
+
+
 def test_pad_embedding_is_zero():
     model, cfg = _tiny_model()
     rng = jax.random.PRNGKey(0)
