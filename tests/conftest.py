@@ -44,6 +44,9 @@ _SLOW_TESTS = {
     "test_beam_bundle_matches_live_batched_beam",
     "test_streaming_bundle_matches_live_streaming",
     "test_dropout_config_trains",
+    "test_pipeline_matches_stacked_rnn",
+    "test_pipeline_multilayer_stages_and_per_layer_layout",
+    "test_pipeline_encoder_wrapper",
     "test_beam_finds_high_probability_sequences",
     "test_scan_layers_matches_loop_layers",
     "test_scan_matches_oracle",
