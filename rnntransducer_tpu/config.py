@@ -268,6 +268,16 @@ class TrainConfig:
     # lower CER — see BASELINE.md — at ~K x decode cost)
     val_decoder: str = "greedy"
     val_beam_width: int = 4
+    # optimizer family: "adamw" (reference parity, model.py:110-126),
+    # "adafactor" (factored second moment — optimizer memory drops from 2x
+    # params fp32 to ~row+col sums; the standard choice when Adam moments
+    # dominate HBM), "lion" (sign-momentum, 1x params state), or "sgd"
+    # (momentum 0.9). All share the lr schedule below.
+    optimizer: str = "adamw"
+    # lr schedule: "onecycle" (reference parity — cosine OneCycleLR),
+    # "cosine" (linear warmup -> cosine decay to 0), "linear" (warmup ->
+    # linear decay), "constant" (warmup -> flat)
+    lr_schedule: str = "onecycle"
 
 
 @dataclass(frozen=True)

@@ -124,10 +124,13 @@ def _tp_spec(keys: tuple, ndim: int, tp: bool):
 
 
 def _is_adam_moment(keys: tuple) -> bool:
-    """True for leaves of the Adam mu/nu trees inside a TrainState-shaped
-    tree (path: opt_state -> <chain idx> -> mu|nu -> <param path>)."""
+    """True for param-shaped optimizer-moment leaves inside a
+    TrainState-shaped tree (path: opt_state -> <chain idx> -> mu|nu ->
+    <param path>).  Covers AdamW and Lion ("mu"/"nu") and SGD momentum
+    ("trace"); Adafactor's factored v_row/v_col are row/col sums — already
+    ~1/dim the size — and deliberately stay replicated."""
     return bool(keys) and keys[0] == "opt_state" and (
-        "mu" in keys or "nu" in keys)
+        "mu" in keys or "nu" in keys or "trace" in keys)
 
 
 def _zero_spec(spec, shape: tuple, data_n: int):

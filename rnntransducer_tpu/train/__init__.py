@@ -3,13 +3,14 @@ from rnntransducer_tpu.train.checkpoint import (
 )
 from rnntransducer_tpu.train.loop import Trainer
 from rnntransducer_tpu.train.metrics import char_error_rate, word_error_rate
-from rnntransducer_tpu.train.optim import make_optimizer, onecycle_schedule
+from rnntransducer_tpu.train.optim import (make_optimizer, make_schedule,
+                                           onecycle_schedule)
 from rnntransducer_tpu.train.state import (
     TrainState, build_model, eval_step, learning_rate_at, train_step,
 )
 
 __all__ = [
     "CheckpointManager", "load_config", "Trainer", "char_error_rate",
-    "word_error_rate", "make_optimizer", "onecycle_schedule", "TrainState",
+    "word_error_rate", "make_optimizer", "make_schedule", "onecycle_schedule", "TrainState",
     "build_model", "eval_step", "learning_rate_at", "train_step",
 ]

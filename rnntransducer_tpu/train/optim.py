@@ -32,9 +32,58 @@ def onecycle_schedule(cfg: TrainConfig) -> optax.Schedule:
     )
 
 
+def make_schedule(cfg: TrainConfig) -> optax.Schedule:
+    """LR schedule per ``cfg.lr_schedule`` (all warm up for
+    ``warmup_ratio`` of the run; "onecycle" is reference parity)."""
+    kind = cfg.lr_schedule.lower()
+    if kind == "onecycle":
+        return onecycle_schedule(cfg)
+    steps = max(cfg.max_steps, 2)
+    warmup = min(max(int(steps * cfg.warmup_ratio), 1), steps - 1)
+    if kind == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=cfg.learning_rate / cfg.div_factor,
+            peak_value=cfg.learning_rate, warmup_steps=warmup,
+            decay_steps=steps, end_value=0.0)
+    if kind == "linear":
+        return optax.join_schedules(
+            [optax.linear_schedule(cfg.learning_rate / cfg.div_factor,
+                                   cfg.learning_rate, warmup),
+             optax.linear_schedule(cfg.learning_rate, 0.0, steps - warmup)],
+            [warmup])
+    if kind == "constant":
+        return optax.join_schedules(
+            [optax.linear_schedule(cfg.learning_rate / cfg.div_factor,
+                                   cfg.learning_rate, warmup),
+             optax.constant_schedule(cfg.learning_rate)],
+            [warmup])
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r} "
+                     "(onecycle | cosine | linear | constant)")
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    schedule = onecycle_schedule(cfg)
-    tx = optax.adamw(learning_rate=schedule, weight_decay=cfg.weight_decay)
+    schedule = make_schedule(cfg)
+    kind = getattr(cfg, "optimizer", "adamw").lower()
+    if kind == "adamw":
+        tx = optax.adamw(learning_rate=schedule,
+                         weight_decay=cfg.weight_decay)
+    elif kind == "adafactor":
+        # factored second moment: optimizer memory ~ row+col sums instead
+        # of 2x params fp32 — the standard lever when Adam moments dominate
+        # HBM (they are the largest replicated tensors in a DP run).
+        # min_dim_size_to_factor=128 keeps small tensors unfactored.
+        tx = optax.adafactor(learning_rate=schedule,
+                             min_dim_size_to_factor=128,
+                             multiply_by_parameter_scale=False,
+                             weight_decay_rate=cfg.weight_decay or None)
+    elif kind == "lion":
+        tx = optax.lion(learning_rate=schedule,
+                        weight_decay=cfg.weight_decay)
+    elif kind == "sgd":
+        tx = optax.sgd(learning_rate=schedule, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r} "
+                         "(adamw | adafactor | lion | sgd)")
     if cfg.grad_clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
     return tx

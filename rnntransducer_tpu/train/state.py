@@ -32,7 +32,7 @@ from rnntransducer_tpu.frontend import LogMelFrontend, spec_augment
 from rnntransducer_tpu.models import RNNTransducer
 from rnntransducer_tpu.ops import rnnt_loss
 from rnntransducer_tpu.ops.rnnt_loss import rnnt_loss_factored, rnnt_loss_fused
-from rnntransducer_tpu.train.optim import make_optimizer, onecycle_schedule
+from rnntransducer_tpu.train.optim import make_optimizer, make_schedule
 
 
 class TrainState(struct.PyTreeNode):
@@ -307,4 +307,4 @@ def eval_step(cfg: Config, params, batch, loss_backend: str = "auto",
 
 
 def learning_rate_at(cfg: Config, step) -> float:
-    return float(onecycle_schedule(cfg.train)(step))
+    return float(make_schedule(cfg.train)(step))

@@ -56,6 +56,12 @@ def parse_args():
                         "(optimizer memory / DP width; works across hosts)")
     p.add_argument("--precision", type=str, default=None,
                    choices=["bf16", "fp32"])
+    p.add_argument("--optimizer", type=str, default=None,
+                   choices=["adamw", "adafactor", "lion", "sgd"],
+                   help="adamw = reference parity; adafactor = factored "
+                        "second moment (optimizer HBM ~ row+col sums)")
+    p.add_argument("--lr_schedule", type=str, default=None,
+                   choices=["onecycle", "cosine", "linear", "constant"])
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--val_every_steps", type=int, default=None)
     p.add_argument("--log_every_steps", type=int, default=None)
@@ -85,8 +91,8 @@ def build_config(args) -> Config:
         "learning_rate", "weight_decay", "warmup_ratio", "max_steps",
         "per_device_train_batch_size", "per_device_eval_batch_size",
         "accumulate_grad_batches", "model_parallel",
-        "shard_optimizer_state", "precision", "seed",
-        "val_every_steps", "log_every_steps", "watch_every_steps",
+        "shard_optimizer_state", "precision", "optimizer", "lr_schedule",
+        "seed", "val_every_steps", "log_every_steps", "watch_every_steps",
         "checkpoint_dir") if getattr(args, k) is not None}
     train = dataclasses.replace(cfg.train, **overrides)
     return dataclasses.replace(cfg, train=train,
