@@ -123,6 +123,44 @@ def test_pipeline_encoder_wrapper():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pipeline_and_wavefront_zero_length_rows():
+    """All-pad utterances (length 0) must flow through both multi-device
+    schedules exactly like the single-device stack: zero outputs, no NaNs
+    (zero/overlong lengths were a historical NaN source — see the verify
+    probes in the repo skill)."""
+    from rnntransducer_tpu.parallel.wavefront import (
+        make_time_mesh, wavefront_scan,
+    )
+
+    B, T, F, H, L = 4, 16, 4, 8, 4
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
+    lengths = jnp.asarray([0, T, 1, 0], np.int32)
+    full = jnp.full((B,), T, jnp.int32)
+    rnn = StackedRNN(input_size=F, hidden_size=H, num_layers=L,
+                     rnn_type="gru", bidirectional=True, scan_layers=True,
+                     use_pallas="off")
+    p = rnn.init(jax.random.PRNGKey(1), x, full)["params"]
+    want, _ = rnn.apply({"params": p}, x, lengths)
+    got = pipeline_scan(p, x, lengths, rnn_type="gru", num_layers=L,
+                        bidirectional=True,
+                        mesh=make_stage_mesh(jax.devices()[:4]),
+                        num_microbatches=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    assert bool(jnp.isfinite(got).all())
+    rnn_u = StackedRNN(input_size=F, hidden_size=H, num_layers=L,
+                       rnn_type="lstm", bidirectional=False,
+                       scan_layers=True, use_pallas="off")
+    pu = rnn_u.init(jax.random.PRNGKey(2), x, full)["params"]
+    want_u, _ = rnn_u.apply({"params": pu}, x, lengths)
+    got_u, _ = wavefront_scan(pu, x, lengths, rnn_type="lstm",
+                              num_layers=L, mesh=make_time_mesh())
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               rtol=1e-5, atol=1e-5)
+    assert bool(jnp.isfinite(got_u).all())
+
+
 def test_pipeline_validation_errors():
     B, T, F, H, L = 2, 8, 4, 8, 3
     rng = np.random.RandomState(8)
