@@ -29,6 +29,10 @@ def parse_args():
                    help="decode with the element-wise mean of the best K "
                         "retained checkpoints (SWA-style averaging) instead "
                         "of a single step")
+    p.add_argument("--use_ema", action="store_true",
+                   help="decode with the Polyak-averaged (EMA) shadow "
+                        "params (requires train.ema_decay > 0 at training "
+                        "time)")
     p.add_argument("--wav", type=str, nargs="+", required=True)
     p.add_argument("--vocab_path", type=str, default=None)
     # unset beam/LM flags fall back to the InferenceConfig persisted with
@@ -122,6 +126,9 @@ def main():
     if args.average_k is not None:
         if args.step is not None:
             raise SystemExit("pass either --step or --average_k, not both")
+        if args.use_ema:
+            raise SystemExit("pass either --use_ema or --average_k, "
+                             "not both")
         from rnntransducer_tpu.train import average_checkpoint_params
         params, used = average_checkpoint_params(args.checkpoint_dir,
                                                  template, k=args.average_k)
@@ -131,8 +138,16 @@ def main():
                                 save_top_k=cfg.train.save_top_k)
         step = (args.step if args.step is not None
                 else mgr.best_or_latest_step())
-        params = mgr.restore(template, step=step).params
+        state = mgr.restore(template, step=step)
         mgr.close()
+        if args.use_ema:
+            if state.ema_params is None:
+                raise SystemExit(
+                    "--use_ema: this checkpoint holds no EMA shadow (the "
+                    "run trained with train.ema_decay == 0)")
+            params = state.ema_params
+        else:
+            params = state.params
     model = build_model(cfg)
     variables = {"params": params}
 

@@ -268,6 +268,12 @@ class TrainConfig:
     # lower CER — see BASELINE.md — at ~K x decode cost)
     val_decoder: str = "greedy"
     val_beam_width: int = 4
+    # exponential moving average of the params (Polyak averaging), the
+    # within-run complement of the offline top-k checkpoint averaging
+    # (`inference.py --average_k`): 0 = off; typical 0.999-0.9999. Costs
+    # one extra fp32 param copy in the TrainState; decode the averaged
+    # weights with `--use_ema` / `Recognizer.from_checkpoint(use_ema=True)`.
+    ema_decay: float = 0.0
     # optimizer family: "adamw" (reference parity, model.py:110-126),
     # "adafactor" (factored second moment — optimizer memory drops from 2x
     # params fp32 to ~row+col sums; the standard choice when Adam moments

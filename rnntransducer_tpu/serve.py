@@ -101,10 +101,13 @@ class Recognizer:
     @classmethod
     def from_checkpoint(cls, checkpoint_dir: str, step: Optional[int] = None,
                         vocab_path: Optional[str] = None,
-                        average_k: Optional[int] = None, **kw) -> "Recognizer":
+                        average_k: Optional[int] = None,
+                        use_ema: bool = False, **kw) -> "Recognizer":
         """``average_k``: decode with the element-wise mean of the best k
         retained checkpoints' params (SWA-style checkpoint averaging — see
-        ``train.average_checkpoint_params``) instead of a single step."""
+        ``train.average_checkpoint_params``) instead of a single step.
+        ``use_ema``: decode with the Polyak-averaged shadow params the run
+        maintained (requires the run to have set ``train.ema_decay > 0``)."""
         from rnntransducer_tpu.train import (
             CheckpointManager, TrainState, average_checkpoint_params,
             load_config,
@@ -114,6 +117,9 @@ class Recognizer:
         if average_k is not None:
             if step is not None:
                 raise ValueError("pass either step or average_k, not both")
+            if use_ema:
+                raise ValueError("pass either use_ema or average_k, not "
+                                 "both")
             params, _ = average_checkpoint_params(checkpoint_dir, template,
                                                   k=average_k)
             return cls(cfg, params, _load_tokenizer(cfg, vocab_path), **kw)
@@ -122,6 +128,13 @@ class Recognizer:
         step = step if step is not None else mgr.best_or_latest_step()
         state = mgr.restore(template, step=step)
         mgr.close()
+        if use_ema:
+            if state.ema_params is None:
+                raise ValueError(
+                    "use_ema=True but this checkpoint holds no EMA shadow "
+                    "(the run trained with train.ema_decay == 0)")
+            return cls(cfg, state.ema_params,
+                       _load_tokenizer(cfg, vocab_path), **kw)
         return cls(cfg, state.params, _load_tokenizer(cfg, vocab_path), **kw)
 
     @classmethod

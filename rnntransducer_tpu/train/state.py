@@ -40,6 +40,10 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: optax.OptState
     rng: jnp.ndarray
+    # Polyak/EMA shadow of params, maintained by train_step when
+    # cfg.train.ema_decay > 0; None otherwise (a None subtree has no pytree
+    # leaves, so disabled-EMA states are byte-identical to older rounds').
+    ema_params: Any = None
 
     @classmethod
     def create(cls, cfg: Config, rng=None, tx=None) -> "TrainState":
@@ -51,8 +55,11 @@ class TrainState(struct.PyTreeNode):
         init_rng, state_rng = jax.random.split(rng)
         variables = model.init_variables(init_rng)
         tx = tx if tx is not None else make_optimizer(cfg.train)
+        ema = (jax.tree.map(jnp.copy, variables["params"])
+               if cfg.train.ema_decay > 0 else None)
         return cls(step=jnp.zeros((), jnp.int32), params=variables["params"],
-                   opt_state=tx.init(variables["params"]), rng=state_rng)
+                   opt_state=tx.init(variables["params"]), rng=state_rng,
+                   ema_params=ema)
 
 
 def build_model(cfg: Config) -> RNNTransducer:
@@ -247,8 +254,14 @@ def train_step(cfg: Config, tx, state: TrainState, batch,
             lambda n, o: jnp.where(nonfinite, o, n), new, old)
         new_params = keep(new_params, state.params)
         new_opt = keep(new_opt, state.opt_state)
+    if cfg.train.ema_decay > 0:
+        d = cfg.train.ema_decay
+        new_ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                               state.ema_params, new_params)
+    else:
+        new_ema = state.ema_params
     new_state = state.replace(step=state.step + 1, params=new_params,
-                              opt_state=new_opt)
+                              opt_state=new_opt, ema_params=new_ema)
     if cfg.train.shard_optimizer_state:
         # ZeRO-1: pin the output state's placement (params replicated /
         # TP-sharded, Adam moments split over 'data') so GSPMD keeps each

@@ -62,6 +62,10 @@ def parse_args():
                         "second moment (optimizer HBM ~ row+col sums)")
     p.add_argument("--lr_schedule", type=str, default=None,
                    choices=["onecycle", "cosine", "linear", "constant"])
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="Polyak/EMA shadow of the params (0 = off; typical "
+                        "0.999-0.9999); decode it with inference.py "
+                        "--use_ema")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--val_every_steps", type=int, default=None)
     p.add_argument("--log_every_steps", type=int, default=None)
@@ -92,8 +96,9 @@ def build_config(args) -> Config:
         "per_device_train_batch_size", "per_device_eval_batch_size",
         "accumulate_grad_batches", "model_parallel",
         "shard_optimizer_state", "precision", "optimizer", "lr_schedule",
-        "seed", "val_every_steps", "log_every_steps", "watch_every_steps",
-        "checkpoint_dir") if getattr(args, k) is not None}
+        "ema_decay", "seed", "val_every_steps", "log_every_steps",
+        "watch_every_steps", "checkpoint_dir")
+        if getattr(args, k) is not None}
     train = dataclasses.replace(cfg.train, **overrides)
     return dataclasses.replace(cfg, train=train,
                                vocab_path=args.vocab_path or cfg.vocab_path)
