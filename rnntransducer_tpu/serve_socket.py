@@ -76,6 +76,7 @@ class StreamingServer:
         # thread can lag its client's disconnect under load, briefly holding
         # a batched-session slot after the socket is gone
         self._conns_done = 0
+        self._conns_started = 0
         self._count_lock = threading.Lock()
         self._sock: Optional[socket.socket] = None
         self._thread: Optional[threading.Thread] = None
@@ -210,6 +211,8 @@ class StreamingServer:
                 conn, _ = self._sock.accept()
             except OSError:
                 return  # socket closed by stop()
+            with self._count_lock:
+                self._conns_started += 1
             t = threading.Thread(target=self._serve_conn, args=(conn,),
                                  daemon=True)
             t.start()
@@ -263,6 +266,28 @@ class StreamingServer:
                 raise RuntimeError("StreamingServer accept loop failed to "
                                    "exit within 5 s of stop()")
             self._thread = None
+
+    def drain(self, timeout: float = 30.0) -> bool:
+        """Graceful shutdown: stop accepting new connections, then wait up
+        to ``timeout`` seconds for every in-flight session to finish (its
+        client receives the final transcript).  Returns True when all
+        handlers completed, False on timeout (stragglers are daemon threads
+        and die with the process).  This is the serving-side counterpart of
+        the Trainer's SIGTERM preemption checkpoint: an orchestrator
+        replacing the task sends SIGTERM, the CLI drains, clients lose no
+        audio already sent."""
+        import time
+
+        self.stop()  # unbind + join the accept loop; handlers keep running
+        deadline = time.monotonic() + timeout
+        while True:
+            with self._count_lock:
+                if self._conns_done >= self._conns_started:
+                    return True
+            if time.monotonic() >= deadline:
+                with self._count_lock:
+                    return self._conns_done >= self._conns_started
+            time.sleep(0.02)
 
     def __enter__(self):
         return self.start()
@@ -333,6 +358,16 @@ def main():
     p.add_argument("--lm_weight", type=float, default=None)
     p.add_argument("--hotwords", type=str, nargs="*", default=None)
     p.add_argument("--hotword_weight", type=float, default=None)
+    p.add_argument("--use_ema", action="store_true",
+                   help="serve the Polyak-averaged (EMA) shadow params "
+                        "(requires train.ema_decay > 0 at training time)")
+    p.add_argument("--average_k", type=int, default=None,
+                   help="serve the element-wise mean of the best K retained "
+                        "checkpoints (SWA-style averaging)")
+    p.add_argument("--drain_timeout", type=float, default=30.0,
+                   help="on SIGTERM/SIGINT: stop accepting, then wait up to "
+                        "this many seconds for in-flight sessions to finish "
+                        "before exiting")
     args = p.parse_args()
 
     rec = Recognizer.from_checkpoint(args.checkpoint_dir,
@@ -341,7 +376,9 @@ def main():
                                      lm_path=args.lm_path,
                                      lm_weight=args.lm_weight,
                                      hotwords=args.hotwords,
-                                     hotword_weight=args.hotword_weight)
+                                     hotword_weight=args.hotword_weight,
+                                     use_ema=args.use_ema,
+                                     average_k=args.average_k)
     kw = {}
     if args.normalize:
         kw["normalize"] = args.normalize
@@ -356,10 +393,21 @@ def main():
     server.start()
     print(f"streaming on {args.host}:{server.port} "
           f"(decoder={args.decoder})", flush=True)
-    try:
-        threading.Event().wait()
-    except KeyboardInterrupt:
-        server.stop()
+
+    # Graceful preemption: SIGTERM (the orchestrator's replace-me signal —
+    # same contract the Trainer honors with its preemption checkpoint) and
+    # SIGINT stop the accept loop, drain in-flight sessions so their clients
+    # still receive finals, then exit 0.
+    import signal
+
+    stop_evt = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: stop_evt.set())
+    stop_evt.wait()
+    clean = server.drain(timeout=args.drain_timeout)
+    print("drained: all sessions finished" if clean
+          else f"drain timeout ({args.drain_timeout}s): exiting with "
+               "sessions in flight", flush=True)
 
 
 if __name__ == "__main__":

@@ -81,6 +81,9 @@ _SLOW_TESTS = {
     "test_reduction_matches_manual_composition",
     "test_greedy_decode_respects_reduced_lengths",
     "test_checkpoint_averaging",
+    "test_server_drain_waits_for_inflight",
+    "test_server_drain_timeout_reports_false",
+    "test_serve_cli_sigterm_drains",
 }
 
 

@@ -356,3 +356,181 @@ def test_abnormal_disconnect_frees_batched_slot(tmp_path):
         # the slot serves a clean session afterwards
         partials, final = stream_wav("127.0.0.1", server.port, wav)
         assert final["tokens"], final
+
+
+def test_server_drain_waits_for_inflight(tmp_path):
+    """drain(): stop accepting, but an in-flight session runs to completion
+    (its client still receives the final transcript); new connections are
+    refused once drain returns.  This is the serving-side preemption
+    contract (the CLI calls it on SIGTERM)."""
+    import json
+    import socket
+    import struct
+    import threading
+    import time
+
+    import pytest
+
+    from rnntransducer_tpu.serve_socket import StreamingServer
+
+    cfg = _cfg(tmp_path)
+    ds = SyntheticAudioDataset(4, AudioConfig(), min_sec=0.3, max_sec=0.6,
+                               min_labels=3, max_labels=6, seed=7)
+    trainer = Trainer(cfg, ds, val_dataset=None)
+    trainer.fit()
+    trainer.ckpt.close()
+
+    rec = Recognizer.from_checkpoint(str(tmp_path / "ckpt"), decoder="greedy")
+    rng = np.random.RandomState(8)
+    wav = rng.randn(9600).astype(np.float32) * 0.1
+    pcm16 = np.clip(wav * 32768.0, -32768, 32767).astype("<i2")
+
+    server = StreamingServer(rec, port=0, chunk_frames=16).start()
+    started = threading.Event()
+    out = {}
+
+    def slow_client():
+        with socket.socket() as s:
+            s.connect(("127.0.0.1", server.port))
+            f = s.makefile("rb")
+            for i in range(0, len(pcm16), 1600):
+                chunk = pcm16[i:i + 1600].tobytes()
+                s.sendall(struct.pack("<i", len(chunk)) + chunk)
+                json.loads(f.readline())
+                started.set()
+                time.sleep(0.05)  # stay in flight across the drain call
+            s.sendall(struct.pack("<i", 0))
+            out["final"] = json.loads(f.readline())
+
+    t = threading.Thread(target=slow_client)
+    t.start()
+    assert started.wait(60), "client never got a first partial"
+    assert server.drain(timeout=60) is True
+    t.join(60)
+    assert not t.is_alive()
+    assert isinstance(out["final"]["final"], str)  # session completed
+    assert out["final"]["tokens"] == [int(x) for x in out["final"]["tokens"]]
+    with pytest.raises(OSError):  # listener is gone: connections refused
+        with socket.socket() as s:
+            s.settimeout(2)
+            s.connect(("127.0.0.1", server.port))
+            # some stacks accept then reset; a read must then fail
+            s.sendall(struct.pack("<i", 0))
+            if not s.recv(1):
+                raise ConnectionResetError("closed")
+
+
+def test_server_drain_timeout_reports_false(tmp_path):
+    """A session that outlives the drain window must not block shutdown:
+    drain() returns False and the straggler stays on its daemon thread."""
+    import socket
+    import struct
+    import threading
+
+    from rnntransducer_tpu.serve_socket import StreamingServer
+
+    cfg = _cfg(tmp_path)
+    ds = SyntheticAudioDataset(4, AudioConfig(), min_sec=0.3, max_sec=0.6,
+                               min_labels=3, max_labels=6, seed=9)
+    trainer = Trainer(cfg, ds, val_dataset=None)
+    trainer.fit()
+    trainer.ckpt.close()
+
+    rec = Recognizer.from_checkpoint(str(tmp_path / "ckpt"), decoder="greedy")
+    server = StreamingServer(rec, port=0, chunk_frames=16).start()
+    release = threading.Event()
+
+    def stalled_client():
+        with socket.socket() as s:
+            s.connect(("127.0.0.1", server.port))
+            s.sendall(struct.pack("<i", 1600 * 2))  # promise a chunk ...
+            release.wait(30)  # ... but never send it until released
+
+    t = threading.Thread(target=stalled_client)
+    t.start()
+    # wait until the handler picked the connection up
+    import time
+    deadline = time.time() + 30
+    while time.time() < deadline and server._conns_started < 1:
+        time.sleep(0.02)
+    assert server._conns_started == 1
+    assert server.drain(timeout=0.3) is False
+    release.set()  # unblock; the handler finishes on its daemon thread
+    t.join(30)
+
+
+def test_serve_cli_sigterm_drains(tmp_path):
+    """Real signal path: SIGTERM to a ``python -m
+    rnntransducer_tpu.serve_socket`` subprocess mid-session drains (the
+    client still gets its final) and exits 0 — the serving counterpart of
+    the Trainer's preemption test.  Also exercises the CLI's --average_k
+    checkpoint-averaging wiring."""
+    import json
+    import os
+    import signal
+    import socket
+    import struct
+    import subprocess
+    import sys
+    import threading
+    import time
+
+    import pytest
+
+    pytest.importorskip("numpy")
+
+    cfg = _cfg(tmp_path)
+    ds = SyntheticAudioDataset(4, AudioConfig(), min_sec=0.3, max_sec=0.6,
+                               min_labels=3, max_labels=6, seed=11)
+    trainer = Trainer(cfg, ds, val_dataset=None)
+    trainer.fit()
+    trainer.ckpt.close()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    p = subprocess.Popen(
+        [sys.executable, "-m", "rnntransducer_tpu.serve_socket",
+         "--checkpoint_dir", str(tmp_path / "ckpt"), "--port", "0",
+         "--average_k", "1", "--drain_timeout", "60"],
+        env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, bufsize=1)
+    try:
+        line = p.stdout.readline()  # blocks until warmup + bind
+        assert "streaming on" in line, line
+        port = int(line.split(":")[1].split()[0])
+
+        rng = np.random.RandomState(12)
+        pcm16 = np.clip(rng.randn(9600) * 0.1 * 32768.0, -32768,
+                        32767).astype("<i2")
+        started = threading.Event()
+        out = {}
+
+        def slow_client():
+            with socket.socket() as s:
+                s.connect(("127.0.0.1", port))
+                f = s.makefile("rb")
+                for i in range(0, len(pcm16), 1600):
+                    chunk = pcm16[i:i + 1600].tobytes()
+                    s.sendall(struct.pack("<i", len(chunk)) + chunk)
+                    json.loads(f.readline())
+                    started.set()
+                    time.sleep(0.05)
+                s.sendall(struct.pack("<i", 0))
+                out["final"] = json.loads(f.readline())
+
+        t = threading.Thread(target=slow_client)
+        t.start()
+        assert started.wait(60)
+        p.send_signal(signal.SIGTERM)  # mid-session
+        t.join(60)
+        assert not t.is_alive()
+        assert isinstance(out["final"]["final"], str)
+        stdout, stderr = p.communicate(timeout=60)
+        assert p.returncode == 0, stderr[-2000:]
+        assert "drained: all sessions finished" in stdout, stdout
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.communicate()
