@@ -1,5 +1,6 @@
 from rnntransducer_tpu.decode.beam import BeamSearchDecoder
 from rnntransducer_tpu.decode.beam_batched import batched_beam_decode
+from rnntransducer_tpu.decode.device_lm import DeviceCharLM
 from rnntransducer_tpu.decode.greedy import (
     GreedyCarry, greedy_decode, greedy_decode_frames,
     greedy_decode_with_times, init_greedy_carry,
@@ -10,6 +11,6 @@ from rnntransducer_tpu.decode.streaming import StreamingFrontend, StreamingRecog
 __all__ = [
     "BeamSearchDecoder", "batched_beam_decode", "GreedyCarry", "greedy_decode",
     "greedy_decode_frames", "greedy_decode_with_times",
-    "init_greedy_carry", "HotwordScorer",
+    "init_greedy_carry", "HotwordScorer", "DeviceCharLM",
     "StreamingFrontend", "StreamingRecognizer",
 ]

@@ -25,7 +25,7 @@ offline decoding and chunked streaming (decode/streaming.py).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,20 +39,27 @@ NEG = -1e30
 class BeamCarry(NamedTuple):
     """Resumable beam state across frame chunks. Shapes: scores/lens/last
     (B, K); tokens (B, K, L); dec_out (B*K, Dd); state: prednet RNNState
-    over batch B*K."""
+    over batch B*K; ctx (B, K, order-1) last-emitted-grapheme history for
+    device-resident char-LM fusion (None — no pytree leaf — when unused,
+    so LM-free carries are unchanged from earlier rounds)."""
     scores: jnp.ndarray
     tokens: jnp.ndarray
     lens: jnp.ndarray
     last: jnp.ndarray
     dec_out: jnp.ndarray
     state: RNNState
+    ctx: Optional[jnp.ndarray] = None
 
 
 @partial(jax.jit, static_argnames=("model", "batch", "beam_width", "blank_id",
-                                   "max_output_len"))
+                                   "max_output_len", "lm_context"))
 def init_beam_carry(model: RNNTransducer, variables, batch: int,
                     beam_width: int, blank_id: int = 0,
-                    max_output_len: int = 256) -> BeamCarry:
+                    max_output_len: int = 256,
+                    lm_context: int = 0) -> BeamCarry:
+    """``lm_context > 0`` adds a (B, K, lm_context) emitted-grapheme history
+    for device char-LM fusion (``decode/device_lm.py``); pass the LM's
+    ``.context`` (order - 1). Blank-filled = no history yet."""
     B, K = batch, beam_width
     blank_flat = jnp.full((B * K,), blank_id, jnp.int32)
     dec_out0, state0 = model.apply(variables, blank_flat, None,
@@ -67,17 +74,34 @@ def init_beam_carry(model: RNNTransducer, variables, batch: int,
         last=jnp.full((B, K), blank_id, jnp.int32),
         dec_out=dec_out0,
         state=state0,
+        ctx=(jnp.full((B, K, lm_context), blank_id, jnp.int32)
+             if lm_context > 0 else None),
     )
 
 
 @partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols"))
 def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
                        carry: BeamCarry, blank_id: int = 0,
-                       max_symbols: int = 3) -> BeamCarry:
-    """(beam width is carry.scores.shape[1] — set by init_beam_carry)"""
+                       max_symbols: int = 3, lm_table=None,
+                       lm_weight=0.0) -> BeamCarry:
+    """(beam width is carry.scores.shape[1] — set by init_beam_carry)
+
+    ``lm_table``: optional dense char-LM table, shape (V,) * order
+    (``decode/device_lm.py``) — every non-blank extension gains
+    ``lm_weight * ln p(tok | ctx)`` gathered from it on-device; requires
+    the carry to hold a ctx of order-1 tokens (init_beam_carry
+    ``lm_context``)."""
     # Advance the beam over encoder frames enc (B, T, De), valid up to
     # enc_lengths (B,). Compiled once per (B, T) shape.
     B, K = carry.scores.shape
+    if lm_table is not None:
+        if carry.ctx is None:
+            raise ValueError("lm_table given but the beam carry has no ctx "
+                             "history — init_beam_carry(lm_context=order-1)")
+        if carry.ctx.shape[2] != lm_table.ndim - 1:
+            raise ValueError(
+                f"carry ctx holds {carry.ctx.shape[2]} tokens of history "
+                f"but the LM table is order {lm_table.ndim}")
     V = model.cfg.jointnet.num_classes
     max_output_len = carry.tokens.shape[2]
     enc_t = jnp.swapaxes(enc, 0, 1)  # (T, B, De)
@@ -105,17 +129,23 @@ def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
 
     def frame_step(c: BeamCarry, inp):
         enc_i, t = inp
-        scores, tokens, lens, last, dec_out, state = c
+        scores, tokens, lens, last, dec_out, state, ctx = c
         frame_valid = (t < enc_lengths.astype(jnp.int32))  # (B,)
         done = jnp.zeros((B, K), bool)
         enc_bk = jnp.repeat(enc_i, K, axis=0)
 
-        new = (scores, tokens, lens, last, dec_out, state)
+        new = (scores, tokens, lens, last, dec_out, state, ctx)
         for _ in range(max_symbols):
-            scores, tokens, lens, last, dec_out, state = new
+            scores, tokens, lens, last, dec_out, state, ctx = new
             logp = joint(enc_bk, dec_out).reshape(B, K, V)
             stay = jnp.where(done, scores, scores + logp[..., blank_id])
             ext = scores[..., None] + logp
+            if lm_table is not None:
+                # on-device shallow fusion: one gather of the (B, K, V)
+                # next-grapheme row per expansion round, no host sync
+                rows = lm_table[tuple(ctx[..., i]
+                                      for i in range(ctx.shape[2]))]
+                ext = ext + lm_weight * rows
             ext = ext.at[..., blank_id].set(NEG)
             ext = jnp.where(done[..., None], NEG, ext)
             pool = jnp.concatenate([stay, ext.reshape(B, K * V)], axis=1)
@@ -132,6 +162,15 @@ def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
             state_g = gather_state(state, parent)
 
             append = (~is_stay) & (tok != last_g) & (lens_g < max_output_len)
+            if ctx is not None:
+                # LM history mirrors the token buffer: shift in appended
+                # graphemes only (duplicate-drops advance nothing)
+                ctx_g = gather_bk(ctx, parent)
+                shifted = jnp.concatenate([ctx_g[..., 1:], tok[..., None]],
+                                          axis=-1)
+                ctx_n = jnp.where(append[..., None], shifted, ctx_g)
+            else:
+                ctx_n = None
             idx = jnp.minimum(lens_g, max_output_len - 1)
             cur = jnp.take_along_axis(tokens_g, idx[..., None], axis=2)[..., 0]
             tokens_n = jnp.where(
@@ -155,9 +194,9 @@ def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
 
             state_n = jax.tree.map(mix, state_g, nst)
             done = is_stay
-            new = (top_sc, tokens_n, lens_n, last_n, dec_n, state_n)
+            new = (top_sc, tokens_n, lens_n, last_n, dec_n, state_n, ctx_n)
 
-        scores, tokens, lens, last, dec_out, state = new
+        scores, tokens, lens, last, dec_out, state, ctx = new
         # blank-close hypotheses that exhausted the round budget
         logp = joint(enc_bk, dec_out).reshape(B, K, V)
         scores = jnp.where(done, scores, scores + logp[..., blank_id])
@@ -172,7 +211,8 @@ def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
         out = BeamCarry(pick(scores, c.scores), pick(tokens, c.tokens),
                         pick(lens, c.lens), pick(last, c.last),
                         jnp.where(fv.repeat(K)[:, None], dec_out, c.dec_out),
-                        pick_state(state, c.state))
+                        pick_state(state, c.state),
+                        pick(ctx, c.ctx) if ctx is not None else None)
         return out, None
 
     ts = jnp.arange(enc_t.shape[0], dtype=jnp.int32)
@@ -223,15 +263,21 @@ def best_hyp(carry: BeamCarry, length_norm: bool = True):
 def batched_beam_decode(model: RNNTransducer, variables, feats, feat_lengths,
                         blank_id: int = 0, beam_width: int = 4,
                         max_symbols: int = 3, max_output_len: int = 256,
-                        length_norm: bool = True
+                        length_norm: bool = True, device_lm=None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Offline path: encode feats (B, T, n_mels), run the beam frame scan,
     rank. Returns (tokens (B, K, max_output_len), lengths (B, K),
-    scores (B, K)) best-first."""
+    scores (B, K)) best-first.
+
+    ``device_lm``: optional ``decode.device_lm.DeviceCharLM`` — on-device
+    grapheme-level shallow fusion inside the frame scan."""
     enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
     enc_lengths = model.cfg.transnet.output_lengths(feat_lengths)
     carry = init_beam_carry(model, variables, feats.shape[0], beam_width,
-                            blank_id, max_output_len)
-    carry = beam_decode_frames(model, variables, enc, enc_lengths, carry,
-                               blank_id, max_symbols)
+                            blank_id, max_output_len,
+                            lm_context=device_lm.context if device_lm else 0)
+    carry = beam_decode_frames(
+        model, variables, enc, enc_lengths, carry, blank_id, max_symbols,
+        lm_table=jnp.asarray(device_lm.table) if device_lm else None,
+        lm_weight=device_lm.weight if device_lm else 0.0)
     return rank_beam(carry, length_norm)
