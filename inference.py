@@ -52,6 +52,16 @@ def parse_args():
     p.add_argument("--lm_weight", type=float, default=None)
     p.add_argument("--hotwords", type=str, nargs="*", default=None)
     p.add_argument("--hotword_weight", type=float, default=None)
+    p.add_argument("--device_lm", type=str, default=None,
+                   help="char-level n-gram LM fused ON DEVICE inside the "
+                        "compiled beam scan (decode/device_lm.py). Requires "
+                        "--decoder beam_batched (or --stream with a beam "
+                        "decoder); mutually exclusive with --lm_path/"
+                        "--hotwords (host word-level fusion)")
+    p.add_argument("--device_lm_weight", type=float, default=0.3)
+    p.add_argument("--device_lm_order", type=int, default=3,
+                   help="cap the dense char-LM table order (V^order "
+                        "entries; 3 on a 72-grapheme vocab is 1.5 MB)")
     p.add_argument("--max_output_len", type=int, default=256)
     p.add_argument("--stream", action="store_true",
                    help="simulate real-time streaming: feed the wav in "
@@ -79,6 +89,18 @@ def main():
     if args.timestamps and (args.decoder != "greedy" or args.stream):
         raise SystemExit("--timestamps requires --decoder greedy (offline; "
                          "streaming sessions expose .timestamps in the API)")
+    if args.device_lm:
+        if args.lm_path or args.hotwords:
+            raise SystemExit(
+                "--device_lm (on-device char fusion) and --lm_path/"
+                "--hotwords (host word-level fusion) are mutually exclusive")
+        if args.decoder == "greedy":
+            raise SystemExit("--device_lm requires a beam decoder")
+        if args.decoder == "beam" and not args.stream:
+            raise SystemExit(
+                "--device_lm fuses inside the compiled beam scan — use "
+                "--decoder beam_batched (offline) or --stream; --decoder "
+                "beam is the host A/B search (use --lm_path there)")
 
     from rnntransducer_tpu.decode import greedy_decode
     from rnntransducer_tpu.frontend import LogMelFrontend
@@ -151,6 +173,13 @@ def main():
     model = build_model(cfg)
     variables = {"params": params}
 
+    device_lm = None
+    if args.device_lm:
+        from rnntransducer_tpu.decode.device_lm import DeviceCharLM
+        device_lm = DeviceCharLM.load(args.device_lm, tok,
+                                      weight=args.device_lm_weight,
+                                      max_order=args.device_lm_order)
+
     wavs = [read_wav(p, cfg.data.audio.sample_rate) for p in args.wav]
 
     if args.stream:
@@ -177,7 +206,7 @@ def main():
                 lm=lm, hotwords=args.hotwords,
                 hotword_weight=args.hotword_weight, tokenizer=tok,
                 improved=args.improved, state_beam=args.state_beam,
-                expand_beam=args.expand_beam)
+                expand_beam=args.expand_beam, device_lm=device_lm)
             emitted = []  # greedy: accumulate feed()'s returns — a .tokens
             # poll would re-fetch the whole buffer every chunk
             for s in range(0, len(wav), chunk):
@@ -227,7 +256,7 @@ def main():
             model, variables, feats, feat_lengths,
             blank_id=tok.blank_token_id, beam_width=args.beam_width,
             max_symbols=cfg.train.greedy_max_symbols,
-            max_output_len=args.max_output_len)
+            max_output_len=args.max_output_len, device_lm=device_lm)
         toks, lens = np.asarray(toks), np.asarray(lens)
         hyps = [list(toks[i, 0, :lens[i, 0]]) for i in range(len(wavs))]
     else:

@@ -82,12 +82,13 @@ def _batched_chunk_step(model: RNNTransducer, variables, feats, n_valid,
 @partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols"))
 def _batched_chunk_step_beam(model: RNNTransducer, variables, feats, n_valid,
                              enc_state, carry: BeamCarry, blank_id: int,
-                             max_symbols: int):
+                             max_symbols: int, lm_table=None, lm_weight=0.0):
     enc, new_enc_state = model.apply(variables, feats, n_valid,
                                      enc_state, method=model.encode)
     n_enc = model.cfg.transnet.output_lengths(n_valid)
     new_carry = beam_decode_frames(model, variables, enc, n_enc, carry,
-                                   blank_id, max_symbols)
+                                   blank_id, max_symbols,
+                                   lm_table=lm_table, lm_weight=lm_weight)
     return new_enc_state, new_carry
 
 
@@ -138,7 +139,10 @@ def _reset_slot_beam(model: RNNTransducer, variables, enc_state,
         state=RNNState(
             put_flat(carry.state.h, state0.h),
             None if carry.state.c is None
-            else put_flat(carry.state.c, state0.c)))
+            else put_flat(carry.state.c, state0.c)),
+        # device char-LM history (when carried): blank = no history yet
+        ctx=(None if carry.ctx is None
+             else carry.ctx.at[slot].set(blank_id)))
     return RNNState(h, c), new_carry
 
 
@@ -286,7 +290,7 @@ class BatchedStreamingRunner:
                  decoder: str = "greedy", beam_width: int = 4, mesh=None,
                  lm=None, hotwords=None, hotword_weight=None, tokenizer=None,
                  improved: bool = True, state_beam: float = 4.6,
-                 expand_beam: float = 2.3):
+                 expand_beam: float = 2.3, device_lm=None):
         """mesh: optional 1-D jax.sharding Mesh ("data" axis) — session
         lanes shard across its devices (params replicated), scaling serve
         capacity with chip count; lanes are independent, so the tick
@@ -300,7 +304,14 @@ class BatchedStreamingRunner:
         lane's wave-scoring requests batched into ONE device call per pump
         round (``decode_frames_multilane``) — so lanes don't serialize on
         scoring round trips.  The tick's device program is then encode-only
-        (``_batched_encode``); there is no device-side beam carry."""
+        (``_batched_encode``); there is no device-side beam carry.
+
+        ``device_lm`` (decode/device_lm.DeviceCharLM, ``decoder="beam"``
+        only): grapheme-level shallow fusion INSIDE the batched beam tick —
+        the dense LM table lives in HBM and every lane's extensions gain
+        ``weight * ln p(c|ctx)`` with zero host round trips, so fusion adds
+        nothing to the tick's host path.  Mutually exclusive with the host
+        ``lm``/``hotwords`` fused mode."""
         if model.cfg.transnet.bidirectional:
             raise ValueError("streaming requires a unidirectional encoder")
         stride = model.cfg.transnet.time_reduction_stride
@@ -314,6 +325,13 @@ class BatchedStreamingRunner:
         self.fused = lm is not None or bool(hotwords)
         if self.fused and decoder != "beam":
             raise ValueError("LM/hotword fusion requires decoder='beam'")
+        if device_lm is not None:
+            if decoder != "beam":
+                raise ValueError("device_lm requires decoder='beam'")
+            if self.fused:
+                raise ValueError(
+                    "device_lm (on-device char fusion) and lm/hotwords "
+                    "(host word-level fusion) are mutually exclusive")
         if self.fused and mesh is not None:
             raise ValueError(
                 "LM/hotword fusion + lane sharding is unsupported (the "
@@ -360,12 +378,16 @@ class BatchedStreamingRunner:
                                 is None else hotword_weight))
             self._carry = None  # no device-side decode carry in fused mode
         elif decoder == "beam":
-            self._carry = init_beam_carry(model, variables, max_sessions,
-                                          beam_width, blank_id,
-                                          max_output_len)
+            self._carry = init_beam_carry(
+                model, variables, max_sessions, beam_width, blank_id,
+                max_output_len,
+                lm_context=device_lm.context if device_lm is not None else 0)
         else:
             self._carry = init_greedy_carry(model, variables, max_sessions,
                                             blank_id, max_output_len)
+        self._lm_table = (jnp.asarray(device_lm.table)
+                          if device_lm is not None else None)
+        self._lm_weight = device_lm.weight if device_lm is not None else 0.0
         if mesh is not None:
             # lanes shard over the mesh: the session/batch axis of every
             # persistent leaf splits (recurrent states carry it at axis 2,
@@ -374,6 +396,10 @@ class BatchedStreamingRunner:
             # shardings and SPMD-partitions it with no collectives.
             from rnntransducer_tpu.parallel.mesh import replicate
             self.variables = replicate(mesh, self.variables)
+            if self._lm_table is not None:
+                # the LM table is read-only lookup state — replicate like
+                # params so every shard gathers locally
+                self._lm_table = replicate(mesh, self._lm_table)
             self._enc_state = jax.tree.map(
                 lambda a: jax.device_put(a, self._lane_sharding(a)),
                 self._enc_state)
@@ -491,12 +517,17 @@ class BatchedStreamingRunner:
                         [(list(s.B_hyps), enc0)
                          for s in sessions[:n_lanes]])
                 return
-            step = (_batched_chunk_step_beam if self.decoder == "beam"
-                    else _batched_chunk_step)
-            enc_state, carry = step(
-                self.model, self.variables, feats, n_valid,
-                self._enc_state, self._carry, self.blank_id,
-                self.max_symbols)
+            if self.decoder == "beam":
+                enc_state, carry = _batched_chunk_step_beam(
+                    self.model, self.variables, feats, n_valid,
+                    self._enc_state, self._carry, self.blank_id,
+                    self.max_symbols, lm_table=self._lm_table,
+                    lm_weight=self._lm_weight)
+            else:
+                enc_state, carry = _batched_chunk_step(
+                    self.model, self.variables, feats, n_valid,
+                    self._enc_state, self._carry, self.blank_id,
+                    self.max_symbols)
             if self.decoder == "beam":
                 jax.device_get(best_hyp_all(carry))
                 _reset_slot_beam(self.model, self.variables, enc_state,
@@ -538,12 +569,17 @@ class BatchedStreamingRunner:
                     self._tick_fused(feats, n_valid, active)
                     ticks += 1
                     continue
-                step = (_batched_chunk_step_beam if self.decoder == "beam"
-                        else _batched_chunk_step)
-                self._enc_state, self._carry = step(
-                    self.model, self.variables, feats, n_valid,
-                    self._enc_state, self._carry, self.blank_id,
-                    self.max_symbols)
+                if self.decoder == "beam":
+                    self._enc_state, self._carry = _batched_chunk_step_beam(
+                        self.model, self.variables, feats, n_valid,
+                        self._enc_state, self._carry, self.blank_id,
+                        self.max_symbols, lm_table=self._lm_table,
+                        lm_weight=self._lm_weight)
+                else:
+                    self._enc_state, self._carry = _batched_chunk_step(
+                        self.model, self.variables, feats, n_valid,
+                        self._enc_state, self._carry, self.blank_id,
+                        self.max_symbols)
                 # one transfer refreshes every session's partials (copy:
                 # device_get returns read-only buffers; open() writes slots)
                 if self.decoder == "beam":

@@ -174,6 +174,13 @@ class StreamingRecognizer:
     streaming beam+LM output equals offline beam+LM output by construction.
     The reference only fuses offline (``transducer.py:147-213``); here the
     capability extends to the streaming surface.
+
+    Device-resident fusion: pass ``device_lm``
+    (decode/device_lm.DeviceCharLM) with ``decoder="beam"`` instead — the
+    grapheme-level LM table rides inside the compiled beam frame scan
+    (decode/beam_batched.py), so fusion costs zero host round trips per
+    chunk.  Mutually exclusive with the host ``lm``/``hotwords`` path
+    (which is word-level and runs the search on host).
     """
 
     def __init__(self, model: RNNTransducer, variables, audio_cfg: AudioConfig,
@@ -184,7 +191,8 @@ class StreamingRecognizer:
                  norm_var: float = 1.0, lm=None,
                  hotwords=None, hotword_weight: Optional[float] = None,
                  tokenizer=None, improved: bool = True,
-                 state_beam: float = 4.6, expand_beam: float = 2.3):
+                 state_beam: float = 4.6, expand_beam: float = 2.3,
+                 device_lm=None):
         if model.cfg.transnet.bidirectional:
             raise ValueError(
                 "streaming requires a unidirectional encoder "
@@ -200,6 +208,13 @@ class StreamingRecognizer:
         fused = lm is not None or bool(hotwords)
         if fused and decoder != "beam":
             raise ValueError("LM/hotword fusion requires decoder='beam'")
+        if device_lm is not None:
+            if decoder != "beam":
+                raise ValueError("device_lm requires decoder='beam'")
+            if fused:
+                raise ValueError(
+                    "device_lm (on-device char fusion) and lm/hotwords "
+                    "(host word-level fusion) are mutually exclusive")
         self.model = model
         self.variables = variables
         self.blank_id = blank_id
@@ -214,6 +229,9 @@ class StreamingRecognizer:
         self._enc_state: Optional[RNNState] = None
         self._host_beam = None
         self._final_tokens: Optional[List[int]] = None
+        self._lm_table = (jnp.asarray(device_lm.table)
+                          if device_lm is not None else None)
+        self._lm_weight = device_lm.weight if device_lm is not None else 0.0
         if fused:
             from rnntransducer_tpu.decode.beam import BeamSearchDecoder
             from rnntransducer_tpu.decode.hotwords import (
@@ -229,8 +247,9 @@ class StreamingRecognizer:
             self._carry = self._host_beam.open_session()
         elif decoder == "beam":
             from rnntransducer_tpu.decode.beam_batched import init_beam_carry
-            self._carry = init_beam_carry(model, variables, 1, beam_width,
-                                          blank_id, max_output_len)
+            self._carry = init_beam_carry(
+                model, variables, 1, beam_width, blank_id, max_output_len,
+                lm_context=device_lm.context if device_lm is not None else 0)
         else:
             self._carry = init_greedy_carry(
                 model, variables, 1, blank_id, max_output_len)
@@ -265,7 +284,8 @@ class StreamingRecognizer:
                 )
                 self._carry = beam_decode_frames(
                     self.model, self.variables, enc, jnp.array([n_enc]),
-                    self._carry, self.blank_id, self.max_symbols)
+                    self._carry, self.blank_id, self.max_symbols,
+                    lm_table=self._lm_table, lm_weight=self._lm_weight)
                 # partials are available on demand via .tokens — fetching the
                 # ranked best every chunk would cost one device->host round
                 # trip per chunk; the final fetch happens after the drain loop

@@ -66,7 +66,10 @@ class Recognizer:
                  lm_path: Optional[str] = None,
                  lm_weight: Optional[float] = None,
                  hotwords: Optional[Sequence[str]] = None,
-                 hotword_weight: Optional[float] = None):
+                 hotword_weight: Optional[float] = None,
+                 device_lm_path: Optional[str] = None,
+                 device_lm_weight: float = 0.3,
+                 device_lm_order: Optional[int] = 3):
         from rnntransducer_tpu.frontend import LogMelFrontend
         from rnntransducer_tpu.train import build_model
 
@@ -92,6 +95,22 @@ class Recognizer:
         self.hotword_weight = hotword_weight
         if (self.lm is not None or self.hotwords) and decoder == "greedy":
             raise ValueError("LM/hotword fusion requires a beam decoder")
+        # device-resident char-LM fusion (decode/device_lm.py): grapheme
+        # n-gram table gathered INSIDE the compiled beam scan — reaches
+        # every device-beam surface (transcribe_batch, stream, batched
+        # serving lanes) with zero per-chunk host work
+        self.device_lm = None
+        if device_lm_path:
+            if decoder == "greedy":
+                raise ValueError("device_lm requires a beam decoder")
+            if self.fused:
+                raise ValueError(
+                    "device_lm (on-device char fusion) and lm_path/hotwords "
+                    "(host word-level fusion) are mutually exclusive")
+            from rnntransducer_tpu.decode.device_lm import DeviceCharLM
+            self.device_lm = DeviceCharLM.load(
+                device_lm_path, tokenizer, weight=device_lm_weight,
+                max_order=device_lm_order)
 
     @property
     def fused(self) -> bool:
@@ -209,7 +228,7 @@ class Recognizer:
             self.model, self.variables, feats, feat_lengths, blank_id=blank,
             beam_width=self.beam_width,
             max_symbols=self.cfg.train.greedy_max_symbols,
-            max_output_len=self.max_output_len)
+            max_output_len=self.max_output_len, device_lm=self.device_lm)
         toks, lens = np.asarray(toks), np.asarray(lens)
         return [self._decode_text(toks[i, 0, :lens[i, 0]])
                 for i in range(len(waves))]
@@ -263,6 +282,8 @@ class Recognizer:
             kw.setdefault("improved", self.cfg.inference.improved)
             kw.setdefault("state_beam", self.cfg.inference.state_beam)
             kw.setdefault("expand_beam", self.cfg.inference.expand_beam)
+        elif self.device_lm is not None and self.decoder != "greedy":
+            kw.setdefault("device_lm", self.device_lm)
         kw.setdefault("max_output_len", self.max_output_len)
         return StreamingRecognizer(
             self.model, self.variables, self.cfg.data.audio,

@@ -109,7 +109,8 @@ class StreamingServer:
                 max_symbols=rec.cfg.train.greedy_max_symbols,
                 max_output_len=rec.max_output_len,
                 decoder="beam" if rec.decoder != "greedy" else "greedy",
-                beam_width=rec.beam_width, mesh=mesh, **fused_kw)
+                beam_width=rec.beam_width, mesh=mesh,
+                device_lm=getattr(rec, "device_lm", None), **fused_kw)
 
     # ------------------------------------------------------------- session
     def _serve_conn(self, conn: socket.socket) -> None:
@@ -358,6 +359,15 @@ def main():
     p.add_argument("--lm_weight", type=float, default=None)
     p.add_argument("--hotwords", type=str, nargs="*", default=None)
     p.add_argument("--hotword_weight", type=float, default=None)
+    p.add_argument("--device_lm", type=str, default=None,
+                   help="char-level n-gram LM fused ON DEVICE inside the "
+                        "beam scan (requires --decoder beam; zero host work "
+                        "per tick; mutually exclusive with --lm_path/"
+                        "--hotwords)")
+    p.add_argument("--device_lm_weight", type=float, default=0.3)
+    p.add_argument("--device_lm_order", type=int, default=3,
+                   help="cap the dense char-LM table order (V^order "
+                        "entries)")
     p.add_argument("--use_ema", action="store_true",
                    help="serve the Polyak-averaged (EMA) shadow params "
                         "(requires train.ema_decay > 0 at training time)")
@@ -378,7 +388,10 @@ def main():
                                      hotwords=args.hotwords,
                                      hotword_weight=args.hotword_weight,
                                      use_ema=args.use_ema,
-                                     average_k=args.average_k)
+                                     average_k=args.average_k,
+                                     device_lm_path=args.device_lm,
+                                     device_lm_weight=args.device_lm_weight,
+                                     device_lm_order=args.device_lm_order)
     kw = {}
     if args.normalize:
         kw["normalize"] = args.normalize

@@ -258,3 +258,127 @@ def test_ctx_mismatch_raises(char_lm):
     with pytest.raises(ValueError, match="order"):
         beam_decode_frames(model, variables, enc, jnp.array([2]), carry1,
                            0, 2, lm_table=table, lm_weight=0.5)
+
+
+# ---------------------------------------------------------------------------
+# integration: device LM across the streaming / serving surfaces
+# ---------------------------------------------------------------------------
+
+def _rand_lm(V=32, order=3, weight=1.0, seed=21):
+    """Deterministic dense pseudo-LM: strong enough to steer decoding, so
+    parity tests cannot pass with the fusion accidentally disabled."""
+    rng = np.random.RandomState(seed)
+    return DeviceCharLM((rng.randn(*(V,) * order) * 2.0).astype(np.float32),
+                        weight=weight)
+
+
+def test_streaming_device_lm_matches_offline():
+    """Chunked device-beam streaming with a carried LM ctx == offline fused
+    decode, and the fusion visibly changes the output vs unfused."""
+    from rnntransducer_tpu.config import AudioConfig
+    from rnntransducer_tpu.decode.streaming import StreamingRecognizer
+    from rnntransducer_tpu.frontend import LogMelFrontend
+
+    from tests.test_session_batch import _uni_model
+
+    model, variables = _uni_model(seed=4)
+    lm = _rand_lm()
+    acfg = AudioConfig(normalize=False)
+    wav = (np.random.RandomState(2).randn(12800) * 2).astype(np.float32)
+
+    feats, lengths = LogMelFrontend(acfg)(jnp.asarray(wav[None]))
+    toks, lens, _ = batched_beam_decode(model, variables, feats, lengths,
+                                        beam_width=4, max_output_len=512,
+                                        device_lm=lm)
+    want = list(np.asarray(toks)[0, 0, :int(lens[0, 0])])
+    t0, l0, _ = batched_beam_decode(model, variables, feats, lengths,
+                                    beam_width=4, max_output_len=512)
+    base = list(np.asarray(t0)[0, 0, :int(l0[0, 0])])
+    assert want != base  # the LM must actually be live
+
+    rec = StreamingRecognizer(model, variables, acfg, decoder="beam",
+                              beam_width=4, chunk_frames=16,
+                              normalize="none", device_lm=lm)
+    for s in range(0, len(wav), 1600):
+        rec.feed(wav[s:s + 1600])
+    assert rec.flush() == want
+
+
+def test_batched_beam_sessions_with_device_lm_match_streaming():
+    """Continuous-batching beam lanes with on-device fusion: interleaved
+    sessions (incl. a freed slot reused, which must reset the lane's LM
+    ctx) are token-exact vs independent fused StreamingRecognizers."""
+    from rnntransducer_tpu.config import AudioConfig
+    from rnntransducer_tpu.decode.session_batch import BatchedStreamingRunner
+    from rnntransducer_tpu.decode.streaming import StreamingRecognizer
+
+    from tests.test_session_batch import _uni_model, _wavs
+
+    model, variables = _uni_model()
+    lm = _rand_lm()
+
+    def ref(wav):
+        rec = StreamingRecognizer(model, variables,
+                                  AudioConfig(normalize=False),
+                                  chunk_frames=16, max_symbols=2,
+                                  normalize="none", decoder="beam",
+                                  beam_width=3, device_lm=lm)
+        for i in range(0, len(wav), 1600):
+            rec.feed(wav[i:i + 1600])
+        rec.flush()
+        return list(rec.tokens)
+
+    runner = BatchedStreamingRunner(model, variables,
+                                    AudioConfig(normalize=False),
+                                    max_sessions=2, chunk_frames=16,
+                                    max_symbols=2, decoder="beam",
+                                    beam_width=3, device_lm=lm)
+    wavs = _wavs(3, seed=11)
+    want = [ref(w) for w in wavs]
+
+    # two interleaved sessions fill the runner...
+    sessions = [runner.open(), runner.open()]
+    pos = [0, 0]
+    while any(pos[i] < len(wavs[i]) for i in range(2)):
+        for i, s in enumerate(sessions):
+            if pos[i] < len(wavs[i]):
+                assert s.feed(wavs[i][pos[i]:pos[i] + 1600]) == []
+                pos[i] += 1600
+    got = [s.flush() for s in sessions]
+    assert got == want[:2]
+
+    # ...then a third session reuses a freed slot: its lane's ctx history
+    # must start blank (session 0/1 left non-blank ctx rows behind)
+    s3 = runner.open()
+    got3 = []
+    for i in range(0, len(wavs[2]), 1600):
+        s3.feed(wavs[2][i:i + 1600])
+    got3 = s3.flush()
+    assert got3 == want[2]
+
+
+def test_device_lm_exclusive_with_host_fusion(char_lm):
+    """device_lm (on-device char fusion) and lm/hotwords (host word fusion)
+    must not combine, and device_lm requires a beam decoder — on both the
+    streaming and the continuous-batching surfaces."""
+    from rnntransducer_tpu.config import AudioConfig
+    from rnntransducer_tpu.decode.session_batch import BatchedStreamingRunner
+    from rnntransducer_tpu.decode.streaming import StreamingRecognizer
+
+    from tests.test_session_batch import _uni_model
+
+    model, variables = _uni_model()
+    lm = _rand_lm()
+    acfg = AudioConfig(normalize=False)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        StreamingRecognizer(model, variables, acfg, decoder="beam",
+                            device_lm=lm, lm=char_lm, tokenizer=_tok())
+    with pytest.raises(ValueError, match="decoder='beam'"):
+        StreamingRecognizer(model, variables, acfg, decoder="greedy",
+                            device_lm=lm)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        BatchedStreamingRunner(model, variables, acfg, decoder="beam",
+                               device_lm=lm, lm=char_lm, tokenizer=_tok())
+    with pytest.raises(ValueError, match="decoder='beam'"):
+        BatchedStreamingRunner(model, variables, acfg, decoder="greedy",
+                               device_lm=lm)

@@ -534,3 +534,58 @@ def test_serve_cli_sigterm_drains(tmp_path):
         if p.poll() is None:
             p.kill()
             p.communicate()
+
+
+def test_recognizer_device_lm_surfaces(tmp_path):
+    """device_lm_path reaches every Recognizer surface: offline batched
+    beam, stream() sessions, and the batched socket runner; mutually
+    exclusive with host lm_path."""
+    import pytest
+
+    from rnntransducer_tpu.serve_socket import StreamingServer
+
+    cfg = _cfg(tmp_path)
+    ds = SyntheticAudioDataset(4, AudioConfig(), min_sec=0.3, max_sec=0.6,
+                               min_labels=3, max_labels=6, seed=3)
+    trainer = Trainer(cfg, ds, val_dataset=None)
+    trainer.fit()
+    trainer.ckpt.close()
+
+    # char bigram over jamo graphemes of the default 72 vocab
+    arpa = tmp_path / "char.arpa"
+    arpa.write_text("\n".join([
+        "\\data\\", "ngram 1=5", "ngram 2=2", "",
+        "\\1-grams:",
+        "-1.0\t<s>\t-0.5", "-1.0\t</s>",
+        "-0.4\tㄱ\t-0.3", "-0.7\tㄴ\t-0.2", "-1.1\tㄷ",
+        "", "\\2-grams:",
+        "-0.2\tㄱ ㄴ", "-0.5\tㄴ ㄱ",
+        "", "\\end\\", ""]))
+
+    rec = Recognizer.from_checkpoint(
+        str(tmp_path / "ckpt"), decoder="beam_batched", beam_width=2,
+        device_lm_path=str(arpa), device_lm_order=2)
+    assert rec.device_lm is not None and rec.device_lm.order == 2
+
+    rng = np.random.RandomState(5)
+    texts = rec.transcribe_batch([rng.randn(4800).astype(np.float32)])
+    assert len(texts) == 1 and isinstance(texts[0], str)
+
+    sess = rec.stream(chunk_frames=16)
+    assert sess._lm_table is not None  # fusion reached the session
+    sess.feed(rng.randn(3200).astype(np.float32))
+    assert isinstance(sess.flush(), list)
+
+    # the batched socket runner inherits the table (no server start needed)
+    srv = StreamingServer(rec, batch_sessions=2, warmup=False)
+    assert srv._runner._lm_table is not None
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Recognizer.from_checkpoint(
+            str(tmp_path / "ckpt"), decoder="beam_batched",
+            device_lm_path=str(arpa), device_lm_order=2,
+            lm_path=str(arpa))
+    with pytest.raises(ValueError, match="beam decoder"):
+        Recognizer.from_checkpoint(
+            str(tmp_path / "ckpt"), decoder="greedy",
+            device_lm_path=str(arpa), device_lm_order=2)
