@@ -106,7 +106,7 @@ def main():
     from rnntransducer_tpu.frontend import LogMelFrontend
     from rnntransducer_tpu.tokenizer import GraphemeTokenizer
     from rnntransducer_tpu.train import (
-        CheckpointManager, TrainState, build_model, load_config,
+        build_model, load_config, load_decode_params,
     )
     from rnntransducer_tpu.utils.audio_io import read_wav
 
@@ -142,34 +142,14 @@ def main():
     import os as _os
     if _os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-    # abstract template: restore allocates only what comes off disk, with no
-    # throwaway init compute for a state we only read params from
-    template = jax.eval_shape(lambda: TrainState.create(cfg))
+    try:
+        params, picked = load_decode_params(
+            args.checkpoint_dir, cfg, step=args.step,
+            average_k=args.average_k, use_ema=args.use_ema)
+    except ValueError as e:
+        raise SystemExit(str(e))
     if args.average_k is not None:
-        if args.step is not None:
-            raise SystemExit("pass either --step or --average_k, not both")
-        if args.use_ema:
-            raise SystemExit("pass either --use_ema or --average_k, "
-                             "not both")
-        from rnntransducer_tpu.train import average_checkpoint_params
-        params, used = average_checkpoint_params(args.checkpoint_dir,
-                                                 template, k=args.average_k)
-        print(f"averaged checkpoints: steps {used}")
-    else:
-        mgr = CheckpointManager(args.checkpoint_dir,
-                                save_top_k=cfg.train.save_top_k)
-        step = (args.step if args.step is not None
-                else mgr.best_or_latest_step())
-        state = mgr.restore(template, step=step)
-        mgr.close()
-        if args.use_ema:
-            if state.ema_params is None:
-                raise SystemExit(
-                    "--use_ema: this checkpoint holds no EMA shadow (the "
-                    "run trained with train.ema_decay == 0)")
-            params = state.ema_params
-        else:
-            params = state.params
+        print(f"averaged checkpoints: {picked}")
     model = build_model(cfg)
     variables = {"params": params}
 

@@ -127,34 +127,12 @@ class Recognizer:
         ``train.average_checkpoint_params``) instead of a single step.
         ``use_ema``: decode with the Polyak-averaged shadow params the run
         maintained (requires the run to have set ``train.ema_decay > 0``)."""
-        from rnntransducer_tpu.train import (
-            CheckpointManager, TrainState, average_checkpoint_params,
-            load_config,
-        )
+        from rnntransducer_tpu.train import load_config, load_decode_params
+
         cfg = load_config(checkpoint_dir)
-        template = jax.eval_shape(lambda: TrainState.create(cfg))
-        if average_k is not None:
-            if step is not None:
-                raise ValueError("pass either step or average_k, not both")
-            if use_ema:
-                raise ValueError("pass either use_ema or average_k, not "
-                                 "both")
-            params, _ = average_checkpoint_params(checkpoint_dir, template,
-                                                  k=average_k)
-            return cls(cfg, params, _load_tokenizer(cfg, vocab_path), **kw)
-        mgr = CheckpointManager(checkpoint_dir,
-                                save_top_k=cfg.train.save_top_k)
-        step = step if step is not None else mgr.best_or_latest_step()
-        state = mgr.restore(template, step=step)
-        mgr.close()
-        if use_ema:
-            if state.ema_params is None:
-                raise ValueError(
-                    "use_ema=True but this checkpoint holds no EMA shadow "
-                    "(the run trained with train.ema_decay == 0)")
-            return cls(cfg, state.ema_params,
-                       _load_tokenizer(cfg, vocab_path), **kw)
-        return cls(cfg, state.params, _load_tokenizer(cfg, vocab_path), **kw)
+        params, _ = load_decode_params(checkpoint_dir, cfg, step=step,
+                                       average_k=average_k, use_ema=use_ema)
+        return cls(cfg, params, _load_tokenizer(cfg, vocab_path), **kw)
 
     @classmethod
     def from_params(cls, export_dir: str, vocab_path: Optional[str] = None,

@@ -255,3 +255,49 @@ def average_checkpoint_params(checkpoint_dir: str, state_template: Any,
         return jax.tree.map(_finish, acc, dtypes), steps
     finally:
         mgr.close()
+
+
+def load_decode_params(checkpoint_dir: str, cfg: Config, *,
+                       step: Optional[int] = None,
+                       average_k: Optional[int] = None,
+                       use_ema: bool = False):
+    """Resolve the params a decode entry point should run with — the single
+    policy shared by ``inference.py`` and ``evaluate.py`` (the reference's
+    ``load_from_checkpoint`` at ``/root/reference/inference.py:19-25``, plus
+    this framework's averaging/EMA inference artifacts).
+
+    Exactly one of the selection modes applies: an explicit ``step``, the
+    best-k SWA-style average (``average_k``), or the default
+    best-by-val_cer-else-latest single checkpoint; ``use_ema`` swaps in the
+    Polyak shadow params of the selected checkpoint.  Restores through an
+    abstract ``eval_shape`` template so nothing is initialized just to be
+    overwritten.  Returns ``(params, description)`` where ``description``
+    says which artifact was picked (for logs/reports).
+    """
+    import jax
+
+    from rnntransducer_tpu.train.state import TrainState
+
+    template = jax.eval_shape(lambda: TrainState.create(cfg))
+    if average_k is not None:
+        if step is not None:
+            raise ValueError("pass either step or average_k, not both")
+        if use_ema:
+            raise ValueError("pass either use_ema or average_k, not both")
+        params, used = average_checkpoint_params(checkpoint_dir, template,
+                                                 k=average_k)
+        return params, f"average of steps {used}"
+    mgr = CheckpointManager(checkpoint_dir, save_top_k=cfg.train.save_top_k)
+    try:
+        if step is None:
+            step = mgr.best_or_latest_step()
+        state = mgr.restore(template, step=step)
+    finally:
+        mgr.close()
+    if use_ema:
+        if state.ema_params is None:
+            raise ValueError(
+                "use_ema: this checkpoint holds no EMA shadow (the run "
+                "trained with train.ema_decay == 0)")
+        return state.ema_params, f"step {step} (EMA shadow)"
+    return state.params, f"step {step}"
