@@ -76,7 +76,7 @@ def main():
     from rnntransducer_tpu.eval import (evaluate_corpus, load_dataset_items,
                                         load_manifest_items,
                                         write_per_utt_jsonl)
-    from rnntransducer_tpu.tokenizer import GraphemeTokenizer
+    from rnntransducer_tpu.tokenizer import load_tokenizer
     from rnntransducer_tpu.train import (build_model, load_config,
                                          load_decode_params)
 
@@ -87,14 +87,17 @@ def main():
     args.improved = pick(args.improved, inf.improved)
     args.state_beam = pick(args.state_beam, inf.state_beam)
     args.expand_beam = pick(args.expand_beam, inf.expand_beam)
-    tok = (GraphemeTokenizer.from_file(args.vocab_path or cfg.vocab_path)
-           if (args.vocab_path or cfg.vocab_path)
-           else GraphemeTokenizer.default(cfg.model.jointnet.num_classes))
+    tok = load_tokenizer(args.vocab_path or cfg.vocab_path,
+                         cfg.model.jointnet.num_classes)
 
     import jax
     import os as _os
     if _os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    # persistent compile cache: re-evaluating a corpus (or sharing buckets
+    # with a previous inference.py run) skips recompiles
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
     try:
         params, picked = load_decode_params(
             args.checkpoint_dir, cfg, step=args.step,

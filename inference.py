@@ -104,7 +104,7 @@ def main():
 
     from rnntransducer_tpu.decode import greedy_decode
     from rnntransducer_tpu.frontend import LogMelFrontend
-    from rnntransducer_tpu.tokenizer import GraphemeTokenizer
+    from rnntransducer_tpu.tokenizer import load_tokenizer
     from rnntransducer_tpu.train import (
         build_model, load_config, load_decode_params,
     )
@@ -131,9 +131,8 @@ def main():
             "runs in the host beam). Use --decoder beam, or drop the "
             "LM/hotword flags (pass --lm_path '' to override a "
             "checkpoint-persisted LM path).")
-    tok = (GraphemeTokenizer.from_file(args.vocab_path or cfg.vocab_path)
-           if (args.vocab_path or cfg.vocab_path)
-           else GraphemeTokenizer.default(cfg.model.jointnet.num_classes))
+    tok = load_tokenizer(args.vocab_path or cfg.vocab_path,
+                         cfg.model.jointnet.num_classes)
 
     import jax
     # restore standard JAX_PLATFORMS env semantics: third-party PJRT plugins
@@ -142,6 +141,11 @@ def main():
     import os as _os
     if _os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    # persistent compile cache: repeated CLI decodes at the same frame
+    # buckets skip the ~minutes-long first XLA compile (same cache train.py
+    # and bench.py use)
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
     try:
         params, picked = load_decode_params(
             args.checkpoint_dir, cfg, step=args.step,

@@ -155,6 +155,15 @@ class BeamSearchDecoder:
         self._use_lm = lm is not None or bool(self.hotword_scorer)
         if self._use_lm and tokenizer is None:
             raise ValueError("LM/hotword fusion requires a tokenizer")
+        if (lm is not None
+                and getattr(tokenizer, "word_delimiter_token_id", None) is None):
+            # word-boundary detection keys off the delimiter TOKEN
+            # (_score_lm_beams below); subword vocabs mark boundaries inside
+            # pieces instead, so word-level fusion cannot see them
+            raise ValueError(
+                "word-level LM fusion requires a word-delimiter tokenizer "
+                "(grapheme vocab.json); for subword (BPE) vocabs use the "
+                "on-device char LM (decode/device_lm.py) instead")
 
     def _key(self, hyp: _Hyp) -> float:
         return hyp.lm_score if self._use_lm else hyp.asr_score

@@ -25,14 +25,14 @@ import jax
 import jax.numpy as jnp
 
 from rnntransducer_tpu.config import Config
-from rnntransducer_tpu.tokenizer import GraphemeTokenizer, compose_jamo
+from rnntransducer_tpu.tokenizer import (GraphemeTokenizer, compose_jamo,
+                                          load_tokenizer)
 
 
-def _load_tokenizer(cfg: Config, vocab_path: Optional[str]) -> GraphemeTokenizer:
-    path = vocab_path or cfg.vocab_path
-    if path:
-        return GraphemeTokenizer.from_file(path)
-    return GraphemeTokenizer.default(cfg.model.jointnet.num_classes)
+def _load_tokenizer(cfg: Config, vocab_path: Optional[str]):
+    """Grapheme OR subword (BPE), sniffed from the file format."""
+    return load_tokenizer(vocab_path or cfg.vocab_path,
+                          cfg.model.jointnet.num_classes)
 
 
 def export_params(checkpoint_dir: str, out_dir: str,

@@ -38,11 +38,10 @@ def main():
     args = p.parse_args()
 
     from datasets import Dataset
-    from rnntransducer_tpu.tokenizer import GraphemeTokenizer, decompose_hangul
+    from rnntransducer_tpu.tokenizer import decompose_hangul, load_tokenizer
     from rnntransducer_tpu.utils.audio_io import read_wav
 
-    tok = (GraphemeTokenizer.from_file(args.vocab_path) if args.vocab_path
-           else GraphemeTokenizer.default(72))
+    tok = load_tokenizer(args.vocab_path, 72)
 
     wavs, ids, skipped = [], [], 0
     with open(args.manifest) as f:
