@@ -59,6 +59,14 @@ def parse_args():
                    help="pad decode batches to multiples of this many frames "
                         "(bounds the number of compiled programs)")
     p.add_argument("--max_output_len", type=int, default=256)
+    p.add_argument("--precision", choices=("fp32", "bf16"), default=None,
+                   help="decode compute dtype: bf16 halves the weight bytes "
+                        "each batch reads from HBM (beam scores stay fp32); "
+                        "default keeps the checkpoint's dtype")
+    p.add_argument("--oracle_nbest", action="store_true",
+                   help="with a beam decoder: also report oracle CER (the "
+                        "best hypothesis in each n-best list) — separates "
+                        "search errors from model errors")
     p.add_argument("--dump", type=str, default=None,
                    help="write per-utterance {id, ref, hyp, cer, wer} jsonl")
     return p.parse_args()
@@ -72,6 +80,8 @@ def main():
         raise SystemExit("--device_lm requires --decoder beam_batched")
     if (args.lm_path or args.hotwords) and args.decoder != "beam":
         raise SystemExit("--lm_path/--hotwords require --decoder beam")
+    if args.oracle_nbest and args.decoder == "greedy":
+        raise SystemExit("--oracle_nbest requires a beam decoder")
 
     from rnntransducer_tpu.eval import (evaluate_corpus, load_dataset_items,
                                         load_manifest_items,
@@ -137,7 +147,8 @@ def main():
         batch_size=args.batch_size,
         max_symbols=cfg.train.greedy_max_symbols,
         max_output_len=args.max_output_len,
-        frame_bucket=args.frame_bucket, ids=ids)
+        frame_bucket=args.frame_bucket, ids=ids,
+        oracle_nbest=args.oracle_nbest, precision=args.precision)
 
     if args.dump:
         write_per_utt_jsonl(result, args.dump)

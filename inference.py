@@ -62,6 +62,13 @@ def parse_args():
     p.add_argument("--device_lm_order", type=int, default=3,
                    help="cap the dense char-LM table order (V^order "
                         "entries; 3 on a 72-grapheme vocab is 1.5 MB)")
+    p.add_argument("--nbest", type=int, default=1,
+                   help="with a beam decoder (offline): print the top-N "
+                        "hypotheses per wav (rank-tagged lines)")
+    p.add_argument("--precision", choices=("fp32", "bf16"), default=None,
+                   help="decode compute dtype: bf16 halves the weight bytes "
+                        "each decode reads from HBM (beam scores stay fp32); "
+                        "default keeps the checkpoint's dtype")
     p.add_argument("--max_output_len", type=int, default=256)
     p.add_argument("--stream", action="store_true",
                    help="simulate real-time streaming: feed the wav in "
@@ -89,6 +96,8 @@ def main():
     if args.timestamps and (args.decoder != "greedy" or args.stream):
         raise SystemExit("--timestamps requires --decoder greedy (offline; "
                          "streaming sessions expose .timestamps in the API)")
+    if args.nbest > 1 and (args.decoder == "greedy" or args.stream):
+        raise SystemExit("--nbest requires an offline beam decoder")
     if args.device_lm:
         if args.lm_path or args.hotwords:
             raise SystemExit(
@@ -155,6 +164,10 @@ def main():
     if args.average_k is not None:
         print(f"averaged checkpoints: {picked}")
     model = build_model(cfg)
+    if args.precision is not None:
+        from rnntransducer_tpu.utils.precision import (cast_float_leaves,
+                                                       decode_dtype)
+        params = cast_float_leaves(params, decode_dtype(args.precision))
     variables = {"params": params}
 
     device_lm = None
@@ -243,6 +256,10 @@ def main():
             max_output_len=args.max_output_len, device_lm=device_lm)
         toks, lens = np.asarray(toks), np.asarray(lens)
         hyps = [list(toks[i, 0, :lens[i, 0]]) for i in range(len(wavs))]
+        if args.nbest > 1:
+            K = min(args.nbest, toks.shape[1])
+            nbest_lists = [[list(toks[i, k, :lens[i, k]]) for k in range(K)]
+                           for i in range(len(wavs))]
     else:
         from rnntransducer_tpu.decode.beam import BeamSearchDecoder
         lm = None
@@ -255,13 +272,19 @@ def main():
             state_beam=args.state_beam, expand_beam=args.expand_beam,
             lm=lm, hotwords=args.hotwords, hotword_weight=args.hotword_weight)
         hyps = []
+        nbest_lists = []
         for i in range(len(wavs)):
             nbest = decoder.decode(feats[i:i + 1],
                                    feat_lengths[i:i + 1])
             hyps.append(nbest[0])
+            nbest_lists.append(nbest[:args.nbest])
 
     for i, (path, hyp) in enumerate(zip(args.wav, hyps)):
         print(f"{path}\t{tok.decode(hyp, group_tokens=False)}")
+        if args.nbest > 1:
+            for k, y in enumerate(nbest_lists[i]):
+                print(f"{path}\tnbest[{k}]\t"
+                      f"{tok.decode(y, group_tokens=False)}")
         if times is not None:
             stamps = " ".join(
                 f"{tok.decode([t], group_tokens=False)}@{s}"

@@ -66,10 +66,12 @@ import numpy as np
 
 from rnntransducer_tpu.decode.hotwords import DEFAULT_HOTWORD_WEIGHT, HotwordScorer
 from rnntransducer_tpu.models.transducer import RNNTransducer
+from rnntransducer_tpu.utils.precision import match_param_dtype
 
 
 @partial(jax.jit, static_argnames=("model",))
 def _encode(model: RNNTransducer, variables, feats, feat_lengths):
+    feats = match_param_dtype(variables, feats)
     enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
     return enc
 
@@ -87,11 +89,15 @@ def _predict_joint_step_k(model: RNNTransducer, variables, enc_t, tokens,
                           state):
     """K-wide expansion scoring. enc_t: (1, De); tokens: (K,); state:
     RNNState with batch K. Returns (log_probs (K, V), new_state)."""
+    state = jax.tree_util.tree_map(
+        lambda x: match_param_dtype(variables, x), state)
     dec_out, new_state = model.apply(variables, tokens, state,
                                      method=model.predict_step)
-    enc_k = jnp.broadcast_to(enc_t, (tokens.shape[0], enc_t.shape[-1]))
+    enc_k = jnp.broadcast_to(match_param_dtype(variables, enc_t),
+                             (tokens.shape[0], enc_t.shape[-1]))
     logits = model.apply(variables, enc_k, dec_out, method=model.joint_step)
-    return jax.nn.log_softmax(logits, axis=-1), new_state
+    # fp32 scores: accumulated across frames by the host search
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), new_state
 
 
 @partial(jax.jit, static_argnames=("model",))
@@ -100,10 +106,13 @@ def _predict_joint_step_rows(model: RNNTransducer, variables, enc_rows,
     """Like ``_predict_joint_step_k`` but with a PER-ROW encoder frame:
     enc_rows (K, De) — rows from different lanes/frames score in one call
     (the multilane pump, ``decode_frames_multilane``)."""
+    state = jax.tree_util.tree_map(
+        lambda x: match_param_dtype(variables, x), state)
     dec_out, new_state = model.apply(variables, tokens, state,
                                      method=model.predict_step)
-    logits = model.apply(variables, enc_rows, dec_out, method=model.joint_step)
-    return jax.nn.log_softmax(logits, axis=-1), new_state
+    logits = model.apply(variables, match_param_dtype(variables, enc_rows),
+                         dec_out, method=model.joint_step)
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), new_state
 
 
 class _Hyp:

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from rnntransducer_tpu.models.cells import RNNState
 from rnntransducer_tpu.models.transducer import RNNTransducer
+from rnntransducer_tpu.utils.precision import match_param_dtype
 
 NEG = -1e30
 
@@ -111,9 +112,11 @@ def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
                            method=model.predict_step)
 
     def joint(enc_bk, dec_flat):
+        # score in fp32 regardless of the compute dtype: hypothesis ranking
+        # accumulates log-probs across frames (see utils/precision.py)
         logits = model.apply(variables, enc_bk, dec_flat,
                              method=model.joint_step)
-        return jax.nn.log_softmax(logits, axis=-1)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
     def gather_bk(x, parent):
         return jnp.take_along_axis(
@@ -271,6 +274,7 @@ def batched_beam_decode(model: RNNTransducer, variables, feats, feat_lengths,
 
     ``device_lm``: optional ``decode.device_lm.DeviceCharLM`` — on-device
     grapheme-level shallow fusion inside the frame scan."""
+    feats = match_param_dtype(variables, feats)
     enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
     enc_lengths = model.cfg.transnet.output_lengths(feat_lengths)
     carry = init_beam_carry(model, variables, feats.shape[0], beam_width,

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from rnntransducer_tpu.models.cells import RNNState
 from rnntransducer_tpu.models.transducer import RNNTransducer
+from rnntransducer_tpu.utils.precision import match_param_dtype
 
 
 class GreedyCarry(NamedTuple):
@@ -126,6 +127,7 @@ def greedy_decode(model: RNNTransducer, variables, feats, feat_lengths,
 
     max_symbols mirrors the reference's ``max_iters=3`` (``model.py:76``).
     """
+    feats = match_param_dtype(variables, feats)
     enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
     enc_lengths = model.cfg.transnet.output_lengths(feat_lengths)
     carry = init_greedy_carry(model, variables, feats.shape[0], blank_id,
@@ -146,6 +148,7 @@ def greedy_decode_with_times(model: RNNTransducer, variables, feats,
     ``cfg.transnet.time_reduction_stride * hop_sec`` for seconds).  The
     reference's decoders carry no timing information at all
     (``networks/transducer.py:95-145``)."""
+    feats = match_param_dtype(variables, feats)
     enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
     enc_lengths = model.cfg.transnet.output_lengths(feat_lengths)
     carry = init_greedy_carry(model, variables, feats.shape[0], blank_id,
@@ -182,6 +185,7 @@ def greedy_decode_label_looping(model: RNNTransducer, variables, feats,
     T >> max_symbols x emissions.
     """
     B, T = feats.shape[0], feats.shape[1]
+    feats = match_param_dtype(variables, feats)
     enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
     lengths = model.cfg.transnet.output_lengths(
         feat_lengths).astype(jnp.int32)

@@ -62,6 +62,7 @@ from rnntransducer_tpu.decode.streaming import (
 )
 from rnntransducer_tpu.models.cells import RNNState
 from rnntransducer_tpu.models.transducer import RNNTransducer
+from rnntransducer_tpu.utils.precision import match_param_dtype
 
 
 @partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols"))
@@ -71,6 +72,7 @@ def _batched_chunk_step(model: RNNTransducer, variables, feats, n_valid,
     """One tick: encode a chunk for every slot + advance the greedy carry.
     feats: (S, chunk, mels); n_valid: (S,) frames valid per slot (0 = idle).
     """
+    feats = match_param_dtype(variables, feats)
     enc, new_enc_state = model.apply(variables, feats, n_valid,
                                      enc_state, method=model.encode)
     n_enc = model.cfg.transnet.output_lengths(n_valid)
@@ -83,6 +85,7 @@ def _batched_chunk_step(model: RNNTransducer, variables, feats, n_valid,
 def _batched_chunk_step_beam(model: RNNTransducer, variables, feats, n_valid,
                              enc_state, carry: BeamCarry, blank_id: int,
                              max_symbols: int, lm_table=None, lm_weight=0.0):
+    feats = match_param_dtype(variables, feats)
     enc, new_enc_state = model.apply(variables, feats, n_valid,
                                      enc_state, method=model.encode)
     n_enc = model.cfg.transnet.output_lengths(n_valid)
@@ -97,6 +100,7 @@ def _batched_encode(model: RNNTransducer, variables, feats, n_valid,
                     enc_state):
     """Encode-only tick for the fused (host-beam) mode: the search and the
     LM live on host, so the device program is just the batched encoder."""
+    feats = match_param_dtype(variables, feats)
     return model.apply(variables, feats, n_valid, enc_state,
                        method=model.encode)
 
@@ -290,7 +294,8 @@ class BatchedStreamingRunner:
                  decoder: str = "greedy", beam_width: int = 4, mesh=None,
                  lm=None, hotwords=None, hotword_weight=None, tokenizer=None,
                  improved: bool = True, state_beam: float = 4.6,
-                 expand_beam: float = 2.3, device_lm=None):
+                 expand_beam: float = 2.3, device_lm=None,
+                 precision: Optional[str] = None):
         """mesh: optional 1-D jax.sharding Mesh ("data" axis) — session
         lanes shard across its devices (params replicated), scaling serve
         capacity with chip count; lanes are independent, so the tick
@@ -344,6 +349,12 @@ class BatchedStreamingRunner:
                     f"across the mesh ({n_dev} devices)")
         self.mesh = mesh
         self.model = model
+        # precision='bf16': every tick streams half the weight bytes from
+        # HBM; None keeps the caller's dtype (see utils/precision.py)
+        if precision is not None:
+            from rnntransducer_tpu.utils.precision import (cast_float_leaves,
+                                                           decode_dtype)
+            variables = cast_float_leaves(variables, decode_dtype(precision))
         self.variables = variables
         self.audio_cfg = audio_cfg
         # encoder-frame duration in seconds (timestamps surface)

@@ -44,6 +44,7 @@ from rnntransducer_tpu.decode.greedy import (
 from rnntransducer_tpu.frontend.melspec import WINDOWS, mel_filterbank
 from rnntransducer_tpu.models.cells import RNNState
 from rnntransducer_tpu.models.transducer import RNNTransducer
+from rnntransducer_tpu.utils.precision import match_param_dtype, param_dtype
 
 
 class StreamingFrontend:
@@ -146,7 +147,11 @@ def _zero_encoder_state(model: RNNTransducer, variables,
                         batch: int = 1) -> RNNState:
     cfg = model.cfg.transnet
     d = 2 if cfg.bidirectional else 1
-    h = jnp.zeros((cfg.num_layers, d, batch, cfg.hidden_size), jnp.float32)
+    # state dtype must match the params' compute dtype: the carried h/c are
+    # re-fed to the next chunk's scan, whose carry dtype is fixed at trace
+    # time (utils/precision.py)
+    h = jnp.zeros((cfg.num_layers, d, batch, cfg.hidden_size),
+                  param_dtype(variables))
     c = h if cfg.rnn_type.lower() == "lstm" else None
     return RNNState(h, c)
 
@@ -155,6 +160,7 @@ def _zero_encoder_state(model: RNNTransducer, variables,
 def _encode_chunk(model: RNNTransducer, variables, chunk, n_valid, state):
     """Jitted chunked-encoder step (un-jitted apply dispatches op-by-op —
     catastrophic over a remote-TPU tunnel)."""
+    chunk = match_param_dtype(variables, chunk)
     return model.apply(variables, chunk, n_valid, state, method=model.encode)
 
 
@@ -192,7 +198,7 @@ class StreamingRecognizer:
                  hotwords=None, hotword_weight: Optional[float] = None,
                  tokenizer=None, improved: bool = True,
                  state_beam: float = 4.6, expand_beam: float = 2.3,
-                 device_lm=None):
+                 device_lm=None, precision: Optional[str] = None):
         if model.cfg.transnet.bidirectional:
             raise ValueError(
                 "streaming requires a unidirectional encoder "
@@ -216,6 +222,12 @@ class StreamingRecognizer:
                     "device_lm (on-device char fusion) and lm/hotwords "
                     "(host word-level fusion) are mutually exclusive")
         self.model = model
+        # precision='bf16': stream the weights from HBM at half width every
+        # tick; None keeps the caller's dtype (see utils/precision.py)
+        if precision is not None:
+            from rnntransducer_tpu.utils.precision import (cast_float_leaves,
+                                                           decode_dtype)
+            variables = cast_float_leaves(variables, decode_dtype(precision))
         self.variables = variables
         self.blank_id = blank_id
         self.chunk_frames = chunk_frames

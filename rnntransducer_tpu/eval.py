@@ -43,6 +43,7 @@ class EvalResult:
     audio_seconds: float
     decode_seconds: float  # wall: frontend + decode + host detok
     per_utt: List[dict]    # {id, ref, hyp, cer, wer, audio_sec}
+    oracle_cer: Optional[float] = None  # best-of-n-best (oracle_nbest=True)
 
     @property
     def rtf(self) -> float:
@@ -51,11 +52,14 @@ class EvalResult:
         return self.decode_seconds / max(self.audio_seconds, 1e-9)
 
     def summary(self) -> dict:
-        return {"cer": round(self.cer, 6), "wer": round(self.wer, 6),
-                "n_utts": self.n_utts,
-                "audio_seconds": round(self.audio_seconds, 3),
-                "decode_seconds": round(self.decode_seconds, 3),
-                "rtf": round(self.rtf, 6)}
+        out = {"cer": round(self.cer, 6), "wer": round(self.wer, 6),
+               "n_utts": self.n_utts,
+               "audio_seconds": round(self.audio_seconds, 3),
+               "decode_seconds": round(self.decode_seconds, 3),
+               "rtf": round(self.rtf, 6)}
+        if self.oracle_cer is not None:
+            out["oracle_cer"] = round(self.oracle_cer, 6)
+        return out
 
 
 def _utt_scores(ref: str, hyp: str) -> dict:
@@ -77,7 +81,9 @@ def evaluate_corpus(model: RNNTransducer, variables, tok: GraphemeTokenizer,
                     hotword_weight: Optional[float] = None, device_lm=None,
                     batch_size: int = 16, max_symbols: int = 3,
                     max_output_len: int = 256, frame_bucket: int = 128,
-                    ids: Optional[Sequence[str]] = None) -> EvalResult:
+                    ids: Optional[Sequence[str]] = None,
+                    oracle_nbest: bool = False,
+                    precision: Optional[str] = None) -> EvalResult:
     """Decode every item and score against its reference.
 
     ``items``: iterable of dicts carrying ``labels`` (int grapheme ids, the
@@ -90,7 +96,22 @@ def evaluate_corpus(model: RNNTransducer, variables, tok: GraphemeTokenizer,
     ``device_lm`` char fusion) | ``beam`` (host A/B search; optional word
     ``lm`` + ``hotwords``, decoded one utterance at a time like the
     reference's ``recognize_beams``).
+
+    ``oracle_nbest`` (beam decoders): additionally score the BEST hypothesis
+    in each utterance's n-best list — the oracle CER, the standard
+    diagnostic separating search errors (oracle ≪ top-1: a rescorer/LM
+    would help) from model errors (oracle ≈ top-1).  Per-utt records gain
+    ``oracle_cer``/``oracle_hyp``; the corpus number rides
+    ``EvalResult.oracle_cer``.
+
+    ``precision``: ``'bf16'`` casts the float params once and decodes in
+    bf16 (beam scores stay fp32 — ``utils/precision.py``); ``None`` keeps
+    the checkpoint's dtype.
     """
+    if precision is not None:
+        from rnntransducer_tpu.utils.precision import (cast_float_leaves,
+                                                       decode_dtype)
+        variables = cast_float_leaves(variables, decode_dtype(precision))
     items = list(items)
     if not items:
         raise ValueError("evaluate_corpus: empty item list")
@@ -104,6 +125,9 @@ def evaluate_corpus(model: RNNTransducer, variables, tok: GraphemeTokenizer,
     if (lm is not None or hotwords) and decoder != "beam":
         raise ValueError("lm/hotwords fuse in the host beam — use "
                          "decoder='beam' (device char LM: 'beam_batched')")
+    if oracle_nbest and decoder == "greedy":
+        raise ValueError("oracle_nbest needs an n-best list — use a beam "
+                         "decoder")
 
     hop = audio_cfg.hop_length
     is_wav = "wav" in items[0]
@@ -115,6 +139,7 @@ def evaluate_corpus(model: RNNTransducer, variables, tok: GraphemeTokenizer,
     # the number of compiled programs) stays small
     order = np.argsort(frames, kind="stable")
     hyps: List[Optional[str]] = [None] * len(items)
+    nbests: List[Optional[List[str]]] = [None] * len(items)
     t0 = time.monotonic()
 
     from rnntransducer_tpu.frontend import LogMelFrontend
@@ -171,10 +196,21 @@ def evaluate_corpus(model: RNNTransducer, variables, tok: GraphemeTokenizer,
                 device_lm=device_lm)
             toks, lens = np.asarray(toks), np.asarray(lens)
             rows = [list(toks[r, 0, :lens[r, 0]]) for r in range(b)]
+            if oracle_nbest:
+                K = toks.shape[1]
+                for r, i in enumerate(idxs):
+                    nbests[int(i)] = [
+                        tok.decode(list(toks[r, k, :lens[r, k]]),
+                                   group_tokens=False) for k in range(K)]
         else:
-            rows = [host_beam.decode(feats[r:r + 1],
-                                     feat_lengths[r:r + 1])[0]
-                    for r in range(b)]
+            all_rows = [host_beam.decode(feats[r:r + 1],
+                                         feat_lengths[r:r + 1])
+                        for r in range(b)]
+            rows = [nb[0] for nb in all_rows]
+            if oracle_nbest:
+                for r, i in enumerate(idxs):
+                    nbests[int(i)] = [tok.decode(y, group_tokens=False)
+                                      for y in all_rows[r]]
         for r, i in enumerate(idxs):
             hyps[int(i)] = tok.decode(rows[r], group_tokens=False)
     decode_sec = time.monotonic() - t0
@@ -182,17 +218,27 @@ def evaluate_corpus(model: RNNTransducer, variables, tok: GraphemeTokenizer,
     refs = [tok.decode(list(np.asarray(it["labels"])), group_tokens=False)
             for it in items]
     per_utt = []
+    oracle_hyps = [] if oracle_nbest else None
     for i, (ref, hyp) in enumerate(zip(refs, hyps)):
-        per_utt.append({
+        rec = {
             "id": str(ids[i]) if ids is not None else str(i),
             "ref": ref, "hyp": hyp,
             "audio_sec": round(float(frames[i]) *
                                audio_cfg.window_stride_sec, 3),
-            **_utt_scores(ref, hyp)})
+            **_utt_scores(ref, hyp)}
+        if oracle_nbest:
+            best = min(nbests[i],
+                       key=lambda h: edit_distance(list(ref), list(h)))
+            rec["oracle_hyp"] = best
+            rec["oracle_cer"] = _utt_scores(ref, best)["cer"]
+            oracle_hyps.append(best)
+        per_utt.append(rec)
     return EvalResult(cer=char_error_rate(hyps, refs),
                       wer=word_error_rate(hyps, refs),
                       n_utts=len(items), audio_seconds=audio_sec,
-                      decode_seconds=decode_sec, per_utt=per_utt)
+                      decode_seconds=decode_sec, per_utt=per_utt,
+                      oracle_cer=(char_error_rate(oracle_hyps, refs)
+                                  if oracle_nbest else None))
 
 
 def load_manifest_items(manifest: str, tok: GraphemeTokenizer,

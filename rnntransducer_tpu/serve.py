@@ -69,12 +69,20 @@ class Recognizer:
                  hotword_weight: Optional[float] = None,
                  device_lm_path: Optional[str] = None,
                  device_lm_weight: float = 0.3,
-                 device_lm_order: Optional[int] = 3):
+                 device_lm_order: Optional[int] = 3,
+                 precision: Optional[str] = None):
         from rnntransducer_tpu.frontend import LogMelFrontend
         from rnntransducer_tpu.train import build_model
 
         self.cfg = cfg
         self.model = build_model(cfg)
+        # precision: 'bf16' halves the HBM bytes every decode/streaming tick
+        # reads (small-batch decode is bandwidth-bound); None keeps the
+        # checkpoint's dtype.  Beam scores stay fp32 (utils/precision.py).
+        if precision is not None:
+            from rnntransducer_tpu.utils.precision import (cast_float_leaves,
+                                                           decode_dtype)
+            params = cast_float_leaves(params, decode_dtype(precision))
         self.variables = {"params": params}
         self.tokenizer = tokenizer
         self.decoder = decoder

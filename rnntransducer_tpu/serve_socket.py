@@ -374,6 +374,10 @@ def main():
     p.add_argument("--average_k", type=int, default=None,
                    help="serve the element-wise mean of the best K retained "
                         "checkpoints (SWA-style averaging)")
+    p.add_argument("--precision", choices=("fp32", "bf16"), default=None,
+                   help="serving compute dtype: bf16 halves the weight "
+                        "bytes every tick streams from HBM (beam scores "
+                        "stay fp32); default keeps the checkpoint's dtype")
     p.add_argument("--drain_timeout", type=float, default=30.0,
                    help="on SIGTERM/SIGINT: stop accepting, then wait up to "
                         "this many seconds for in-flight sessions to finish "
@@ -391,7 +395,8 @@ def main():
                                      average_k=args.average_k,
                                      device_lm_path=args.device_lm,
                                      device_lm_weight=args.device_lm_weight,
-                                     device_lm_order=args.device_lm_order)
+                                     device_lm_order=args.device_lm_order,
+                                     precision=args.precision)
     kw = {}
     if args.normalize:
         kw["normalize"] = args.normalize

@@ -215,3 +215,29 @@ def test_evaluate_cli_end_to_end(tmp_path, capsys, monkeypatch):
     # the manifest's Hangul transcript round-trips through jamo
     # decomposition -> grapheme ids -> detok as the scored reference
     assert all(len(r["ref"]) > 0 for r in recs)
+
+
+def test_oracle_nbest_bounds_top1():
+    """oracle_nbest: per-utt and corpus oracle CER can never exceed the
+    top-1 CER (the top-1 hypothesis is IN the n-best list), and the records
+    carry the oracle hypothesis."""
+    model, variables = _make_model(seed=9)
+    tok = _tok()
+    items = _feat_items(n=4, seed=10)
+    acfg = rt.config.AudioConfig()
+    res = evaluate_corpus(model, variables, tok, acfg, items,
+                          decoder="beam_batched", beam_width=4,
+                          frame_bucket=16, oracle_nbest=True)
+    assert res.oracle_cer is not None
+    assert res.oracle_cer <= res.cer + 1e-9
+    for r in res.per_utt:
+        assert "oracle_hyp" in r and r["oracle_cer"] <= r["cer"] + 1e-9
+    assert "oracle_cer" in res.summary()
+    # host beam path too
+    res2 = evaluate_corpus(model, variables, tok, acfg, items[:2],
+                           decoder="beam", beam_width=2, frame_bucket=16,
+                           oracle_nbest=True)
+    assert res2.oracle_cer is not None and res2.oracle_cer <= res2.cer + 1e-9
+    with pytest.raises(ValueError, match="n-best"):
+        evaluate_corpus(model, variables, tok, acfg, items,
+                        decoder="greedy", oracle_nbest=True)
