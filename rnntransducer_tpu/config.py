@@ -284,6 +284,20 @@ class TrainConfig:
     # "cosine" (linear warmup -> cosine decay to 0), "linear" (warmup ->
     # linear decay), "constant" (warmup -> flat)
     lr_schedule: str = "onecycle"
+    # FastEmit low-latency regularization (arXiv:2010.11148): the RNN-T
+    # loss backward scales the label-arc occupancy gradient by
+    # (1 + lambda), training the model to emit labels earlier — the
+    # standard streaming-ASR latency lever (typical 1e-3..1e-2; trades a
+    # little CER for a large first-token-latency cut). 0 = off
+    # (gradient-exact plain loss). Applies to every loss path
+    # (factored / fused / unfused).
+    fastemit_lambda: float = 0.0
+    # variational weight noise (Graves 2012 §sec. "regularization",
+    # arXiv:1211.3711 — the regularizer the original RNN-T paper trained
+    # with, which the reference never implemented): fresh N(0, std^2)
+    # noise added to every float param for each microbatch's forward;
+    # grads are taken at the noisy point (straight-through). 0 = off.
+    weight_noise_std: float = 0.0
 
 
 @dataclass(frozen=True)

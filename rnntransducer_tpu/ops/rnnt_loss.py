@@ -145,18 +145,27 @@ def _core_fwd_impl(backend, bl, lb, t_len, u_len):
     return -logZ, (alpha, beta, logZ)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _rnnt_core(backend, bl, lb, t_len, u_len):
-    """Per-sample negative log-likelihood (B,) from compacted log-probs."""
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _rnnt_core(backend, fastemit_lambda, bl, lb, t_len, u_len):
+    """Per-sample negative log-likelihood (B,) from compacted log-probs.
+
+    ``fastemit_lambda``: FastEmit streaming regularization
+    (arXiv:2010.11148 eq. 9-10): the backward scales the label-arc
+    occupancy gradient by (1 + lambda) — blank arcs keep their gradient —
+    biasing training toward earlier label emission (lower first-token
+    latency) at a small accuracy cost.  The forward value stays the
+    unregularized -logZ, exactly the paper's gradient surrogate (also how
+    warp-rnnt / NeMo implement it).  0.0 = off (identical to the plain
+    loss, gradient-exact)."""
     return _core_fwd_impl(backend, bl, lb, t_len, u_len)[0]
 
 
-def _core_fwd(backend, bl, lb, t_len, u_len):
+def _core_fwd(backend, fastemit_lambda, bl, lb, t_len, u_len):
     loss, (alpha, beta, logZ) = _core_fwd_impl(backend, bl, lb, t_len, u_len)
     return loss, (bl, lb, t_len, u_len, alpha, beta, logZ)
 
 
-def _core_bwd(backend, res, g):
+def _core_bwd(backend, fastemit_lambda, res, g):
     bl, lb, t_len, u_len, alpha, beta, logZ = res
     B, T, U1 = bl.shape
     ti = jax.lax.broadcasted_iota(jnp.int32, (B, T, U1), 1)
@@ -174,10 +183,12 @@ def _core_bwd(backend, res, g):
     g_bl = alpha + bl + beta_up - logZ[:, None, None]
     d_bl = -jnp.exp(jnp.where(valid, g_bl, NEG))
 
-    # label: (t,u) -> (t,u+1), defined for u < U
+    # label: (t,u) -> (t,u+1), defined for u < U; FastEmit scales this
+    # arc family by (1 + lambda) (blank arcs untouched — see _rnnt_core)
     beta_right = _shift_up(beta, axis=2)
     g_lb = alpha + lb + beta_right - logZ[:, None, None]
-    d_lb = -jnp.exp(jnp.where(valid & (ui < ul), g_lb, NEG))
+    d_lb = -(1.0 + fastemit_lambda) * jnp.exp(
+        jnp.where(valid & (ui < ul), g_lb, NEG))
 
     # core returns -logZ, so d(-logZ)/d(bl) = -occupancy == d_bl already
     scale = g[:, None, None]
@@ -205,9 +216,11 @@ def compact_lattice(logits, labels, blank: int = 0):
     return bl, lb
 
 
-@partial(jax.jit, static_argnames=("blank", "reduction", "backend"))
+@partial(jax.jit, static_argnames=("blank", "reduction", "backend",
+                                   "fastemit_lambda"))
 def rnnt_loss(logits, labels, logit_lengths, label_lengths, blank: int = 0,
-              reduction: str = "mean", backend: str = "auto"):
+              reduction: str = "mean", backend: str = "auto",
+              fastemit_lambda: float = 0.0):
     """Drop-in equivalent of warp-transducer / torchaudio RNNTLoss
     (called at reference ``model.py:57,74``).
 
@@ -216,9 +229,13 @@ def rnnt_loss(logits, labels, logit_lengths, label_lengths, blank: int = 0,
     the log-softmax and recursion (warp-transducer is fp32-only; torchaudio
     exists in the reference purely to cover fp16 — one implementation covers
     both here, SURVEY.md §2.2 N1/N2).
+
+    ``fastemit_lambda``: FastEmit low-latency regularization (see
+    ``_rnnt_core``); 0.0 = plain RNN-T loss.
     """
     bl, lb = compact_lattice(logits, labels, blank)
-    losses = _rnnt_core(backend, bl, lb, logit_lengths, label_lengths)
+    losses = _rnnt_core(backend, fastemit_lambda, bl, lb, logit_lengths,
+                        label_lengths)
     if reduction == "mean":
         return losses.mean()
     if reduction == "sum":
@@ -228,7 +245,8 @@ def rnnt_loss(logits, labels, logit_lengths, label_lengths, blank: int = 0,
 
 def rnnt_loss_fused(joint_fn, enc, dec, labels, enc_lengths, label_lengths,
                     blank: int = 0, reduction: str = "mean",
-                    backend: str = "auto", chunk_frames: int = 64):
+                    backend: str = "auto", chunk_frames: int = 64,
+                    fastemit_lambda: float = 0.0):
     """Memory-lean fused path: never materializes the full (B, T, U+1, V)
     logits lattice (SURVEY.md hard-part 3 — the reference materializes it at
     ``networks/transducer.py:58-62`` and pays for it in HBM).
@@ -264,7 +282,8 @@ def rnnt_loss_fused(joint_fn, enc, dec, labels, enc_lengths, label_lengths,
     bl = bl_c.transpose(1, 0, 2, 3).reshape(B, nT * Tc, U1)[:, :T]
     lb = lb_c.transpose(1, 0, 2, 3).reshape(B, nT * Tc, U1)[:, :T]
 
-    losses = _rnnt_core(backend, bl, lb, enc_lengths, label_lengths)
+    losses = _rnnt_core(backend, fastemit_lambda, bl, lb, enc_lengths,
+                        label_lengths)
     if reduction == "mean":
         return losses.mean()
     if reduction == "sum":
@@ -332,7 +351,7 @@ def factored_compact_lattice(A, C, labels, blank: int = 0):
 
 def rnnt_loss_factored(A, C, labels, logit_lengths, label_lengths,
                        blank: int = 0, reduction: str = "mean",
-                       backend: str = "auto"):
+                       backend: str = "auto", fastemit_lambda: float = 0.0):
     """RNN-T loss straight from the rank-decomposed joint's (A, C) factors.
 
     Replaces ``rnnt_loss_fused`` for ``combine="concat"`` models: where the
@@ -342,7 +361,8 @@ def rnnt_loss_factored(A, C, labels, logit_lengths, label_lengths,
     (B,T,U+1) recursion, with no rematerialization.  Numerically it matches
     the unfused path to fp32 logsumexp-reassociation tolerance (~1e-6)."""
     bl, lb = factored_compact_lattice(A, C, labels, blank)
-    losses = _rnnt_core(backend, bl, lb, logit_lengths, label_lengths)
+    losses = _rnnt_core(backend, fastemit_lambda, bl, lb, logit_lengths,
+                        label_lengths)
     if reduction == "mean":
         return losses.mean()
     if reduction == "sum":

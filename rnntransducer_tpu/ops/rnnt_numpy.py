@@ -28,9 +28,14 @@ def _logaddexp(a, b):
 
 
 def rnnt_loss_single(log_probs: np.ndarray, labels: np.ndarray, T: int, U: int,
-                     blank: int = 0):
+                     blank: int = 0, fastemit_lambda: float = 0.0):
     """One utterance. log_probs: (T_pad, U_pad+1, V) log-softmaxed logits;
-    labels: (U_pad,) int. Returns (loss, grad w.r.t. log_probs)."""
+    labels: (U_pad,) int. Returns (loss, grad w.r.t. log_probs).
+
+    ``fastemit_lambda``: FastEmit regularization (arXiv:2010.11148 eq. 9-10)
+    — the label-arc occupancy gradient is scaled by (1 + lambda), pushing
+    probability mass toward emitting labels earlier; the loss value itself
+    is the unregularized -logZ (the paper's gradient surrogate)."""
     NEG = -np.inf
     alpha = np.full((T, U + 1), NEG, dtype=np.float64)
     alpha[0, 0] = 0.0
@@ -64,12 +69,13 @@ def rnnt_loss_single(log_probs: np.ndarray, labels: np.ndarray, T: int, U: int,
             grad[t, u, blank] -= np.exp(g)
             if u < U:
                 g = alpha[t, u] + log_probs[t, u, labels[u]] + beta[t, u + 1] - logZ
-                grad[t, u, labels[u]] -= np.exp(g)
+                grad[t, u, labels[u]] -= (1.0 + fastemit_lambda) * np.exp(g)
     return -logZ, grad
 
 
 def rnnt_loss(logits: np.ndarray, labels: np.ndarray, logit_lengths: np.ndarray,
-              label_lengths: np.ndarray, blank: int = 0, reduction: str = "mean"):
+              label_lengths: np.ndarray, blank: int = 0, reduction: str = "mean",
+              fastemit_lambda: float = 0.0):
     """Batched oracle. logits: (B, T, U+1, V) raw; labels: (B, U).
     Returns (losses or reduced loss, grad w.r.t. raw logits)."""
     B = logits.shape[0]
@@ -78,7 +84,8 @@ def rnnt_loss(logits: np.ndarray, labels: np.ndarray, logit_lengths: np.ndarray,
     for b in range(B):
         T, U = int(logit_lengths[b]), int(label_lengths[b])
         lp = log_softmax(logits[b].astype(np.float64))
-        loss, g_lp = rnnt_loss_single(lp, labels[b], T, U, blank)
+        loss, g_lp = rnnt_loss_single(lp, labels[b], T, U, blank,
+                                      fastemit_lambda=fastemit_lambda)
         losses[b] = loss
         # chain rule through log_softmax: dlogit = dlp - softmax * sum(dlp)
         sm = np.exp(lp)

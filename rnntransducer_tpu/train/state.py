@@ -72,6 +72,19 @@ def _cast(tree, dtype):
         tree)
 
 
+def _perturb_params(tree, rng, std: float):
+    """Add fresh N(0, std^2) noise to every float leaf (variational weight
+    noise, Graves 2012).  One rng fold per leaf keeps the draw independent
+    of tree traversal order changes elsewhere."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    keys = jax.random.split(rng, len(leaves))
+    noisy = [
+        leaf + std * jax.random.normal(k, leaf.shape, leaf.dtype)
+        if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf
+        for leaf, k in zip(leaves, keys)]
+    return jax.tree_util.tree_unflatten(treedef, noisy)
+
+
 def dequantize_wav(batch):
     """Raw-PCM batches may arrive as peak-scaled int16 + 'wav_scale' (half
     the host->device bytes; data/collate.py quantize_waveforms) — reconstruct
@@ -121,7 +134,7 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
     'wav' (B,S) + 'wav_lengths'; plus 'text_in' (B,U+1), 'text_lengths',
     'targets' (B,U), 'target_lengths'."""
     compute_dtype = jnp.bfloat16 if cfg.train.precision == "bf16" else jnp.float32
-    aug_rng, drop_rng = jax.random.split(rng)
+    aug_rng, drop_rng, noise_rng = jax.random.split(rng, 3)
 
     if "feats" in batch:
         feats, feat_lengths = batch["feats"], batch["feat_lengths"]
@@ -137,6 +150,12 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
             time_cnt=cfg.data.audio.time_mask_cnt)
 
     p = _cast(params, compute_dtype)
+    if not deterministic and cfg.train.weight_noise_std > 0:
+        # variational weight noise (Graves 2012 — the original RNN-T
+        # paper's regularizer): fresh gaussian noise on every float param
+        # per microbatch forward; autodiff differentiates at the noisy
+        # point, which IS the straight-through estimator for additive noise
+        p = _perturb_params(p, noise_rng, cfg.train.weight_noise_std)
     m = RNNTransducer(cfg.model)
     variables = {"params": p}
     rngs = None if deterministic else {"dropout": drop_rng}
@@ -163,7 +182,8 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
         A, C = _constrain_vocab_sharded(A, C)
         loss = rnnt_loss_factored(A, C, batch["targets"], enc_lengths,
                                   batch["target_lengths"], blank=blank,
-                                  reduction=reduction, backend=loss_backend)
+                                  reduction=reduction, backend=loss_backend,
+                                  fastemit_lambda=cfg.train.fastemit_lambda)
     elif chunk_frames > 0:
         # fused chunked path (additive joint: gelu of the sum does not
         # factor): joint computed per T-chunk inside the loss, the full
@@ -181,14 +201,16 @@ def loss_fn(model: RNNTransducer, cfg: Config, params, batch, rng,
                                enc_lengths, batch["target_lengths"],
                                blank=blank, reduction=reduction,
                                backend=loss_backend,
-                               chunk_frames=chunk_frames)
+                               chunk_frames=chunk_frames,
+                               fastemit_lambda=cfg.train.fastemit_lambda)
     else:
         logits = m.apply(variables, feats, feat_lengths, batch["text_in"],
                          batch["text_lengths"], deterministic=deterministic,
                          rngs=rngs)
         loss = rnnt_loss(logits, batch["targets"], enc_lengths,
                          batch["target_lengths"], blank=blank,
-                         reduction=reduction, backend=loss_backend)
+                         reduction=reduction, backend=loss_backend,
+                         fastemit_lambda=cfg.train.fastemit_lambda)
     return loss
 
 

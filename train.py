@@ -66,6 +66,15 @@ def parse_args():
                    help="Polyak/EMA shadow of the params (0 = off; typical "
                         "0.999-0.9999); decode it with inference.py "
                         "--use_ema")
+    p.add_argument("--fastemit_lambda", type=float, default=None,
+                   help="FastEmit (arXiv:2010.11148): scale the label-arc "
+                        "loss gradient by (1+lambda) to train earlier "
+                        "emission / lower streaming latency (0 = off; "
+                        "typical 1e-3..1e-2)")
+    p.add_argument("--weight_noise_std", type=float, default=None,
+                   help="variational weight noise std (Graves 2012, the "
+                        "RNN-T paper's regularizer): fresh gaussian param "
+                        "noise each forward (0 = off)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--val_every_steps", type=int, default=None)
     p.add_argument("--log_every_steps", type=int, default=None)
@@ -96,7 +105,8 @@ def build_config(args) -> Config:
         "per_device_train_batch_size", "per_device_eval_batch_size",
         "accumulate_grad_batches", "model_parallel",
         "shard_optimizer_state", "precision", "optimizer", "lr_schedule",
-        "ema_decay", "seed", "val_every_steps", "log_every_steps",
+        "ema_decay", "fastemit_lambda", "weight_noise_std", "seed",
+        "val_every_steps", "log_every_steps",
         "watch_every_steps", "checkpoint_dir")
         if getattr(args, k) is not None}
     train = dataclasses.replace(cfg.train, **overrides)
