@@ -82,7 +82,14 @@ class TransNetConfig:
 @dataclass(frozen=True)
 class PredNetConfig:
     """Prediction network. Mirrors ``config/config.json:12-19`` /
-    ``networks/decoder.py:57-80``."""
+    ``networks/decoder.py:57-80``.
+
+    ``rnn_type``: "lstm" | "gru" | "rnn" (reference registry,
+    ``networks/encoder.py:48-52``) or "stateless" — the stateless n-gram
+    prediction network (Ghodsi et al. 2020, arXiv:2002.08898), where
+    ``num_layers`` becomes the number of CONTEXT labels carried
+    (num_layers=1 = bigram context, the paper's sweet spot); near-parity
+    accuracy, and decode ticks lose the prednet scan entirely."""
 
     embedding_size: int = 72  # == vocab size
     hidden_size: int = 1024

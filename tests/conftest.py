@@ -32,6 +32,10 @@ import pytest  # noqa: E402
 
 _SLOW_TESTS = {
     "test_near_optimal_vs_exhaustive",
+    "test_weight_noise_perturbs_loss_and_keeps_grads_finite",
+    "test_weight_noise_zero_is_identity_and_eval_ignores_it",
+    "test_weight_noise_train_step_runs",
+    "test_stateless_trains",
     "test_dryrun_multichip_reexec_from_one_device",
     "test_dryrun_multichip_direct",
     "test_zero_step_matches_replicated",
