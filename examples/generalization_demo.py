@@ -26,6 +26,9 @@ def main():
                          "reduced-rate encoder: stride 2 should land in the "
                          "same held-out CER regime as stride 1)")
     ap.add_argument("--time_reduction_layer", type=int, default=1)
+    ap.add_argument("--arch", default="rnn", choices=["rnn", "conformer"],
+                    help="encoder family: the reference's RNN stack or the "
+                         "Conformer (models/conformer.py)")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
@@ -43,6 +46,7 @@ def main():
             transnet=TransNetConfig(
                 input_size=80, hidden_size=256, output_size=160, num_layers=2,
                 rnn_type="lstm", dropout=0.0, bidirectional=True,
+                arch=args.arch, attention_heads=4,
                 time_reduction_stride=args.time_reduction_stride,
                 time_reduction_layer=args.time_reduction_layer),
             prednet=PredNetConfig(embedding_size=72, hidden_size=256,

@@ -36,6 +36,19 @@ class TransNetConfig:
     rnn_type: str = "gru"  # lstm | gru | rnn
     dropout: float = 0.2
     bidirectional: bool = True
+    # encoder family: "rnn" (reference parity, networks/encoder.py:48-52)
+    # or "conformer" (Gulati et al. 2020 — attention+conv blocks,
+    # models/conformer.py). Conformer is full-context: bidirectional must
+    # stay True so the streaming gates (which refuse bidirectional
+    # encoders) apply; hidden_size becomes d_model, num_layers the block
+    # count, time_reduction_stride the input frame-stacking subsampling
+    # (always at the input — time_reduction_layer is ignored), and
+    # rnn_type is ignored.
+    arch: str = "rnn"
+    # conformer-only knobs (ignored for arch="rnn")
+    attention_heads: int = 8
+    ff_multiplier: int = 4
+    conv_kernel_size: int = 15
     # rematerialize each RNN layer in the backward pass (HBM vs recompute)
     remat: bool = False
     # compile one uniform layer body (scan over layers 1..L-1) instead of L
@@ -56,11 +69,25 @@ class TransNetConfig:
     time_reduction_layer: int = 1
 
     def __post_init__(self):
+        if self.arch not in ("rnn", "conformer"):
+            raise ValueError(f"unknown encoder arch {self.arch!r}; choose "
+                             "'rnn' or 'conformer'")
+        if self.arch == "conformer":
+            if not self.bidirectional:
+                raise ValueError(
+                    "arch='conformer' requires bidirectional=True: the "
+                    "Conformer attends over the full utterance, so it is "
+                    "non-streamable exactly like a bidirectional RNN and "
+                    "must trip the same streaming gates")
+            if self.hidden_size % self.attention_heads:
+                raise ValueError(
+                    f"hidden_size ({self.hidden_size}) must divide evenly "
+                    f"into attention_heads ({self.attention_heads})")
         if self.time_reduction_stride < 1:
             raise ValueError(
                 f"time_reduction_stride ({self.time_reduction_stride}) "
                 "must be >= 1")
-        if self.time_reduction_stride > 1 and not (
+        if self.arch == "rnn" and self.time_reduction_stride > 1 and not (
                 0 <= self.time_reduction_layer <= self.num_layers):
             raise ValueError(
                 f"time_reduction_layer ({self.time_reduction_layer}) must "

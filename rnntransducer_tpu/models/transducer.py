@@ -27,7 +27,11 @@ class RNNTransducer(nn.Module):
     unroll: int = 1
 
     def setup(self):
-        self.encoder = AudioEncoder(self.cfg.transnet, self.unroll)
+        if self.cfg.transnet.arch == "conformer":
+            from rnntransducer_tpu.models.conformer import ConformerEncoder
+            self.encoder = ConformerEncoder(self.cfg.transnet, self.unroll)
+        else:
+            self.encoder = AudioEncoder(self.cfg.transnet, self.unroll)
         self.prednet = PredictionNet(self.cfg.prednet, self.unroll)
         # remat: recompute the broadcast/concat/GELU lattice in the backward
         # pass instead of storing (B,T,U,De+Dd) activations — trades one extra

@@ -32,6 +32,8 @@ import pytest  # noqa: E402
 
 _SLOW_TESTS = {
     "test_near_optimal_vs_exhaustive",
+    "test_conformer_data_parallel_matches_single",
+    "test_conformer_trains_and_decodes",
     "test_weight_noise_perturbs_loss_and_keeps_grads_finite",
     "test_weight_noise_zero_is_identity_and_eval_ignores_it",
     "test_weight_noise_train_step_runs",
