@@ -49,6 +49,15 @@ class TransNetConfig:
     attention_heads: int = 8
     ff_multiplier: int = 4
     conv_kernel_size: int = 15
+    # chunked-causal (STREAMING) conformer: 0 = full context (offline
+    # only); C > 0 = each post-reduction frame attends to its own C-frame
+    # chunk plus the previous attention_left_chunks chunks, and the conv
+    # module turns causal — streamable with a per-block cache, exact vs
+    # the offline masked forward (models/conformer.py). Requires
+    # bidirectional=False (and full-context requires True) so the
+    # existing streaming gates apply to the right variant.
+    attention_chunk: int = 0
+    attention_left_chunks: int = 4
     # rematerialize each RNN layer in the backward pass (HBM vs recompute)
     remat: bool = False
     # compile one uniform layer body (scan over layers 1..L-1) instead of L
@@ -73,12 +82,20 @@ class TransNetConfig:
             raise ValueError(f"unknown encoder arch {self.arch!r}; choose "
                              "'rnn' or 'conformer'")
         if self.arch == "conformer":
-            if not self.bidirectional:
+            if self.attention_chunk < 0 or self.attention_left_chunks < 0:
+                raise ValueError("attention_chunk and attention_left_chunks "
+                                 "must be >= 0")
+            if self.attention_chunk == 0 and not self.bidirectional:
                 raise ValueError(
-                    "arch='conformer' requires bidirectional=True: the "
-                    "Conformer attends over the full utterance, so it is "
+                    "arch='conformer' with attention_chunk=0 requires "
+                    "bidirectional=True: full-context attention is "
                     "non-streamable exactly like a bidirectional RNN and "
                     "must trip the same streaming gates")
+            if self.attention_chunk > 0 and self.bidirectional:
+                raise ValueError(
+                    "the chunked-causal Conformer (attention_chunk > 0) is "
+                    "a causal/streamable encoder: set bidirectional=False "
+                    "so the streaming gates admit it")
             if self.hidden_size % self.attention_heads:
                 raise ValueError(
                     f"hidden_size ({self.hidden_size}) must divide evenly "

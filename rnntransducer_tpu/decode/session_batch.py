@@ -109,7 +109,10 @@ def _batched_encode(model: RNNTransducer, variables, feats, n_valid,
 def _reset_enc_slot(enc_state, slot):
     z = jnp.zeros_like(enc_state.h[:, :, 0])
     h = enc_state.h.at[:, :, slot].set(z)
-    c = None if enc_state.c is None else enc_state.c.at[:, :, slot].set(z)
+    # c may have a different shape than h (e.g. the streaming Conformer's
+    # conv tail vs attention window) — zero it from its own slice
+    c = (None if enc_state.c is None else enc_state.c.at[:, :, slot].set(
+        jnp.zeros_like(enc_state.c[:, :, 0])))
     return RNNState(h, c)
 
 
@@ -121,7 +124,10 @@ def _reset_slot_beam(model: RNNTransducer, variables, enc_state,
     K = beam_width
     z = jnp.zeros_like(enc_state.h[:, :, 0])
     h = enc_state.h.at[:, :, slot].set(z)
-    c = None if enc_state.c is None else enc_state.c.at[:, :, slot].set(z)
+    # c may have a different shape than h (e.g. the streaming Conformer's
+    # conv tail vs attention window) — zero it from its own slice
+    c = (None if enc_state.c is None else enc_state.c.at[:, :, slot].set(
+        jnp.zeros_like(enc_state.c[:, :, 0])))
     blank_k = jnp.full((K,), blank_id, jnp.int32)
     dec_out0, state0 = model.apply(variables, blank_k, None,
                                    method=model.predict_step)
@@ -157,7 +163,10 @@ def _reset_slot(model: RNNTransducer, variables, enc_state,
     2 for recurrent states, 0 for carry leaves)."""
     z = jnp.zeros_like(enc_state.h[:, :, 0])
     h = enc_state.h.at[:, :, slot].set(z)
-    c = None if enc_state.c is None else enc_state.c.at[:, :, slot].set(z)
+    # c may have a different shape than h (e.g. the streaming Conformer's
+    # conv tail vs attention window) — zero it from its own slice
+    c = (None if enc_state.c is None else enc_state.c.at[:, :, slot].set(
+        jnp.zeros_like(enc_state.c[:, :, 0])))
     blank1 = jnp.full((1,), blank_id, jnp.int32)
     dec_out0, state0 = model.apply(variables, blank1, None,
                                    method=model.predict_step)
@@ -325,6 +334,12 @@ class BatchedStreamingRunner:
                 f"chunk_frames ({chunk_frames}) must be a multiple of "
                 f"time_reduction_stride ({stride}) so reduced groups align "
                 "across chunks")
+        tn = model.cfg.transnet
+        if tn.arch == "conformer" and chunk_frames != tn.attention_chunk * stride:
+            raise ValueError(
+                f"the streaming Conformer consumes exactly one attention "
+                f"chunk per tick: chunk_frames must be attention_chunk*"
+                f"stride = {tn.attention_chunk * stride}, got {chunk_frames}")
         if decoder not in ("greedy", "beam"):
             raise ValueError(f"unknown decoder: {decoder}")
         self.fused = lm is not None or bool(hotwords)

@@ -146,12 +146,20 @@ class StreamingFrontend:
 def _zero_encoder_state(model: RNNTransducer, variables,
                         batch: int = 1) -> RNNState:
     cfg = model.cfg.transnet
+    # state dtype must match the params' compute dtype: the carried state is
+    # re-fed to the next chunk's program, whose carry dtype is fixed at
+    # trace time (utils/precision.py)
+    dt = param_dtype(variables)
+    if cfg.arch == "conformer":
+        # chunked-causal cache: per-block attention window (+validity
+        # channel) and conv tail (models/conformer.py::zero_state)
+        ctx = cfg.attention_left_chunks * cfg.attention_chunk
+        return RNNState(
+            jnp.zeros((cfg.num_layers, ctx, batch, cfg.hidden_size + 1), dt),
+            jnp.zeros((cfg.num_layers, cfg.conv_kernel_size - 1, batch,
+                       cfg.hidden_size), dt))
     d = 2 if cfg.bidirectional else 1
-    # state dtype must match the params' compute dtype: the carried h/c are
-    # re-fed to the next chunk's scan, whose carry dtype is fixed at trace
-    # time (utils/precision.py)
-    h = jnp.zeros((cfg.num_layers, d, batch, cfg.hidden_size),
-                  param_dtype(variables))
+    h = jnp.zeros((cfg.num_layers, d, batch, cfg.hidden_size), dt)
     c = h if cfg.rnn_type.lower() == "lstm" else None
     return RNNState(h, c)
 
@@ -209,6 +217,14 @@ class StreamingRecognizer:
                 f"chunk_frames ({chunk_frames}) must be a multiple of "
                 f"time_reduction_stride ({stride}) so reduced groups align "
                 "across chunks")
+        tn = model.cfg.transnet
+        if tn.arch == "conformer":
+            want = tn.attention_chunk * stride
+            if chunk_frames != want:
+                raise ValueError(
+                    f"the streaming Conformer consumes exactly one "
+                    f"attention chunk per step: chunk_frames must be "
+                    f"attention_chunk*stride = {want}, got {chunk_frames}")
         if decoder not in ("greedy", "beam"):
             raise ValueError(f"unknown streaming decoder: {decoder}")
         fused = lm is not None or bool(hotwords)

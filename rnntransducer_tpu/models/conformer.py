@@ -7,30 +7,45 @@ Beyond reference parity: the reference's encoder registry is RNN-only
 second family — every block is GEMMs (MXU) plus one depthwise conv (VPU),
 static shapes throughout, no sequential scan.
 
+Two context modes:
+
+* ``attention_chunk == 0`` (default): full-context attention — offline
+  only, exactly as non-streamable as a bidirectional RNN (config requires
+  ``bidirectional=True`` so the streaming gates fire unchanged).
+* ``attention_chunk == C > 0``: CHUNKED-CAUSAL attention — the streaming
+  Conformer.  Frame t attends to its own C-frame chunk plus the previous
+  ``attention_left_chunks`` chunks (block-causal mask), and the conv module
+  is causal.  Training and offline decode use the masked full-sequence
+  forward; streaming uses a per-block cache and is EXACT vs the offline
+  forward (tested): the cache carries each block's attention-input window
+  (``RNNState.h``: (L, left*C, B, d+1) — last channel is a validity flag,
+  so the zero state the streaming surfaces build means "nothing cached")
+  and the conv module's post-GLU tail (``RNNState.c``: (L, K-1, B, d),
+  validity-zeroed).  Config requires ``bidirectional=False`` so the
+  streaming gates PASS.
+
 Design notes (TPU-first):
 
 * **Macaron block**: ``x += 1/2 FFN(LN x); x += MHSA(LN x); x += Conv(LN x);
   x += 1/2 FFN(LN x); x = LN(x)`` — pre-norm residuals, the paper's layout.
 * **Relative positions via RoPE** (rotary embeddings on q/k): gives the
   relative-position inductive bias of the paper's Transformer-XL attention
-  with zero extra parameters or gather tables — pure elementwise rotations
-  that XLA fuses into the attention GEMMs.
-* **Masking is exact**: attention excludes padded KEYS, the conv module
-  zeroes padded inputs before the depthwise window, and the final output is
-  zeroed past each row's length — so a padded batch produces bit-identical
-  valid rows to per-utterance calls (tested), matching the masked-scan
-  contract of the RNN encoder ("zeros past length").
+  with zero extra parameters — pure elementwise rotations XLA fuses into
+  the attention GEMMs.  Because q.k depends only on the POSITION OFFSET,
+  the streaming path can use window-local positions and still match the
+  offline absolute-position forward exactly.
+* **Masking is exact**: attention excludes padded keys, the conv module
+  zeroes padded inputs before the depthwise window, and the output is
+  zeroed past each row's length — a padded batch produces the same valid
+  rows as per-utterance calls (tested), matching the masked-scan contract
+  of the RNN encoder.
 * **BatchNorm -> LayerNorm** in the conv module: batch statistics poison
   padded batches and complicate serving; per-position LayerNorm is the
   standard masked-safe substitute.
-* **Subsampling** reuses the existing frame-stacking time reduction
+* **Subsampling** reuses the frame-stacking time reduction
   (``time_reduction_stride``) on the INPUT features (``stack_frames``),
-  then projects to d_model — the stacking frontend of production RNN-T
-  encoders; ``output_lengths`` math is shared with the RNN family.
-* **Not streamable** (full-context attention): configs must keep
-  ``bidirectional=True`` so every existing streaming gate (which already
-  refuses bidirectional encoders) fires unchanged; the returned carry is a
-  zero-size placeholder ``RNNState``.
+  then projects to d_model; ``output_lengths`` math is shared with the
+  RNN family.
 """
 
 from __future__ import annotations
@@ -49,13 +64,15 @@ from rnntransducer_tpu.utils.masking import length_mask
 NEG = -1e30
 
 
-def rope(x: jnp.ndarray) -> jnp.ndarray:
+def rope(x: jnp.ndarray, offset: int = 0) -> jnp.ndarray:
     """Rotary position embedding over (B, H, T, hd) — rotate feature pairs
-    by position-dependent angles (theta_i = 10000^(-2i/hd))."""
+    by position-dependent angles (theta_i = 10000^(-2i/hd)).  ``offset``
+    shifts the positions; q.k depends only on relative offsets, so any
+    consistent window origin gives identical attention."""
     B, H, T, hd = x.shape
     half = hd // 2
     inv = (10000.0 ** (-np.arange(0, half) / half)).astype(np.float32)
-    pos = jnp.arange(T, dtype=jnp.float32)
+    pos = jnp.arange(T, dtype=jnp.float32) + float(offset)
     ang = pos[:, None] * jnp.asarray(inv)[None, :]          # (T, half)
     sin, cos = jnp.sin(ang).astype(x.dtype), jnp.cos(ang).astype(x.dtype)
     x1, x2 = x[..., :half], x[..., half:2 * half]
@@ -71,7 +88,7 @@ class FeedForward(nn.Module):
     dropout: float
 
     @nn.compact
-    def __call__(self, x, deterministic: bool):
+    def __call__(self, x, deterministic: bool = True):
         x = nn.LayerNorm()(x)
         x = nn.Dense(self.mult * self.d_model)(x)
         x = nn.swish(x)
@@ -84,60 +101,108 @@ class FeedForward(nn.Module):
 
 
 class SelfAttention(nn.Module):
+    """Pre-norm MHSA with RoPE.  ``xkv`` may extend ``xq`` on the left
+    (streaming window): queries sit at positions ``k_len - q_len ..
+    k_len - 1`` of the key timeline."""
+
     d_model: int
     num_heads: int
     dropout: float
 
-    @nn.compact
-    def __call__(self, x, key_valid, deterministic: bool):
-        """x: (B, T, D); key_valid: (B, T) bool — padded keys excluded."""
-        B, T, D = x.shape
+    def setup(self):
+        self.norm = nn.LayerNorm()
+        self.q_proj = nn.Dense(self.d_model)
+        self.k_proj = nn.Dense(self.d_model)
+        self.v_proj = nn.Dense(self.d_model)
+        self.out = nn.Dense(self.d_model)
+        if self.dropout > 0:
+            self.att_drop = nn.Dropout(self.dropout)
+            self.out_drop = nn.Dropout(self.dropout)
+
+    def __call__(self, xq, xkv, mask, deterministic: bool = True):
+        """xq: (B, Tq, D) pre-norm query stream; xkv: (B, Tk, D) pre-norm
+        key/value stream (Tk >= Tq, right-aligned); mask: (B, Tq, Tk) or
+        (1, Tq, Tk) bool — True = may attend."""
+        B, Tq, D = xq.shape
+        Tk = xkv.shape[1]
         H = self.num_heads
         hd = D // H
-        x = nn.LayerNorm()(x)
-        qkv = nn.Dense(3 * D)(x).reshape(B, T, 3, H, hd)
-        q, k, v = (jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3))
-        q, k = rope(q), rope(k)                              # (B, H, T, hd)
-        # scores in fp32: softmax over T is the one numerically-sensitive op
+        q_in = self.norm(xq)
+        kv_in = self.norm(xkv)
+
+        def heads(t):
+            return jnp.moveaxis(t.reshape(B, -1, H, hd), 1, 2)
+
+        q = rope(heads(self.q_proj(q_in)), offset=Tk - Tq)
+        k = rope(heads(self.k_proj(kv_in)), offset=0)
+        v = heads(self.v_proj(kv_in))
+        # scores in fp32: softmax over T is the numerically-sensitive op
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits / np.sqrt(hd)
-        logits = jnp.where(key_valid[:, None, None, :], logits, NEG)
-        att = nn.softmax(logits, axis=-1).astype(x.dtype)
+                            preferred_element_type=jnp.float32) / np.sqrt(hd)
+        logits = jnp.where(mask[:, None], logits, NEG)
+        att = nn.softmax(logits, axis=-1).astype(xq.dtype)
         if self.dropout > 0:
-            att = nn.Dropout(self.dropout)(att, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
-        out = jnp.moveaxis(out, 2, 1).reshape(B, T, D)
-        out = nn.Dense(D)(out)
+            att = self.att_drop(att, deterministic=deterministic)
+        o = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        o = jnp.moveaxis(o, 2, 1).reshape(B, Tq, D)
+        o = self.out(o)
         if self.dropout > 0:
-            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        return out
+            o = self.out_drop(o, deterministic=deterministic)
+        return o
 
 
 class ConvModule(nn.Module):
+    """LN -> pointwise(2D) -> GLU -> depthwise conv -> LN -> swish ->
+    pointwise(D).  ``causal=True`` left-pads (streamable); the streaming
+    path passes the previous chunk's post-GLU ``tail`` ((B, K-1, D),
+    validity-zeroed) and receives the new tail back."""
+
     d_model: int
     kernel_size: int
     dropout: float
+    causal: bool = False
 
-    @nn.compact
-    def __call__(self, x, valid, deterministic: bool):
+    def setup(self):
+        self.norm = nn.LayerNorm()
+        self.pre = nn.Dense(2 * self.d_model)
+        self.conv = nn.Conv(features=self.d_model,
+                            kernel_size=(self.kernel_size,),
+                            feature_group_count=self.d_model,
+                            padding="VALID")
+        self.post_norm = nn.LayerNorm()
+        self.post = nn.Dense(self.d_model)
+        if self.dropout > 0:
+            self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, x, valid, deterministic: bool = True, tail=None):
         """x: (B, T, D); valid: (B, T) bool.  Padded positions are zeroed
-        BEFORE the depthwise window so they contribute exactly what SAME
-        zero-padding would — per-utterance parity."""
-        x = nn.LayerNorm()(x)
+        BEFORE the depthwise window so they contribute exactly what zero
+        padding would — per-utterance parity.  Returns (out, new_tail);
+        new_tail is None unless ``tail`` was given."""
+        B, T, D = x.shape
+        K = self.kernel_size
+        x = self.norm(x)
         x = jnp.where(valid[..., None], x, 0)
-        x = nn.Dense(2 * self.d_model)(x)
+        x = self.pre(x)
         a, b = jnp.split(x, 2, axis=-1)
         x = a * nn.sigmoid(b)                                # GLU
-        x = jnp.where(valid[..., None], x, 0)
-        x = nn.Conv(features=self.d_model, kernel_size=(self.kernel_size,),
-                    feature_group_count=self.d_model, padding="SAME")(x)
-        x = nn.LayerNorm()(x)                                # masked-safe BN stand-in
+        x = jnp.where(valid[..., None], x, 0)                # (B, T, D)
+        new_tail = None
+        if tail is not None:                                 # streaming
+            win = jnp.concatenate([tail.astype(x.dtype), x], axis=1)
+            new_tail = win[:, -(K - 1):] if K > 1 else win[:, :0]
+            x = self.conv(win)                               # VALID: (B,T,D)
+        elif self.causal:
+            x = self.conv(jnp.pad(x, ((0, 0), (K - 1, 0), (0, 0))))
+        else:
+            lp = (K - 1) // 2
+            x = self.conv(jnp.pad(x, ((0, 0), (lp, K - 1 - lp), (0, 0))))
+        x = self.post_norm(x)
         x = nn.swish(x)
-        x = nn.Dense(self.d_model)(x)
+        x = self.post(x)
         if self.dropout > 0:
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        return x
+            x = self.drop(x, deterministic=deterministic)
+        return x, new_tail
 
 
 class ConformerBlock(nn.Module):
@@ -146,60 +211,164 @@ class ConformerBlock(nn.Module):
     ff_mult: int
     kernel_size: int
     dropout: float
+    causal: bool = False
 
-    @nn.compact
-    def __call__(self, x, valid, deterministic: bool):
-        x = x + 0.5 * FeedForward(self.d_model, self.ff_mult,
-                                  self.dropout)(x, deterministic)
-        x = x + SelfAttention(self.d_model, self.num_heads,
-                              self.dropout)(x, valid, deterministic)
-        x = x + ConvModule(self.d_model, self.kernel_size,
-                           self.dropout)(x, valid, deterministic)
-        x = x + 0.5 * FeedForward(self.d_model, self.ff_mult,
-                                  self.dropout)(x, deterministic)
-        return nn.LayerNorm()(x)
+    def setup(self):
+        self.ff1 = FeedForward(self.d_model, self.ff_mult, self.dropout)
+        self.attn = SelfAttention(self.d_model, self.num_heads, self.dropout)
+        self.conv = ConvModule(self.d_model, self.kernel_size, self.dropout,
+                               self.causal)
+        self.ff2 = FeedForward(self.d_model, self.ff_mult, self.dropout)
+        self.final_norm = nn.LayerNorm()
+
+    def __call__(self, x, valid, mask, deterministic: bool = True):
+        """Offline forward.  mask: (B or 1, T, T) attention mask."""
+        x = x + 0.5 * self.ff1(x, deterministic)
+        x = x + self.attn(x, x, mask, deterministic)
+        c, _ = self.conv(x, valid, deterministic)
+        x = x + c
+        x = x + 0.5 * self.ff2(x, deterministic)
+        return self.final_norm(x)
+
+    def stream(self, x, valid, cache_x1, conv_tail, deterministic: bool = True):
+        """One chunk with cache.  x: (B, S, D) block input; valid: (B, S);
+        cache_x1: (B, ctx, D+1) — previous x1 window + validity flag;
+        conv_tail: (B, K-1, D).  Returns (out, new_cache_x1, new_tail)."""
+        B, S, D = x.shape
+        x1 = x + 0.5 * self.ff1(x, deterministic)
+        flag = valid.astype(x1.dtype)[..., None]
+        x1f = jnp.concatenate([x1, flag], axis=-1)           # (B, S, D+1)
+        win = jnp.concatenate([cache_x1.astype(x1f.dtype), x1f], axis=1)
+        ctx = cache_x1.shape[1]
+        new_cache = win[:, S:] if ctx else win[:, :0]        # keep last ctx
+        key_ok = win[..., -1] > 0.5                          # (B, ctx+S)
+        mask = key_ok[:, None, :]                            # every query row
+        att = self.attn(x1, win[..., :D], mask, deterministic)
+        x2 = x1 + att
+        c, new_tail = self.conv(x2, valid, deterministic, tail=conv_tail)
+        x3 = x2 + c
+        x4 = x3 + 0.5 * self.ff2(x3, deterministic)
+        return self.final_norm(x4), new_cache, new_tail
 
 
 class ConformerEncoder(nn.Module):
     """Drop-in encoder with the ``AudioEncoder`` interface: returns
-    ((B, T', output_size), placeholder state).  T' = output_frames(T)."""
+    ((B, T', output_size), state).  T' = output_frames(T).  Streaming
+    (``initial_state`` given) requires ``attention_chunk > 0`` and one
+    C-frame (post-reduction) chunk per call."""
 
     cfg: TransNetConfig
     unroll: int = 1  # interface parity with AudioEncoder; unused
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.in_proj = nn.Dense(cfg.hidden_size)
+        if cfg.dropout > 0:
+            self.in_drop = nn.Dropout(cfg.dropout)
+        block = ConformerBlock
+        if cfg.remat:
+            # static_argnums counts self as 0: (self, x, valid, mask, det)
+            block = nn.remat(ConformerBlock, static_argnums=(4,))
+        self.blocks = [
+            block(cfg.hidden_size, cfg.attention_heads, cfg.ff_multiplier,
+                  cfg.conv_kernel_size, cfg.dropout,
+                  causal=cfg.attention_chunk > 0, name=f"block_{i}")
+            for i in range(cfg.num_layers)]
+        self.out_proj = nn.Dense(cfg.output_size)
+
+    def _chunk_mask(self, T: int):
+        """(1, T, T) block-causal chunk mask (True = may attend), or None
+        for full context."""
+        C = self.cfg.attention_chunk
+        if C <= 0:
+            return None
+        left = self.cfg.attention_left_chunks
+        ci = np.arange(T) // C
+        d = ci[:, None] - ci[None, :]                        # cq - ck
+        return jnp.asarray((d >= 0) & (d <= left))[None]
+
     def __call__(self, inputs, lengths=None, initial_state: Optional[RNNState] = None,
                  deterministic: bool = True) -> Tuple[jnp.ndarray, RNNState]:
-        if initial_state is not None:
-            raise ValueError("the Conformer encoder is full-context "
-                             "(attention over the whole utterance) and does "
-                             "not support streaming chunk carries")
         cfg = self.cfg
         B, T, _ = inputs.shape
         if lengths is None:
             lengths = jnp.full((B,), T, jnp.int32)
+        if initial_state is not None and initial_state.h.shape[0]:
+            return self._stream(inputs, lengths, initial_state, deterministic)
+        if initial_state is not None:
+            raise ValueError(
+                "this Conformer is full-context (attention_chunk=0) and "
+                "does not support streaming chunk carries; set "
+                "transnet.attention_chunk > 0 (with bidirectional=false) "
+                "for the chunked-causal streaming variant")
         # pad frames must not leak into a straddling reduced group / the
         # first block's conv+attention
         valid_in = length_mask(lengths, T)
         inputs = jnp.where(valid_in[..., None], inputs, 0)
         x = stack_frames(inputs, cfg.time_reduction_stride)
         red_lengths = cfg.output_lengths(lengths.astype(jnp.int32))
-        valid = length_mask(red_lengths, x.shape[1])
+        Tr = x.shape[1]
+        valid = length_mask(red_lengths, Tr)
 
-        x = nn.Dense(cfg.hidden_size)(x)
+        x = self.in_proj(x)
         if cfg.dropout > 0:
-            x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
-        block = ConformerBlock
-        if cfg.remat:
-            # static_argnums counts self as 0: (self, x, valid, deterministic)
-            block = nn.remat(ConformerBlock, static_argnums=(3,))
-        for i in range(cfg.num_layers):
-            x = block(cfg.hidden_size, cfg.attention_heads,
-                      cfg.ff_multiplier, cfg.conv_kernel_size,
-                      cfg.dropout, name=f"block_{i}")(x, valid, deterministic)
-        out = nn.Dense(cfg.output_size)(x)
+            x = self.in_drop(x, deterministic=deterministic)
+        cm = self._chunk_mask(Tr)
+        # attend only to valid keys; compose with the chunk mask
+        mask = valid[:, None, :] if cm is None else (cm & valid[:, None, :])
+        for blk in self.blocks:
+            x = blk(x, valid, mask, deterministic)
+        out = self.out_proj(x)
         # masked-scan contract: zeros past each row's length
         out = jnp.where(valid[..., None], out, 0)
-        # zero-size placeholder carry: callers unpack (out, state) uniformly
-        state = RNNState(jnp.zeros((0, 1, B, 0), out.dtype), None)
+        state = (self.zero_state(B, out.dtype)
+                 if cfg.attention_chunk > 0
+                 else RNNState(jnp.zeros((0, 1, B, 0), out.dtype), None))
         return out, state
+
+    def _stream(self, inputs, lengths, state: RNNState, deterministic):
+        cfg = self.cfg
+        C = cfg.attention_chunk
+        if C <= 0:
+            raise ValueError("streaming requires attention_chunk > 0")
+        B, T, _ = inputs.shape
+        S = cfg.output_frames(T)
+        if S != C:
+            raise ValueError(
+                f"streaming Conformer consumes exactly one attention chunk "
+                f"per call: got {T} input frames -> {S} reduced, expected "
+                f"attention_chunk={C} (feed chunk_frames="
+                f"{C * cfg.time_reduction_stride})")
+        valid_in = length_mask(lengths, T)
+        inputs = jnp.where(valid_in[..., None], inputs, 0)
+        x = stack_frames(inputs, cfg.time_reduction_stride)
+        red_lengths = cfg.output_lengths(lengths.astype(jnp.int32))
+        valid = length_mask(red_lengths, S)
+        x = self.in_proj(x)
+        if cfg.dropout > 0:
+            x = self.in_drop(x, deterministic=deterministic)
+
+        hs, cs = [], []
+        for i, blk in enumerate(self.blocks):
+            # state layout: h (L, ctx, B, D+1), c (L, K-1, B, D)
+            cache_x1 = jnp.moveaxis(state.h[i], 1, 0)        # (B, ctx, D+1)
+            conv_tail = jnp.moveaxis(state.c[i], 1, 0)       # (B, K-1, D)
+            x, new_cache, new_tail = blk.stream(x, valid, cache_x1,
+                                                conv_tail, deterministic)
+            hs.append(jnp.moveaxis(new_cache, 1, 0))
+            cs.append(jnp.moveaxis(new_tail, 1, 0))
+        out = self.out_proj(x)
+        out = jnp.where(valid[..., None], out, 0)
+        return out, RNNState(jnp.stack(hs), jnp.stack(cs))
+
+    def zero_state(self, batch: int, dtype=jnp.float32) -> RNNState:
+        """Streaming cache zeros: validity flags start at 0, so nothing is
+        attended until real chunks fill the window — identical to the
+        offline forward's view of the stream start."""
+        cfg = self.cfg
+        ctx = cfg.attention_left_chunks * cfg.attention_chunk
+        h = jnp.zeros((cfg.num_layers, ctx, batch, cfg.hidden_size + 1),
+                      dtype)
+        c = jnp.zeros((cfg.num_layers, cfg.conv_kernel_size - 1, batch,
+                       cfg.hidden_size), dtype)
+        return RNNState(h, c)

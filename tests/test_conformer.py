@@ -216,3 +216,168 @@ def test_conformer_data_parallel_matches_single():
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                      sa.params, sb.params)
     assert max(jax.tree.leaves(d)) < 1e-5
+
+
+def _scfg(chunk=4, left=2, stride=2, layers=2, d=64, kernel=7):
+    base = rt.tiny_config()
+    return dataclasses.replace(
+        base.model,
+        transnet=dataclasses.replace(
+            base.model.transnet, arch="conformer", hidden_size=d,
+            output_size=48, num_layers=layers, attention_heads=4,
+            conv_kernel_size=kernel, bidirectional=False,
+            attention_chunk=chunk, attention_left_chunks=left,
+            time_reduction_stride=stride))
+
+
+def test_streaming_conformer_chunked_cache_matches_offline():
+    """Chunk-by-chunk encode with the per-block cache == the offline
+    block-causal masked forward, including a ragged final chunk."""
+    from rnntransducer_tpu.decode.streaming import _zero_encoder_state
+
+    model = RNNTransducer(_scfg())
+    v, _ = _init(model, B=2, T=40)
+    feats = jax.random.normal(jax.random.PRNGKey(3), (2, 40, 80))
+    lengths = jnp.array([40, 29])
+    off, _ = model.apply(v, feats, lengths, method=model.encode)
+
+    st = _zero_encoder_state(model, v, batch=2)
+    outs = []
+    rem = np.array([40, 29])
+    for c0 in range(0, 40, 8):                 # chunk_frames = 4*2
+        n_valid = np.clip(rem - c0, 0, 8)
+        o, st = model.apply(v, feats[:, c0:c0 + 8], jnp.asarray(n_valid),
+                            st, method=model.encode)
+        outs.append(o)
+    stream = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(off),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_streaming_conformer_is_causal():
+    """Changing FUTURE frames must not change past chunk outputs (the
+    block-causal mask + causal conv really are causal)."""
+    model = RNNTransducer(_scfg())
+    v, _ = _init(model, B=1, T=40)
+    rng = np.random.RandomState(0)
+    a = rng.randn(1, 40, 80).astype(np.float32)
+    b = a.copy()
+    b[:, 24:] = rng.randn(1, 16, 80)           # perturb last 2 chunks
+    oa, _ = model.apply(v, jnp.asarray(a), jnp.array([40]),
+                        method=model.encode)
+    ob, _ = model.apply(v, jnp.asarray(b), jnp.array([40]),
+                        method=model.encode)
+    # first 12 reduced frames (3 chunks) depend only on frames < 24
+    np.testing.assert_allclose(np.asarray(oa[:, :12]),
+                               np.asarray(ob[:, :12]), rtol=1e-5, atol=1e-6)
+    assert float(jnp.abs(oa[:, 12:] - ob[:, 12:]).max()) > 1e-3
+
+
+def test_streaming_conformer_left_context_bounded():
+    """With left=1, chunk c must not see chunk c-2: perturbing chunk 0
+    leaves chunk >= 2 outputs unchanged (the window really is bounded)."""
+    model = RNNTransducer(_scfg(chunk=4, left=1, stride=1, layers=1))
+    v, _ = _init(model, B=1, T=20)
+    rng = np.random.RandomState(1)
+    a = rng.randn(1, 20, 80).astype(np.float32)
+    b = a.copy()
+    b[:, :4] = rng.randn(1, 4, 80)             # perturb chunk 0
+    oa, _ = model.apply(v, jnp.asarray(a), jnp.array([20]),
+                        method=model.encode)
+    ob, _ = model.apply(v, jnp.asarray(b), jnp.array([20]),
+                        method=model.encode)
+    # receptive field of y[f] through one block: conv (causal, reach K-1=6)
+    # reads x2[f-6..f]; x2[p] attends x1 back to chunkstart(p)-4. For
+    # f >= 16: p >= 10 => window start >= 4 — chunk 0 (frames 0..3) is out
+    # of reach, so y[16:] must be unchanged; early frames must differ.
+    np.testing.assert_allclose(np.asarray(oa[:, 16:]),
+                               np.asarray(ob[:, 16:]), rtol=1e-5, atol=1e-6)
+    assert float(jnp.abs(oa[:, :8] - ob[:, :8]).max()) > 1e-3
+
+
+def test_streaming_recognizer_conformer_matches_offline_greedy():
+    """Full wav-in StreamingRecognizer session over the streaming Conformer
+    == offline greedy decode, token for token."""
+    from rnntransducer_tpu.config import AudioConfig
+    from rnntransducer_tpu.decode.greedy import greedy_decode
+    from rnntransducer_tpu.decode.streaming import StreamingRecognizer
+    from rnntransducer_tpu.frontend import LogMelFrontend
+
+    model = RNNTransducer(_scfg(chunk=8, left=2, stride=2))
+    v, _ = _init(model, B=1, T=32)
+    acfg = AudioConfig(normalize=False)
+    wav = (np.random.RandomState(9).randn(12000) * 2).astype(np.float32)
+    feats, lengths = LogMelFrontend(acfg)(jnp.asarray(wav[None]))
+    toks, lens = greedy_decode(model, v, feats, lengths, max_output_len=128)
+    want = [int(t) for t in np.asarray(toks)[0, :int(lens[0])]]
+
+    rec = StreamingRecognizer(model, v, acfg, chunk_frames=16,
+                              normalize="none", max_output_len=128)
+    out = []
+    for s in range(0, len(wav), 1600):
+        out.extend(rec.feed(wav[s:s + 1600]))
+    out.extend(rec.flush())
+    assert [int(t) for t in out] == want
+
+
+def test_streaming_conformer_session_batch_slot_reuse():
+    """Continuous batching over the streaming Conformer: lanes decode, and
+    a reused slot starts from a clean cache (reset zeroes the flags)."""
+    from rnntransducer_tpu.config import AudioConfig
+    from rnntransducer_tpu.decode.session_batch import BatchedStreamingRunner
+
+    model = RNNTransducer(_scfg(chunk=8, left=1, stride=2))
+    v, _ = _init(model, B=1, T=32)
+    acfg = AudioConfig(normalize=False)
+    runner = BatchedStreamingRunner(model, v, acfg, max_sessions=2,
+                                    chunk_frames=16)
+    wav = (np.random.RandomState(11).randn(6400) * 2).astype(np.float32)
+
+    s1 = runner.open(normalize="none")
+    s1.feed(wav)
+    t1 = list(s1.flush())
+
+    s2 = runner.open(normalize="none")      # reuses the freed slot
+    s2.feed(wav)
+    t2 = list(s2.flush())
+    assert t1 == t2                         # clean cache => same decode
+
+
+def test_streaming_conformer_validation():
+    from rnntransducer_tpu.config import AudioConfig
+    from rnntransducer_tpu.decode.streaming import StreamingRecognizer
+
+    with pytest.raises(ValueError, match="bidirectional=False"):
+        _scfg().transnet.__class__(arch="conformer", attention_chunk=4,
+                                   bidirectional=True)
+    model = RNNTransducer(_scfg(chunk=8, stride=2))
+    v, _ = _init(model)
+    with pytest.raises(ValueError, match="attention_chunk"):
+        StreamingRecognizer(model, v, AudioConfig(), chunk_frames=32)
+
+
+def test_streaming_conformer_trains():
+    """The chunked-causal forward trains (the mask is applied at training
+    time, so train/serve see the same context)."""
+    from rnntransducer_tpu.train import TrainState, make_optimizer, train_step
+
+    base = rt.tiny_config()
+    cfg = dataclasses.replace(
+        base, model=_scfg(chunk=4, left=1, stride=1),
+        train=dataclasses.replace(base.train,
+                                  per_device_train_batch_size=2,
+                                  max_steps=4))
+    rng = np.random.RandomState(4)
+    B, T, U = 2, 16, 3
+    targets = rng.randint(1, 71, size=(B, U)).astype(np.int32)
+    batch = {
+        "feats": rng.randn(B, T, 80).astype(np.float32),
+        "feat_lengths": np.array([T, T - 5], np.int32),
+        "text_in": np.concatenate([np.zeros((B, 1), np.int32), targets], 1),
+        "text_lengths": np.full((B,), U + 1, np.int32),
+        "targets": targets, "target_lengths": np.full((B,), U, np.int32),
+    }
+    tx = make_optimizer(cfg.train)
+    state = TrainState.create(cfg)
+    state, m = train_step(cfg, tx, state, batch)
+    assert np.isfinite(float(m["loss"]))
