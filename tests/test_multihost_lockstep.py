@@ -146,12 +146,19 @@ def test_label_bucket_locksteps_across_processes(tmp_path, monkeypatch):
     del long_item
 
 
-@pytest.mark.slow
-def test_two_real_processes_lockstep_and_global_batch(tmp_path):
-    """Two actual jax.distributed CPU processes: prefetcher assembles the
-    global batch (make_array_from_process_local_data), its contents match the
-    single-process reference, and a real train_step runs on the 4-device
-    process-spanning mesh."""
+# Failure signatures that mean "environment raced us", not "the code is
+# wrong": the coordination-service port was grabbed between our free-port
+# probe and the worker's bind (TOCTOU), or barrier/heartbeat deadlines blew
+# on a CPU-contended box (observed once in a 56-minute full-suite run where
+# the test passes in isolation in <3 min).  Those attempts are retried on a
+# fresh port; a genuine lockstep/assembly failure is NOT in this list and
+# fails immediately.
+_TRANSIENT = ("address already in use", "deadline_exceeded",
+              "failed to connect", "barrier timed out",
+              "coordination service", "unavailable:")
+
+
+def _spawn_lockstep_workers(tmp_path, attempt):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -164,13 +171,44 @@ def test_two_real_processes_lockstep_and_global_batch(tmp_path):
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "_multihost_worker.py")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(port), str(i), str(tmp_path / f"c{i}")],
+        [sys.executable, worker, str(port), str(i),
+         str(tmp_path / f"a{attempt}c{i}")],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(2)]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=560)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            out, _ = p.communicate()
+            if len(outs) < len(procs):
+                outs.append(out)
+        return None, outs  # timeout: retryable under load
+    for p, out in zip(procs, outs):
+        if p.returncode != 0 and any(sig in out.lower()
+                                     for sig in _TRANSIENT):
+            return None, outs  # transient environment race: retryable
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_real_processes_lockstep_and_global_batch(tmp_path):
+    """Two actual jax.distributed CPU processes: prefetcher assembles the
+    global batch (make_array_from_process_local_data), its contents match the
+    single-process reference, and a real train_step runs on the 4-device
+    process-spanning mesh."""
+    for attempt in range(3):
+        procs, outs = _spawn_lockstep_workers(tmp_path, attempt)
+        if procs is not None:
+            break
+    else:
+        pytest.fail("3/3 attempts hit transient distributed-init failures:\n"
+                    + "\n---\n".join(outs))
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert "WORKER_OK" in out, out
