@@ -35,8 +35,20 @@ def main():
     import sys
     decoder = "beam" if "--beam" in sys.argv else "greedy"
     stride = 2 if "--time_reduction" in sys.argv else 1
-    if stride > 1:
-        import dataclasses
+    arch = "conformer" if "--conformer" in sys.argv else "rnn"
+    import dataclasses
+    if arch == "conformer":
+        # chunked-causal streaming Conformer at serving scale: 16 blocks,
+        # d=512, 4x subsampling; attention_chunk=16 reduced frames so one
+        # 64-input-frame feed = exactly one attention chunk, left context
+        # 4 chunks (= 2.56 s of audio).
+        stride = 4
+        cfg = dataclasses.replace(cfg, transnet=dataclasses.replace(
+            cfg.transnet, arch="conformer", hidden_size=512, num_layers=16,
+            attention_heads=8, ff_multiplier=4, conv_kernel_size=15,
+            bidirectional=False, attention_chunk=16, attention_left_chunks=4,
+            time_reduction_stride=4, time_reduction_layer=0))
+    elif stride > 1:
         cfg = dataclasses.replace(cfg, transnet=dataclasses.replace(
             cfg.transnet, time_reduction_stride=stride,
             time_reduction_layer=1))
@@ -89,7 +101,7 @@ def main():
     print(json.dumps({
         "metric": "streaming_decode_rtf",
         "value": round(rtf, 4),
-        "unit": f"RTF (6L uni-LSTM 1024{f', stride {stride}' if stride > 1 else ''}, "
+        "unit": f"RTF ({'16x512 chunked-causal Conformer, stride 4' if arch == 'conformer' else '6L uni-LSTM 1024' + (f', stride {stride}' if stride > 1 else '')}, "
                 f"{decoder}{' width 4' if decoder == 'beam' else ''}, {chunk_ms}ms "
                 f"chunks; p50 first-token latency {p50:.3f}s)",
         "vs_baseline": round(1.0 / max(rtf, 1e-9), 2),
