@@ -60,6 +60,39 @@ def _device_peak_flops() -> float:
     return 197e12  # assume v5e
 
 
+def prednet_joint_fwd_flops(cfg, batch: int, t_enc_frames: int,
+                            u_labels: int) -> float:
+    """FORWARD matmul FLOPs of the prediction net + joint factors, shared
+    by every encoder family's FLOPs model (bench.py for the RNN flagship,
+    experiments/perf_conformer.py for the Conformer — the prednet/joint
+    terms are identical because both run the SAME train_step).
+
+    ``t_enc_frames`` is the ENCODER OUTPUT frame count (post any time
+    reduction) — the joint's audio factor runs at that rate.
+    """
+    pn, jn = cfg.model.prednet, cfg.model.jointnet
+    Hp, u1 = pn.hidden_size, u_labels + 1
+    fwd = 0.0
+    pg = {"gru": 3, "lstm": 4, "rnn": 1, "stateless": 0}[pn.rnn_type.lower()]
+    if pg:  # recurrent prednet over U+1 tokens
+        in_p = Hp  # embedding lookup emits hidden_size vectors (no GEMM)
+        for _ in range(pn.num_layers):
+            fwd += 2 * batch * u1 * pg * Hp * (in_p + Hp)
+            in_p = Hp
+    # stateless prednet: embedding gathers + combine only — no recurrent
+    # GEMMs; both variants end in the output projection
+    fwd += 2 * batch * u1 * Hp * pn.output_size
+    # rank-decomposed concat joint (models/joint.py factors): each side
+    # projects straight to V through its slice of the fc kernel — there is
+    # NO (B,T,U,*) lattice GEMM at all (the lattice only sees the O(V)
+    # broadcast-add inside the loss), so the model must not count one.
+    V = jn.num_classes
+    tn = cfg.model.transnet
+    fwd += 2 * batch * t_enc_frames * tn.output_size * V
+    fwd += 2 * batch * u1 * pn.output_size * V
+    return fwd
+
+
 def step_model_flops(cfg, batch: int, t_frames: int, u_labels: int) -> float:
     """Matmul FLOPs of one training step (fwd + bwd), from the config.
 
@@ -67,8 +100,8 @@ def step_model_flops(cfg, batch: int, t_frames: int, u_labels: int) -> float:
     each mirror a forward GEMM); elementwise gate math and the loss DP are
     negligible against these at flagship scale.
     """
-    tn, pn, jn = cfg.model.transnet, cfg.model.prednet, cfg.model.jointnet
-    gates = {"gru": 3, "lstm": 4}[tn.rnn_type.lower()]
+    tn = cfg.model.transnet
+    gates = {"gru": 3, "lstm": 4, "rnn": 1}[tn.rnn_type.lower()]
     H = tn.hidden_size
     dirs = 2 if tn.bidirectional else 1
     fwd = 0.0
@@ -77,21 +110,7 @@ def step_model_flops(cfg, batch: int, t_frames: int, u_labels: int) -> float:
         fwd += dirs * 2 * batch * t_frames * gates * H * (in_size + H)
         in_size = dirs * H
     fwd += 2 * batch * t_frames * in_size * tn.output_size  # output proj
-    # prediction net over U+1 tokens
-    pg = {"gru": 3, "lstm": 4}[pn.rnn_type.lower()]
-    Hp, u1 = pn.hidden_size, u_labels + 1
-    in_p = Hp  # embedding lookup emits hidden_size vectors (no GEMM)
-    for _ in range(pn.num_layers):
-        fwd += 2 * batch * u1 * pg * Hp * (in_p + Hp)
-        in_p = Hp
-    fwd += 2 * batch * u1 * Hp * pn.output_size
-    # rank-decomposed concat joint (models/joint.py factors): each side
-    # projects straight to V through its slice of the fc kernel — there is
-    # NO (B,T,U,*) lattice GEMM at all (the lattice only sees the O(V)
-    # broadcast-add inside the loss), so the model must not count one.
-    V = jn.num_classes
-    fwd += 2 * batch * t_frames * tn.output_size * V
-    fwd += 2 * batch * u1 * pn.output_size * V
+    fwd += prednet_joint_fwd_flops(cfg, batch, t_frames, u_labels)
     return 3.0 * fwd
 
 

@@ -133,10 +133,46 @@ class Trainer:
                 return lb
         return self.cfg.data.label_buckets[-1]
 
+    def _schedule_position(self, step: int):
+        """Exact (epoch, batches_consumed_within_epoch) for a global step
+        count. The sampler is seed+epoch deterministic (data/bucketing.py),
+        so every epoch's batch list — and therefore its length — is
+        reproducible index arithmetic (no IO): walking the cumulative
+        counts locates the step precisely even though counts vary slightly
+        across epochs (shuffle moves utterances between partial batches).
+        Must construct the sampler EXACTLY like _host_batches does, or the
+        counts (label-overlong drops!) diverge from the real schedule."""
+        if step <= 0:
+            return 0, 0
+        label_lens = (self.train_ds.label_lengths()
+                      if hasattr(self.train_ds, "label_lengths") else None)
+        sampler = LengthBucketSampler(
+            self.train_ds.lengths(), self.cfg.data.audio_buckets,
+            self._global_batch(), seed=self.cfg.train.seed, shuffle=True,
+            label_lengths=label_lens,
+            max_label_length=self.cfg.data.label_buckets[-1])
+        consumed, epoch = 0, 0
+        while True:
+            n = len(sampler.epoch_batches(epoch))
+            if n == 0:
+                # empty schedule (dataset empty / everything dropped): the
+                # epoch loop will raise its no-batches error downstream
+                return epoch, 0
+            if consumed + n > step:
+                return epoch, step - consumed
+            consumed += n
+            epoch += 1
+
     def _host_batches(self, dataset, epoch: int, batch_size: int,
-                      shuffle: bool = True, with_counts: bool = False):
+                      shuffle: bool = True, with_counts: bool = False,
+                      skip: int = 0):
         """Yields collated batches (runs inside the prefetch thread: must not
         touch self.state — its buffers are donated on the main thread).
+
+        ``skip`` drops the first N batches of the epoch's deterministic
+        schedule — the resume fast-forward: a run preempted mid-epoch
+        already consumed those batches, so replaying them would train them
+        twice (and push the epoch tail past max_steps).
 
         Multi-host: every process computes the IDENTICAL global batch
         sequence (same seed, no rank striding — all processes must dispatch
@@ -151,7 +187,7 @@ class Trainer:
             seed=self.cfg.train.seed, shuffle=shuffle,
             label_lengths=label_lens,
             max_label_length=self.cfg.data.label_buckets[-1])
-        batches = sampler.epoch_batches(epoch)
+        batches = sampler.epoch_batches(epoch)[skip:]
         step = self._host_step  # plain-int snapshot, thread-safe to read
         if sampler.last_dropped:
             self.logger.log(step, event="overlong_dropped",
@@ -224,23 +260,24 @@ class Trainer:
         # force a device sync, defeating async dispatch + prefetch overlap
         step = int(self.state.step)
         self._host_step = step
-        # resumed runs continue the data schedule: estimate the epoch from
-        # steps-per-epoch (batch counts vary slightly across epochs; an
-        # approximation is fine — the goal is not replaying epoch 0's order)
-        epoch = 0
-        if step > 0:
-            n0 = len(LengthBucketSampler(
-                self.train_ds.lengths(), cfg.data.audio_buckets,
-                self._global_batch(), seed=cfg.train.seed).epoch_batches(0))
-            epoch = step // max(n0, 1)
+        # resumed runs continue the data schedule EXACTLY: walk the
+        # deterministic per-epoch batch counts to the (epoch, offset) this
+        # step count sits at, then fast-forward past the batches the
+        # preempted run already consumed. Replaying an epoch from index 0
+        # (the pre-round-4 behavior) trained its head twice and pushed its
+        # tail past max_steps — exact-once consumption is asserted by
+        # tests/test_trainer_loop.py::test_resume_consumes_each_batch_once.
+        epoch, skip = self._schedule_position(step)
         profiling = False
         import time as _time
         last_log_t, last_log_step = _time.perf_counter(), step
         self._install_preemption_handler()
         while step < cfg.train.max_steps and not self._preempted:
             batches = DevicePrefetcher(
-                self._host_batches(self.train_ds, epoch, self._global_batch()),
+                self._host_batches(self.train_ds, epoch, self._global_batch(),
+                                   skip=skip),
                 mesh=self.mesh)
+            skip = 0  # only the resume epoch fast-forwards
             made_progress = False
             for batch in batches:
                 if step >= cfg.train.max_steps or self._preempted:

