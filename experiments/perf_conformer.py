@@ -82,7 +82,11 @@ def main():
                 cfg.model.transnet, arch="conformer", hidden_size=D_MODEL,
                 num_layers=BLOCKS, attention_heads=HEADS, ff_multiplier=FF,
                 conv_kernel_size=KCONV, time_reduction_stride=STRIDE,
-                time_reduction_layer=0, bidirectional=True)),
+                time_reduction_layer=0, bidirectional=True,
+                # one compiled block body scanned over the 16 blocks:
+                # ~L-fold faster first compile, same math (RNNT_SCAN=0
+                # reverts to the inlined per-block layout for comparison)
+                scan_blocks=os.environ.get("RNNT_SCAN", "1") == "1")),
         train=TrainConfig(precision="bf16", accumulate_grad_batches=1,
                           max_steps=1000))
 

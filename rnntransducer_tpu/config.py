@@ -58,6 +58,14 @@ class TransNetConfig:
     # existing streaming gates apply to the right variant.
     attention_chunk: int = 0
     attention_left_chunks: int = 4
+    # conformer: compile ONE block body scanned over the L blocks instead
+    # of inlining L copies (nn.scan over a stacked param layout under
+    # 'blocks') — cuts first-compile time ~L-fold for deep stacks, same
+    # math. Param layout differs from the per-block default; convert with
+    # models.conformer.{stack,unstack}_conformer_block_params. Streaming
+    # decode currently requires the per-block layout (scan_blocks=False);
+    # train fast with the scan, convert once at export.
+    scan_blocks: bool = False
     # rematerialize each RNN layer in the backward pass (HBM vs recompute)
     remat: bool = False
     # compile one uniform layer body (scan over layers 1..L-1) instead of L
@@ -300,6 +308,25 @@ class TrainConfig:
     # 1 = pure data parallel. Device count must be divisible by it. The
     # memory/FLOP lever for large-vocab (BPE) joints.
     model_parallel: int = 1
+    # Pipeline parallelism (pp): shard the encoder's layer stack over a
+    # 'stage' mesh axis of this many devices and stream microbatches
+    # through the stages GPipe-style (parallel/pipeline.py). 1 = off.
+    # Composes with dp on a 2-D (data, stage) mesh — the Trainer builds it
+    # and routes the REAL train_step's encoder through the schedule. Needs
+    # num_layers % pipeline_stages == 0 and (for now) no time reduction.
+    # The lever when one device's HBM cannot hold the whole layer stack.
+    pipeline_stages: int = 1
+    # GPipe microbatch count for the pipeline (bubble fraction
+    # (D-1)/(M+D-1)); 0 = auto (= pipeline_stages). The per-device batch
+    # must divide into it.
+    pipeline_microbatches: int = 0
+    # Sequence parallelism (sp): time-shard the encoder over a 'time' mesh
+    # axis of this many devices with the wavefront (staircase) schedule
+    # (parallel/wavefront.py). 1 = off. Unidirectional encoders only (a
+    # bi layer's successor needs the full backward sweep). Composes with
+    # dp on a 2-D (data, time) mesh. The lever for recordings whose
+    # activations exceed one device's HBM.
+    sequence_parallel: int = 1
     # ZeRO-1: shard the Adam moments (mu/nu, 2x params fp32) over the 'data'
     # mesh axis instead of replicating them. Params stay replicated; each
     # data shard updates its 1/N slice of the moments and GSPMD all-gathers

@@ -57,11 +57,18 @@ import numpy as np
 from flax import linen as nn
 
 from rnntransducer_tpu.config import TransNetConfig
-from rnntransducer_tpu.models.cells import RNNState
+from rnntransducer_tpu.models.cells import FastDropout, RNNState
 from rnntransducer_tpu.models.encoder import stack_frames
 from rnntransducer_tpu.utils.masking import length_mask
 
 NEG = -1e30
+
+# Dropout sites use cells.FastDropout (8 rbg bits/element) rather than
+# flax's nn.Dropout (32 Threefry bits/element): the Conformer has ~7
+# dropout sites per block x 16 blocks on (B, T', d..4d) tensors, and the
+# Threefry mask generation dominated the non-GEMM step time (measured on
+# v5e — see BASELINE.md round-4 Conformer row).  Same rng stream
+# ('dropout'), same deterministic flag, E[output] == input exactly.
 
 
 def rope(x: jnp.ndarray, offset: int = 0) -> jnp.ndarray:
@@ -93,10 +100,10 @@ class FeedForward(nn.Module):
         x = nn.Dense(self.mult * self.d_model)(x)
         x = nn.swish(x)
         if self.dropout > 0:
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = FastDropout(self.dropout)(x, deterministic)
         x = nn.Dense(self.d_model)(x)
         if self.dropout > 0:
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = FastDropout(self.dropout)(x, deterministic)
         return x
 
 
@@ -116,8 +123,8 @@ class SelfAttention(nn.Module):
         self.v_proj = nn.Dense(self.d_model)
         self.out = nn.Dense(self.d_model)
         if self.dropout > 0:
-            self.att_drop = nn.Dropout(self.dropout)
-            self.out_drop = nn.Dropout(self.dropout)
+            self.att_drop = FastDropout(self.dropout)
+            self.out_drop = FastDropout(self.dropout)
 
     def __call__(self, xq, xkv, mask, deterministic: bool = True):
         """xq: (B, Tq, D) pre-norm query stream; xkv: (B, Tk, D) pre-norm
@@ -142,12 +149,12 @@ class SelfAttention(nn.Module):
         logits = jnp.where(mask[:, None], logits, NEG)
         att = nn.softmax(logits, axis=-1).astype(xq.dtype)
         if self.dropout > 0:
-            att = self.att_drop(att, deterministic=deterministic)
+            att = self.att_drop(att, deterministic)
         o = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         o = jnp.moveaxis(o, 2, 1).reshape(B, Tq, D)
         o = self.out(o)
         if self.dropout > 0:
-            o = self.out_drop(o, deterministic=deterministic)
+            o = self.out_drop(o, deterministic)
         return o
 
 
@@ -172,7 +179,7 @@ class ConvModule(nn.Module):
         self.post_norm = nn.LayerNorm()
         self.post = nn.Dense(self.d_model)
         if self.dropout > 0:
-            self.drop = nn.Dropout(self.dropout)
+            self.drop = FastDropout(self.dropout)
 
     def __call__(self, x, valid, deterministic: bool = True, tail=None):
         """x: (B, T, D); valid: (B, T) bool.  Padded positions are zeroed
@@ -201,7 +208,7 @@ class ConvModule(nn.Module):
         x = nn.swish(x)
         x = self.post(x)
         if self.dropout > 0:
-            x = self.drop(x, deterministic=deterministic)
+            x = self.drop(x, deterministic)
         return x, new_tail
 
 
@@ -251,6 +258,42 @@ class ConformerBlock(nn.Module):
         return self.final_norm(x4), new_cache, new_tail
 
 
+class _ScanConformerBlock(ConformerBlock):
+    """ConformerBlock with the (carry, *broadcast) -> (carry, ys)
+    signature ``nn.scan`` expects (scan-over-blocks mode)."""
+
+    def __call__(self, x, valid, mask, deterministic: bool = True):
+        return (ConformerBlock.__call__(self, x, valid, mask, deterministic),
+                None)
+
+
+def stack_conformer_block_params(encoder_params, num_layers: int):
+    """Convert a per-block ConformerEncoder param subtree (``block_0`` ..
+    ``block_{L-1}``) to the ``scan_blocks=True`` layout (one ``blocks``
+    subtree with a leading L axis).  Inverse of
+    ``unstack_conformer_block_params``; both operate on the ENCODER
+    subtree (``params["encoder"]``)."""
+    import jax
+
+    blocks = [encoder_params[f"block_{i}"] for i in range(num_layers)]
+    out = {k: v for k, v in encoder_params.items()
+           if not k.startswith("block_")}
+    out["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return out
+
+
+def unstack_conformer_block_params(encoder_params, num_layers: int):
+    """``scan_blocks=True`` layout -> per-block layout (e.g. to serve a
+    scan-trained checkpoint through the streaming per-block path)."""
+    import jax
+
+    st = encoder_params["blocks"]
+    out = {k: v for k, v in encoder_params.items() if k != "blocks"}
+    for i in range(num_layers):
+        out[f"block_{i}"] = jax.tree.map(lambda x, i=i: x[i], st)
+    return out
+
+
 class ConformerEncoder(nn.Module):
     """Drop-in encoder with the ``AudioEncoder`` interface: returns
     ((B, T', output_size), state).  T' = output_frames(T).  Streaming
@@ -264,16 +307,32 @@ class ConformerEncoder(nn.Module):
         cfg = self.cfg
         self.in_proj = nn.Dense(cfg.hidden_size)
         if cfg.dropout > 0:
-            self.in_drop = nn.Dropout(cfg.dropout)
-        block = ConformerBlock
-        if cfg.remat:
-            # static_argnums counts self as 0: (self, x, valid, mask, det)
-            block = nn.remat(ConformerBlock, static_argnums=(4,))
-        self.blocks = [
-            block(cfg.hidden_size, cfg.attention_heads, cfg.ff_multiplier,
-                  cfg.conv_kernel_size, cfg.dropout,
-                  causal=cfg.attention_chunk > 0, name=f"block_{i}")
-            for i in range(cfg.num_layers)]
+            self.in_drop = FastDropout(cfg.dropout)
+        if cfg.scan_blocks:
+            cell = _ScanConformerBlock
+            if cfg.remat:
+                # static_argnums counts self as 0: (self, x, valid, mask, det)
+                cell = nn.remat(cell, static_argnums=(4,))
+            self.block_stack = nn.scan(
+                cell,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=cfg.num_layers)(
+                    cfg.hidden_size, cfg.attention_heads, cfg.ff_multiplier,
+                    cfg.conv_kernel_size, cfg.dropout,
+                    causal=cfg.attention_chunk > 0, name="blocks")
+            self.blocks = None
+        else:
+            block = ConformerBlock
+            if cfg.remat:
+                # static_argnums counts self as 0: (self, x, valid, mask, det)
+                block = nn.remat(ConformerBlock, static_argnums=(4,))
+            self.blocks = [
+                block(cfg.hidden_size, cfg.attention_heads, cfg.ff_multiplier,
+                      cfg.conv_kernel_size, cfg.dropout,
+                      causal=cfg.attention_chunk > 0, name=f"block_{i}")
+                for i in range(cfg.num_layers)]
         self.out_proj = nn.Dense(cfg.output_size)
 
     def _chunk_mask(self, T: int):
@@ -312,12 +371,15 @@ class ConformerEncoder(nn.Module):
 
         x = self.in_proj(x)
         if cfg.dropout > 0:
-            x = self.in_drop(x, deterministic=deterministic)
+            x = self.in_drop(x, deterministic)
         cm = self._chunk_mask(Tr)
         # attend only to valid keys; compose with the chunk mask
         mask = valid[:, None, :] if cm is None else (cm & valid[:, None, :])
-        for blk in self.blocks:
-            x = blk(x, valid, mask, deterministic)
+        if self.blocks is None:  # scan_blocks: one compiled block body
+            x, _ = self.block_stack(x, valid, mask, deterministic)
+        else:
+            for blk in self.blocks:
+                x = blk(x, valid, mask, deterministic)
         out = self.out_proj(x)
         # masked-scan contract: zeros past each row's length
         out = jnp.where(valid[..., None], out, 0)
@@ -331,6 +393,11 @@ class ConformerEncoder(nn.Module):
         C = cfg.attention_chunk
         if C <= 0:
             raise ValueError("streaming requires attention_chunk > 0")
+        if self.blocks is None:
+            raise ValueError(
+                "streaming decode needs the per-block layout: set "
+                "transnet.scan_blocks=false and convert the checkpoint "
+                "with models.conformer.unstack_conformer_block_params")
         B, T, _ = inputs.shape
         S = cfg.output_frames(T)
         if S != C:
@@ -346,7 +413,7 @@ class ConformerEncoder(nn.Module):
         valid = length_mask(red_lengths, S)
         x = self.in_proj(x)
         if cfg.dropout > 0:
-            x = self.in_drop(x, deterministic=deterministic)
+            x = self.in_drop(x, deterministic)
 
         hs, cs = [], []
         for i, blk in enumerate(self.blocks):

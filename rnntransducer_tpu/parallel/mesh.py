@@ -36,34 +36,61 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+# non-data axes owned by the parallel schedules (mirrored by
+# pipeline.STAGE_AXIS / wavefront.TIME_AXIS — defined here too so the mesh
+# builder has no import cycle with the schedule modules)
+STAGE_AXIS = "stage"
+TIME_AXIS = "time"
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis: str = DATA_AXIS,
-              model_parallel: int = 1) -> Mesh:
-    """1-D data mesh by default; ``model_parallel=k > 1`` returns a 2-D
-    (data, model) mesh with the trailing k devices of each group forming the
-    model axis (adjacent devices -> model axis rides the fastest ICI links)."""
+              model_parallel: int = 1, pipeline_stages: int = 1,
+              sequence_parallel: int = 1) -> Mesh:
+    """1-D data mesh by default.  Extra axes (each optional, ordered so
+    the chattiest collective rides adjacent-device ICI links innermost):
+
+    * ``sequence_parallel=k``: a ``time`` axis for the wavefront encoder
+      (per-stage carry ppermute) — mutually exclusive with ``stage``;
+    * ``pipeline_stages=k``: a ``stage`` axis for the GPipe encoder
+      pipeline (per-tick activation ppermute);
+    * ``model_parallel=k``: a ``model`` axis for the vocab-sharded joint
+      classifier (per-step V psum — innermost).
+    """
     devices = list(devices if devices is not None else jax.devices())
-    if model_parallel <= 1:
+    if pipeline_stages > 1 and sequence_parallel > 1:
+        raise ValueError(
+            "pipeline_stages and sequence_parallel are mutually exclusive "
+            "(layer pipelining targets bidirectional stacks, the time "
+            "wavefront unidirectional ones — one encoder uses one schedule)")
+    extra = []
+    if sequence_parallel > 1:
+        extra.append((TIME_AXIS, sequence_parallel))
+    if pipeline_stages > 1:
+        extra.append((STAGE_AXIS, pipeline_stages))
+    if model_parallel > 1:
+        extra.append((MODEL_AXIS, model_parallel))
+    if not extra:
         return Mesh(np.asarray(devices), (axis,))
-    if len(devices) % model_parallel:
+    denom = int(np.prod([s for _, s in extra]))
+    if len(devices) % denom:
         raise ValueError(f"{len(devices)} devices not divisible by "
-                         f"model_parallel={model_parallel}")
-    grid = np.asarray(devices).reshape(-1, model_parallel)
+                         f"{' x '.join(f'{n}={s}' for n, s in extra)}")
+    grid = np.asarray(devices).reshape((-1,) + tuple(s for _, s in extra))
     if jax.process_count() > 1:
-        # The model axis must stay intra-process: the input pipeline slices
+        # Non-data axes must stay intra-process: the input pipeline slices
         # the global batch by process (loop.py idxs[pi::pc]), which assumes
-        # every process owns exactly one data shard — a model axis spanning
-        # processes would hand two processes the same data shard.  (It is
-        # also the right perf choice: the V psum rides intra-host ICI.)
-        for row in grid:
+        # every process owns exactly one data shard — a model/stage/time
+        # axis spanning processes would hand two processes the same data
+        # shard.  (It is also the right perf choice: the per-step
+        # collectives ride intra-host ICI.)
+        for row in grid.reshape(grid.shape[0], -1):
             owners = {d.process_index for d in row}
             if len(owners) > 1:
                 raise ValueError(
-                    f"model_parallel={model_parallel} exceeds the "
-                    "per-process device count: the model axis would span "
-                    "processes; shard the vocab only across local devices")
-    return Mesh(grid, (axis, MODEL_AXIS))
+                    f"model/stage/time axes ({denom} devices) exceed the "
+                    "per-process device count: a non-data axis would span "
+                    "processes; keep those axes on local devices")
+    return Mesh(grid, (axis,) + tuple(n for n, _ in extra))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -111,16 +111,29 @@ def stack_pipeline_params(rnn_params, num_layers: int, bidirectional: bool):
 
 def pipeline_scan(rnn_params, x, lengths, *, rnn_type: str, num_layers: int,
                   bidirectional: bool, mesh: Mesh, num_microbatches: int,
-                  ) -> jnp.ndarray:
+                  dropout: float = 0.0, dropout_rng=None) -> jnp.ndarray:
     """Run a StackedRNN forward over a ``stage`` mesh with the GPipe
     schedule.  ``x``: (B, T, F); ``lengths``: (B,).  B must divide into
     ``num_microbatches`` and L into the mesh width.  Returns the stack
     output (B, T, dirs·H), numerically equal to
     ``StackedRNN.__call__(deterministic=True)``'s sequence output.
+
+    The mesh may carry extra (auto) axes — e.g. the Trainer's 2-D
+    (data, stage) mesh: only ``stage`` goes manual in the shard_map, so
+    the batch stays data-sharded by GSPMD and pp composes with dp.
+
+    ``dropout > 0`` (training product path) applies inter-layer input
+    dropout — torch semantics: every layer's input except layer 0's —
+    with per-(layer, microbatch) keys folded from ``dropout_rng``.
+    Distribution-matched to StackedRNN's FastDropout, not bit-identical
+    (masks are schedule-local draws; dropout is stochastic
+    regularization, so only the distribution is contract).
     """
     rnn_type = rnn_type.lower()
     if rnn_type not in GATES:
         raise ValueError(f"unknown rnn_type {rnn_type!r}")
+    if dropout > 0.0 and dropout_rng is None:
+        raise ValueError("dropout > 0 needs dropout_rng")
     D = mesh.shape[STAGE_AXIS]
     L, M = num_layers, num_microbatches
     if L % D:
@@ -143,7 +156,12 @@ def pipeline_scan(rnn_params, x, lengths, *, rnn_type: str, num_layers: int,
     len_mb = lengths.reshape(M, bm)
     n_ticks = M + D - 1
 
-    def body(fwd_s, bwd_s, xin, len_mb):
+    def body(fwd_s, bwd_s, xin, len_mb, extras):
+        # all traced values arrive as explicit operands (NOT closure
+        # captures: a closed-over tracer would carry the outer fully-Auto
+        # mesh into the manual region when only 'stage' is manual);
+        # extras holds the dropout rng when training
+        rng = extras.get("rng")
         # fwd_s/bwd_s arrive as (1, lps, ...) shards (shard_map keeps the
         # sharded axis at local size 1); squeeze to this stage's layers
         squeeze = lambda a: a[0]  # noqa: E731
@@ -157,11 +175,23 @@ def pipeline_scan(rnn_params, x, lengths, *, rnn_type: str, num_layers: int,
         _vary = lambda a: lax.pcast(  # noqa: E731
             a, axis_name=(STAGE_AXIS,), to="varying")
 
-        def run_stage(xs, mask):
+        def run_stage(xs, mask, mb):
             y = xs
             h0 = _vary(jnp.zeros((bm, h), dt))
             c0 = _vary(jnp.zeros((bm, h), dt))
             for j in range(lps):  # static unroll over this stage's layers
+                if dropout > 0.0:
+                    # inter-layer input dropout: global layer l = d*lps+j,
+                    # applied to every layer's input except layer 0's; one
+                    # independent mask per (layer, microbatch)
+                    l_glob = d * lps + j
+                    k = jax.random.fold_in(
+                        rng, l_glob * num_microbatches + mb)
+                    keep = jax.random.bernoulli(k, 1.0 - dropout, y.shape)
+                    dropped = jnp.where(
+                        keep, y / jnp.asarray(1.0 - dropout, dt),
+                        jnp.zeros((), dt)).astype(dt)
+                    y = jnp.where(l_glob > 0, dropped, y)
                 xw_f = (y @ fwd_s["w_ih"][j] + fwd_s["b_ih"][j]).astype(dt)
                 f_out, _, _ = _chunk_scan(rnn_type, fwd_s["w_hh"][j],
                                           fwd_s["b_hh"][j], xw_f, mask,
@@ -195,7 +225,7 @@ def pipeline_scan(rnn_params, x, lengths, *, rnn_type: str, num_layers: int,
             mask = (jnp.arange(T)[None, :]
                     < lax.dynamic_index_in_dim(len_mb, mb,
                                                keepdims=False)[:, None])
-            y = run_stage(xs, mask)
+            y = run_stage(xs, mask, mb)
             emit = (d == D - 1) & (i >= D - 1)
             out_buf = jnp.where(
                 emit,
@@ -207,33 +237,49 @@ def pipeline_scan(rnn_params, x, lengths, *, rnn_type: str, num_layers: int,
 
         (x_cur, out_buf), _ = lax.scan(tick, (x_cur, out_buf),
                                        jnp.arange(n_ticks))
-        # only the last stage's buffer is real; sum-broadcast it
+        # only the last stage's buffer is real; sum-broadcast it.
+        # XLA:CPU's AllReducePromotion pass crashes cloning a bf16
+        # all-reduce ("Invalid binary instruction opcode copy", observed on
+        # the virtual test mesh) — promote manually there; bf16 values
+        # round-trip fp32 exactly, so this is a semantic no-op.
         keep = (d == D - 1).astype(dt)
-        return lax.psum(out_buf * keep, STAGE_AXIS)
+        masked = out_buf * keep
+        if jax.default_backend() == "cpu" and dt == jnp.bfloat16:
+            return lax.psum(masked.astype(jnp.float32),
+                            STAGE_AXIS).astype(dt)
+        return lax.psum(masked, STAGE_AXIS)
 
+    # only 'stage' goes manual: any other mesh axes (the Trainer's 'data')
+    # stay auto, so GSPMD keeps the batch sharded across them
+    manual = frozenset({STAGE_AXIS})
+    extras = {"rng": dropout_rng} if dropout > 0.0 else {}
     if bwd is not None:
         mapped = shard_map(
-            body, mesh=mesh,
-            in_specs=(P(STAGE_AXIS), P(STAGE_AXIS), P(), P()),
+            body, mesh=mesh, axis_names=manual,
+            in_specs=(P(STAGE_AXIS), P(STAGE_AXIS), P(), P(), P()),
             out_specs=P())
-        out = mapped(fwd, bwd, xin, len_mb)
+        out = mapped(fwd, bwd, xin, len_mb, extras)
     else:
         mapped = shard_map(
-            lambda f, xi, lm: body(f, None, xi, lm), mesh=mesh,
-            in_specs=(P(STAGE_AXIS), P(), P()),
+            lambda f, xi, lm, ex: body(f, None, xi, lm, ex), mesh=mesh,
+            axis_names=manual,
+            in_specs=(P(STAGE_AXIS), P(), P(), P()),
             out_specs=P())
-        out = mapped(fwd, xin, len_mb)
+        out = mapped(fwd, xin, len_mb, extras)
     return out.reshape(B, T, d_in)
 
 
 def pipeline_encode(encoder_params, cfg, x, lengths, mesh: Mesh,
-                    num_microbatches: int) -> jnp.ndarray:
+                    num_microbatches: int, dropout: float = 0.0,
+                    dropout_rng=None) -> jnp.ndarray:
     """AudioEncoder forward (rnn stack + output projection) over a
     ``stage`` mesh.  ``encoder_params``: the ``params["encoder"]`` subtree;
     ``cfg``: TransNetConfig; ``x``: (B, T, n_mels) log-mel frames.
 
     Returns (B, T, output_size) — numerically equal to
-    ``AudioEncoder.__call__(deterministic=True)``'s sequence output.
+    ``AudioEncoder.__call__(deterministic=True)``'s sequence output
+    (``dropout > 0`` adds training-mode inter-layer dropout, see
+    pipeline_scan).
     """
     if cfg.time_reduction_stride > 1:
         raise ValueError(
@@ -243,6 +289,7 @@ def pipeline_encode(encoder_params, cfg, x, lengths, mesh: Mesh,
     outs = pipeline_scan(
         encoder_params["rnn"], x, lengths, rnn_type=cfg.rnn_type,
         num_layers=cfg.num_layers, bidirectional=cfg.bidirectional,
-        mesh=mesh, num_microbatches=num_microbatches)
+        mesh=mesh, num_microbatches=num_microbatches,
+        dropout=dropout, dropout_rng=dropout_rng)
     proj = encoder_params["out_proj"]
     return outs @ proj["kernel"] + proj["bias"]

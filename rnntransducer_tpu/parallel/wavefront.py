@@ -135,8 +135,8 @@ def _chunk_scan(rnn_type, w_hh_l, b_hh_l, xw, mask, h0, c0):
 
 
 def wavefront_scan(rnn_params, x, lengths, *, rnn_type: str,
-                   num_layers: int, mesh: Mesh,
-                   ) -> Tuple[jnp.ndarray, RNNState]:
+                   num_layers: int, mesh: Mesh, dropout: float = 0.0,
+                   dropout_rng=None) -> Tuple[jnp.ndarray, RNNState]:
     """Run a unidirectional StackedRNN over a time-sharded ``x`` with the
     wavefront schedule.
 
@@ -144,10 +144,19 @@ def wavefront_scan(rnn_params, x, lengths, *, rnn_type: str,
     ``pad_time_to_multiple``); ``lengths``: (B,) true frame counts.
     Returns (outputs (B, T, H) sharded over time, RNNState (L, 1, B, H))
     matching ``StackedRNN.__call__(deterministic=True)`` numerically.
+
+    The mesh may carry extra (auto) axes — e.g. the Trainer's 2-D
+    (data, time) mesh: only ``time`` goes manual, so the batch stays
+    data-sharded and sp composes with dp.  ``dropout > 0`` adds
+    inter-layer input dropout (every layer's input except layer 0's) with
+    per-(layer, chunk) keys — distribution-matched to StackedRNN's
+    FastDropout, not bit-identical.
     """
     rnn_type = rnn_type.lower()
     if rnn_type not in GATES:
         raise ValueError(f"unknown rnn_type {rnn_type!r}")
+    if dropout > 0.0 and dropout_rng is None:
+        raise ValueError("dropout > 0 needs dropout_rng")
     D = mesh.shape[TIME_AXIS]
     B, T, _ = x.shape
     if T % D:
@@ -160,7 +169,13 @@ def wavefront_scan(rnn_params, x, lengths, *, rnn_type: str,
     n_stages = D + L - 1
     dt = x.dtype
 
-    def body(xd, lengths):
+    def body(weights, xd, lengths):
+        # weights arrive as explicit operands (NOT closure captures: a
+        # closed-over tracer would carry the outer fully-Auto mesh into
+        # the manual region and fail mesh-consistency checks when only
+        # 'time' is manual); replicated over 'time', auto over the rest
+        (w_ih0, b_ih0, w_ih_rest, b_ih_rest, w_hh, b_hh) = weights["w"]
+        rng = weights.get("rng")
         # xd: (B, Tc, F) — this device's chunk
         d = lax.axis_index(TIME_AXIS)
         Tc = xd.shape[1]
@@ -187,7 +202,17 @@ def wavefront_scan(rnn_params, x, lengths, *, rnn_type: str,
                 li = jnp.clip(l - 1, 0, L - 2)
                 w_ih_l = lax.dynamic_index_in_dim(w_ih_rest, li, keepdims=False)
                 b_ih_l = lax.dynamic_index_in_dim(b_ih_rest, li, keepdims=False)
-                xw_rest = (buf @ w_ih_l + b_ih_l).astype(dt)
+                buf_in = buf
+                if dropout > 0.0:
+                    # inter-layer input dropout for layers 1..L-1 (the
+                    # l==0 branch below discards this path); one
+                    # independent mask per (layer, time-chunk)
+                    k = jax.random.fold_in(rng, lc * D + d)
+                    keep = jax.random.bernoulli(k, 1.0 - dropout, buf.shape)
+                    buf_in = jnp.where(
+                        keep, buf / jnp.asarray(1.0 - dropout, dt),
+                        jnp.zeros((), dt)).astype(dt)
+                xw_rest = (buf_in @ w_ih_l + b_ih_l).astype(dt)
                 xw = jnp.where(l == 0, xw0, xw_rest)
             else:
                 xw = xw0
@@ -215,23 +240,37 @@ def wavefront_scan(rnn_params, x, lengths, *, rnn_type: str,
 
         buf, _, _, fin_h, fin_c = lax.fori_loop(
             0, n_stages, stage, (buf, h_in, c_in, fin_h, fin_c))
-        # only device D-1's stash is real; sum-broadcast it to every device
+        # only device D-1's stash is real; sum-broadcast it to every device.
+        # (CPU + bf16: manual fp32 promotion — XLA:CPU's AllReducePromotion
+        # pass crashes on bf16 all-reduce; exact round-trip, see pipeline.py)
         keep = (d == D - 1).astype(dt)
-        fin_h = lax.psum(fin_h * keep, TIME_AXIS)
-        fin_c = lax.psum(fin_c * keep, TIME_AXIS)
+        if jax.default_backend() == "cpu" and dt == jnp.bfloat16:
+            fin_h = lax.psum((fin_h * keep).astype(jnp.float32),
+                             TIME_AXIS).astype(dt)
+            fin_c = lax.psum((fin_c * keep).astype(jnp.float32),
+                             TIME_AXIS).astype(dt)
+        else:
+            fin_h = lax.psum(fin_h * keep, TIME_AXIS)
+            fin_c = lax.psum(fin_c * keep, TIME_AXIS)
         return buf, fin_h, fin_c
 
+    # only 'time' goes manual: any other mesh axes (the Trainer's 'data')
+    # stay auto, so GSPMD keeps the batch sharded across them
+    weights = {"w": (w_ih0, b_ih0, w_ih_rest, b_ih_rest, w_hh, b_hh)}
+    if dropout > 0.0:
+        weights["rng"] = dropout_rng
     mapped = shard_map(
-        body, mesh=mesh,
-        in_specs=(P(None, TIME_AXIS, None), P()),
+        body, mesh=mesh, axis_names=frozenset({TIME_AXIS}),
+        in_specs=(P(), P(None, TIME_AXIS, None), P()),
         out_specs=(P(None, TIME_AXIS, None), P(), P()))
-    outs, fin_h, fin_c = mapped(x, lengths)
+    outs, fin_h, fin_c = mapped(weights, x, lengths)
     state = RNNState(fin_h[:, None],  # (L, 1, B, H): one direction
                      fin_c[:, None] if rnn_type == "lstm" else None)
     return outs, state
 
 
 def wavefront_encode(encoder_params, cfg, x, lengths, mesh: Mesh,
+                     dropout: float = 0.0, dropout_rng=None,
                      ) -> Tuple[jnp.ndarray, RNNState]:
     """AudioEncoder forward (rnn stack + output projection) over a time
     mesh.  ``encoder_params``: the ``params["encoder"]`` subtree;
@@ -253,7 +292,8 @@ def wavefront_encode(encoder_params, cfg, x, lengths, mesh: Mesh,
             "for the staircase schedule); use time_reduction_stride=1")
     outs, state = wavefront_scan(
         encoder_params["rnn"], x, lengths, rnn_type=cfg.rnn_type,
-        num_layers=cfg.num_layers, mesh=mesh)
+        num_layers=cfg.num_layers, mesh=mesh, dropout=dropout,
+        dropout_rng=dropout_rng)
     proj = encoder_params["out_proj"]
     # pointwise over time: runs pre-sharded, no resharding
     return outs @ proj["kernel"] + proj["bias"], state

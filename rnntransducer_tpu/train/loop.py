@@ -76,7 +76,9 @@ class Trainer:
             GraphemeTokenizer.from_file(cfg.vocab_path) if cfg.vocab_path
             else GraphemeTokenizer.default(cfg.model.jointnet.num_classes))
         self.mesh = mesh if mesh is not None else make_mesh(
-            model_parallel=cfg.train.model_parallel)
+            model_parallel=cfg.train.model_parallel,
+            pipeline_stages=cfg.train.pipeline_stages,
+            sequence_parallel=cfg.train.sequence_parallel)
         self.n_devices = len(self.mesh.devices.ravel())
         # batches shard over the data axis only (replicated over 'model')
         self.n_data_shards = (self.mesh.shape[DATA_AXIS]
@@ -108,11 +110,15 @@ class Trainer:
 
     def _mesh_context(self):
         """jax.set_mesh over a tensor-parallel mesh (binds the loss's
-        PartitionSpec constraints, train/state.py) and over any mesh when
-        the Adam moments are ZeRO-sharded (binds constrain_state's pins);
-        no-op otherwise so the plain-DP trace is byte-identical to older
+        PartitionSpec constraints, train/state.py), over a pipeline/
+        wavefront mesh (binds the pp/sp encoder's shard_map,
+        train/state.py _parallel_encode), and over any mesh when the Adam
+        moments are ZeRO-sharded (binds constrain_state's pins); no-op
+        otherwise so the plain-DP trace is byte-identical to older
         rounds."""
         if (MODEL_AXIS in self.mesh.axis_names
+                or self.cfg.train.pipeline_stages > 1
+                or self.cfg.train.sequence_parallel > 1
                 or self.cfg.train.shard_optimizer_state):
             return jax.set_mesh(self.mesh)
         import contextlib

