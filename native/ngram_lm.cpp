@@ -2,22 +2,24 @@
 // equivalent of the reference's KenLM dependency (used via pyctcdecode at
 // networks/transducer.py:22-24,168-213 and loaded at inference.py:29).
 //
-// Loads standard ARPA files AND kenlm "format version 5" PROBING binaries
-// (the default `build_binary` output, with trailing vocabulary strings);
+// Loads standard ARPA files AND kenlm "format version 5" binaries in both
+// PROBING (the default `build_binary` output) and unquantized TRIE
+// (`build_binary trie`) layouts, with trailing vocabulary strings;
 // scoring follows the usual backoff recursion
 //   P(w | ctx) = P(ctx+w)                     if the full n-gram exists
 //              = backoff(ctx) + P(w | ctx[1:]) otherwise
 // in log10 space (ARPA convention, same as KenLM). Exposed through a C ABI
 // consumed by ctypes (rnntransducer_tpu/decode/ngram_lm.py).
 //
-// The kenlm loader targets the probing-model layout (sanity header, fixed
+// The probing loader targets the probing-model layout (sanity header, fixed
 // params, per-order counts, murmur-hashed vocab table, unigram ProbBackoff
 // array, chained-hash middle/longest probing tables, '\0'-joined trailing
-// vocab strings). TRIE / quantized variants and files without trailing
-// vocabulary are refused with a distinct error code so the Python side can
-// print an ARPA-conversion hint; loaded tables are sanity-sampled (log10
-// probs must look like log-probs) so a layout mismatch fails loudly at load
-// rather than silently mis-scoring.
+// vocab strings); the trie loader walks the reversed bit-packed trie (see
+// its block comment below). Quantized/array-trie variants and files without
+// trailing vocabulary are refused with distinct error codes so the Python
+// side can print a rebuild/ARPA hint; loaded tables are sanity-sampled
+// (log10 probs must look like log-probs) so a layout mismatch fails loudly
+// at load rather than silently mis-scoring.
 //
 // Build: g++ -O2 -shared -fPIC -o libngram_lm.so ngram_lm.cpp
 
@@ -26,6 +28,7 @@
 #include <cstdint>
 #include <cstring>
 #include <fstream>
+#include <functional>
 #include <sstream>
 #include <string>
 #include <unordered_map>
@@ -207,6 +210,8 @@ uint64_t ChainHash(const int32_t* ids, int len) {
 const char kKenlmMagic[] = "mmap lm http://kheafield.com/code format version 5\n";
 int g_kenlm_error = 0;  // 0 ok; see kKenlmErrors in ngram_lm.py
 
+NGramLM* LoadKenlmTrie(const std::vector<uint8_t>& data);  // below
+
 uint64_t KenlmBuckets(uint64_t entries, float multiplier) {
   uint64_t scaled = static_cast<uint64_t>(multiplier * static_cast<float>(entries));
   return std::max(entries + 1, scaled);
@@ -247,7 +252,18 @@ NGramLM* LoadKenlmProbing(const char* path) {
     g_kenlm_error = 3;
     return nullptr;
   }
-  if (model_type != 0) { g_kenlm_error = 4; return nullptr; }  // PROBING only
+  if (model_type == 2) {  // TRIE: slurp + hand off to the trie reader
+    if (!has_vocab) { g_kenlm_error = 5; return nullptr; }
+    in.seekg(0, std::ios::beg);
+    std::vector<uint8_t> data((std::istreambuf_iterator<char>(in)),
+                              std::istreambuf_iterator<char>());
+    return LoadKenlmTrie(data);
+  }
+  if (model_type == 3 || model_type == 4 || model_type == 5) {
+    g_kenlm_error = 7;  // quantized / array trie: unsupported variants
+    return nullptr;
+  }
+  if (model_type != 0) { g_kenlm_error = 4; return nullptr; }
   if (!has_vocab) { g_kenlm_error = 5; return nullptr; }
   int order = order_u8;
   if (order < 1 || order > 12 || !(multiplier >= 1.0f)) {
@@ -352,6 +368,255 @@ NGramLM* LoadKenlmProbing(const char* path) {
   if (plausible < sampled * 9 / 10) {
     g_kenlm_error = 6;
     delete lm; return nullptr;
+  }
+
+  lm->sorted_words.reserve(lm->vocab.size());
+  for (const auto& kv : lm->vocab) lm->sorted_words.push_back(kv.first);
+  std::sort(lm->sorted_words.begin(), lm->sorted_words.end());
+  return lm;
+}
+
+// --------------------------------------------------------------------------
+// kenlm TRIE binary (model_type 2: unquantized, non-bhiksha — the default
+// `build_binary trie` output).  Layout per lm/{trie,search_trie,vocab}.hh
+// (spec mirrored by the writer in rnntransducer_tpu/utils/kenlm_binary.py):
+//
+//   header (as probing, model_type=2)
+//   SortedVocab  uint64 n_hashes + sorted murmur hashes (skipped here: the
+//                trailing strings are authoritative; the section size is
+//                PROBED against the unigram invariants below, so a layout
+//                variant fails loudly instead of mis-reading)
+//   Unigram      (counts[0]+2) x { f32 prob; f32 backoff; u64 next }
+//   Middle[k]    8-byte DontBhiksha block (probed: 8 then 0), then
+//                (counts[k-1]+1) bit-packed records of
+//                word(RequiredBits(counts[0])) | prob31 | backoff32 |
+//                next(RequiredBits(counts[k])), LSB-first, + 8 guard bytes
+//   Longest      (counts[order-1]+1) x word | prob31 + 8 guard bytes
+//   strings      '\0'-joined words in id order
+//
+// The trie is REVERSED (kenlm extend-left): the path for n-gram (w1..wn)
+// is [wn, .., w1].  We DFS it once into the same per-order chain-hash
+// tables the probing loader fills, so scoring/backoff/prefix machinery is
+// shared.  prob31 = float bits with the always-set sign bit dropped.
+
+uint8_t RequiredBits(uint64_t max_value) {
+  if (!max_value) return 0;
+  uint8_t ret = 1;
+  while (max_value >>= 1) ++ret;
+  return ret;
+}
+
+uint64_t ReadBitsLE(const uint8_t* base, uint64_t bit_off, uint8_t bits) {
+  uint64_t word;
+  std::memcpy(&word, base + (bit_off >> 3), 8);
+  uint64_t mask = (bits >= 64) ? ~0ull : ((1ull << bits) - 1ull);
+  return (word >> (bit_off & 7)) & mask;
+}
+
+float Prob31ToFloat(uint32_t bits31) {
+  uint32_t u = bits31 | 0x80000000u;  // probs are <= 0: sign bit restored
+  float f;
+  std::memcpy(&f, &u, 4);
+  return f;
+}
+
+float Bits32ToFloat(uint32_t b) {
+  float f;
+  std::memcpy(&f, &b, 4);
+  return f;
+}
+
+struct TrieLevel {
+  std::vector<uint32_t> word;
+  std::vector<float> prob;
+  std::vector<float> backoff;
+  std::vector<uint64_t> next;
+};
+
+bool PlausibleLogProb(float p) {
+  return std::isfinite(p) && p > -100.0f && p < 1.0f;
+}
+
+NGramLM* LoadKenlmTrie(const std::vector<uint8_t>& data) {
+  if (data.size() < 120) { g_kenlm_error = 3; return nullptr; }
+  int order = data[80];
+  uint64_t file_size = data.size();
+  if (order < 2 || order > 12) { g_kenlm_error = 3; return nullptr; }
+  std::vector<uint64_t> counts(order);
+  std::memcpy(counts.data(), data.data() + 100, 8 * order);
+  for (int n = 0; n < order; ++n)
+    if (counts[n] == 0 || counts[n] > file_size) {
+      g_kenlm_error = 3;
+      return nullptr;
+    }
+  uint64_t header = 100 + 8 * static_cast<uint64_t>(order);
+  header += (8 - header % 8) % 8;
+  uint64_t c0 = counts[0];
+
+  // probe the SortedVocab section size: validate the unigram block that
+  // must follow it (monotone next pointers ending exactly at counts[1],
+  // plausible log-probs)
+  const uint64_t cand[] = {8 + 8 * (c0 - 1), 8 + 8 * c0, 8 * c0,
+                           8 * (c0 + 1), 8 * (c0 - 1)};
+  uint64_t uni_off = 0;
+  bool found = false;
+  for (uint64_t vs : cand) {
+    uint64_t off = header + vs;
+    if (off + (c0 + 2) * 16 > file_size) continue;
+    bool ok = true;
+    uint64_t prev = 0;
+    for (uint64_t i = 0; i <= c0 && ok; ++i) {
+      float pb[2];
+      uint64_t nx;
+      std::memcpy(pb, data.data() + off + 16 * i, 8);
+      std::memcpy(&nx, data.data() + off + 16 * i + 8, 8);
+      if (i == 0 && nx != 0) ok = false;
+      if (nx < prev || nx > counts[1]) ok = false;
+      if (i < c0 && !(PlausibleLogProb(pb[0]) || pb[0] <= -99.0f)) ok = false;
+      prev = nx;
+    }
+    uint64_t fin;
+    std::memcpy(&fin, data.data() + off + 16 * c0 + 8, 8);
+    if (ok && fin == counts[1]) { uni_off = off; found = true; break; }
+  }
+  if (!found) { g_kenlm_error = 6; return nullptr; }
+
+  auto lm = new NGramLM();
+  lm->order = order;
+  lm->kenlm_hashed = true;
+  lm->tables.resize(order);
+
+  std::vector<float> uni_prob(c0), uni_backoff(c0);
+  std::vector<uint64_t> uni_next(c0 + 1);
+  for (uint64_t i = 0; i < c0; ++i) {
+    float pb[2];
+    std::memcpy(pb, data.data() + uni_off + 16 * i, 8);
+    uni_prob[i] = pb[0];
+    uni_backoff[i] = pb[1];
+    std::memcpy(&uni_next[i], data.data() + uni_off + 16 * i + 8, 8);
+  }
+  std::memcpy(&uni_next[c0], data.data() + uni_off + 16 * c0 + 8, 8);
+
+  uint64_t off = uni_off + (c0 + 2) * 16;
+  uint8_t word_bits = RequiredBits(c0);
+  std::vector<TrieLevel> levels(order + 1);  // levels[2..order]
+  for (int k = 2; k <= order; ++k) {
+    bool longest = (k == order);
+    uint64_t entries = counts[k - 1];
+    uint8_t next_bits = longest ? 0 : RequiredBits(counts[k]);
+    uint8_t total_bits = longest ? word_bits + 31
+                                 : word_bits + 63 + next_bits;
+    uint64_t rec_bytes = ((entries + 1) * total_bits + 7) / 8 + 8;
+    uint64_t level_off = 0;
+    bool ok = false;
+    if (longest) {
+      // Longest has no next pointers, hence no bhiksha block
+      ok = off + rec_bytes <= file_size;
+      level_off = off;
+    } else {
+      // DontBhiksha writes an 8-byte block before the records; probe 8
+      // then 0 so a variant without it still loads (validated by the
+      // final next pointer)
+      for (uint64_t skip : {8ull, 0ull}) {
+        uint64_t o = off + skip;
+        if (o + rec_bytes > file_size) continue;
+        uint64_t fin = ReadBitsLE(data.data() + o,
+                                  entries * total_bits + word_bits + 63,
+                                  next_bits);
+        if (fin != counts[k]) continue;
+        level_off = o;
+        ok = true;
+        break;
+      }
+    }
+    if (!ok) { g_kenlm_error = 6; delete lm; return nullptr; }
+    TrieLevel& L = levels[k];
+    L.word.resize(entries);
+    L.prob.resize(entries);
+    if (!longest) {
+      L.backoff.resize(entries);
+      L.next.resize(entries);
+    }
+    const uint8_t* base = data.data() + level_off;
+    for (uint64_t i = 0; i < entries; ++i) {
+      uint64_t b = i * total_bits;
+      uint64_t w = ReadBitsLE(base, b, word_bits);
+      if (w >= c0) { g_kenlm_error = 6; delete lm; return nullptr; }
+      L.word[i] = static_cast<uint32_t>(w);
+      L.prob[i] = Prob31ToFloat(
+          static_cast<uint32_t>(ReadBitsLE(base, b + word_bits, 31)));
+      if (!longest) {
+        L.backoff[i] = Bits32ToFloat(
+            static_cast<uint32_t>(ReadBitsLE(base, b + word_bits + 31, 32)));
+        L.next[i] = ReadBitsLE(base, b + word_bits + 63, next_bits);
+      }
+    }
+    off = level_off + rec_bytes;
+  }
+
+  // trailing vocabulary strings, '\0'-joined, id order, <unk> first
+  std::string words(reinterpret_cast<const char*>(data.data() + off),
+                    data.size() - off);
+  size_t pos = 0;
+  int32_t id = 0;
+  while (pos < words.size() && id < static_cast<int32_t>(c0)) {
+    size_t nul = words.find('\0', pos);
+    if (nul == std::string::npos) nul = words.size();
+    lm->vocab.emplace(words.substr(pos, nul - pos), id++);
+    pos = nul + 1;
+  }
+  if (lm->vocab.size() != c0 || lm->vocab.count("<unk>") == 0 ||
+      lm->vocab.at("<unk>") != 0) {
+    g_kenlm_error = 5;
+    delete lm;
+    return nullptr;
+  }
+
+  // DFS the reversed trie into the per-order chain-hash tables
+  for (uint64_t w = 0; w < c0; ++w) {
+    int32_t id1 = static_cast<int32_t>(w);
+    lm->tables[0][ChainHash(&id1, 1)] = Entry{uni_prob[w], uni_backoff[w]};
+  }
+
+  std::vector<int32_t> rev;  // trie path, predicted word first
+  std::function<void(int, uint64_t, uint64_t)> walk =
+      [&](int level, uint64_t begin, uint64_t end) {
+        const TrieLevel& L = levels[level];
+        for (uint64_t i = begin; i < end; ++i) {
+          rev.push_back(static_cast<int32_t>(L.word[i]));
+          std::vector<int32_t> nat(rev.rbegin(), rev.rend());
+          float bo = (level < order) ? L.backoff[i] : 0.0f;
+          lm->tables[level - 1][ChainHash(
+              nat.data(), static_cast<int>(nat.size()))] =
+              Entry{L.prob[i], bo};
+          if (level < order) {
+            uint64_t e = (i + 1 < counts[level - 1])
+                             ? levels[level].next[i + 1]
+                             : counts[level];
+            walk(level + 1, L.next[i], e);
+          }
+          rev.pop_back();
+        }
+      };
+  for (uint64_t w = 0; w < c0; ++w) {
+    rev.clear();
+    rev.push_back(static_cast<int32_t>(w));
+    walk(2, uni_next[w], uni_next[w + 1]);
+  }
+
+  // layout-drift tripwire (same as the probing loader)
+  int sampled = 0, plausible = 0;
+  for (int n = 0; n < order; ++n)
+    for (const auto& kv : lm->tables[n]) {
+      ++sampled;
+      if (PlausibleLogProb(kv.second.prob) || kv.second.prob <= -99.0f)
+        ++plausible;
+      if (sampled >= 4096) break;
+    }
+  if (plausible < sampled * 9 / 10) {
+    g_kenlm_error = 6;
+    delete lm;
+    return nullptr;
   }
 
   lm->sorted_words.reserve(lm->vocab.size());

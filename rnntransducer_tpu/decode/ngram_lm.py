@@ -115,13 +115,16 @@ _KENLM_ERRORS = {
     1: "cannot open file",
     2: "not a kenlm 'format version 5' binary",
     3: "sanity/header mismatch (32-bit or foreign-endian build?)",
-    4: "only PROBING-format kenlm binaries are supported (TRIE/quantized "
-       "models: rebuild with `build_binary probing lm.arpa lm.bin`, or pass "
-       "the .arpa directly — this loader reads ARPA natively)",
+    4: "unsupported kenlm model type (PROBING and TRIE binaries are "
+       "supported; rebuild with `build_binary probing|trie lm.arpa lm.bin`, "
+       "or pass the .arpa directly — this loader reads ARPA natively)",
     5: "binary lacks trailing vocabulary strings (rebuild without -w "
        "suppression, or pass the .arpa directly)",
     6: "table layout drift detected (entry counts / prob ranges implausible "
        "for this kenlm version — pass the .arpa directly)",
+    7: "quantized/array-compressed trie binaries are unsupported (rebuild "
+       "without -q/-a: `build_binary trie lm.arpa lm.bin`, or pass the "
+       ".arpa directly)",
 }
 
 
@@ -132,7 +135,10 @@ class NGramLM:
     (``/root/reference/inference.py:29``) accepts:
 
     * a text ARPA file (optionally gzip-compressed ``.arpa.gz``),
-    * a kenlm ``format version 5`` PROBING binary (``.bin``/``.binary``),
+    * a kenlm ``format version 5`` PROBING or TRIE binary
+      (``.bin``/``.binary``; unquantized trie — the default
+      ``build_binary trie`` output; quantized/array variants are refused
+      with a rebuild hint),
     * a pyctcdecode ``save_to_dir`` directory — ``attrs.json`` (alpha/beta/
       unk_score_offset) + ``unigrams.txt`` + the kenlm/arpa file inside.
     """

@@ -158,6 +158,36 @@ class SelfAttention(nn.Module):
         return o
 
 
+class DepthwiseConv1D(nn.Module):
+    """Depthwise 1-D convolution (VALID padding) as K shifted
+    multiply-adds.
+
+    The obvious spelling — ``nn.Conv(feature_group_count=d_model)`` —
+    lowers catastrophically on TPU: XLA's grouped-conv path cost 3.4x the
+    macaron FFN's time for 1.4% of its FLOPs (58.7 ms fwd per 16 blocks
+    at B=64, T'=128, d=512, K=15 on v5e — see BASELINE.md round-4
+    Conformer row).  The unrolled shift-add form is pure VPU elementwise
+    work that XLA fuses into a handful of passes.  Param layout matches
+    ``nn.Conv`` exactly (kernel (K, 1, D), bias (D,), same initializer
+    fan-in), so checkpoints are interchangeable between the two."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        K = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (K, 1, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel[:, 0].astype(x.dtype)                     # (K, D)
+        t_out = x.shape[1] - K + 1
+        out = x[:, 0:t_out] * k[0]
+        for i in range(1, K):
+            out = out + x[:, i:i + t_out] * k[i]
+        return out + bias.astype(x.dtype)
+
+
 class ConvModule(nn.Module):
     """LN -> pointwise(2D) -> GLU -> depthwise conv -> LN -> swish ->
     pointwise(D).  ``causal=True`` left-pads (streamable); the streaming
@@ -172,10 +202,8 @@ class ConvModule(nn.Module):
     def setup(self):
         self.norm = nn.LayerNorm()
         self.pre = nn.Dense(2 * self.d_model)
-        self.conv = nn.Conv(features=self.d_model,
-                            kernel_size=(self.kernel_size,),
-                            feature_group_count=self.d_model,
-                            padding="VALID")
+        self.conv = DepthwiseConv1D(features=self.d_model,
+                                    kernel_size=self.kernel_size)
         self.post_norm = nn.LayerNorm()
         self.post = nn.Dense(self.d_model)
         if self.dropout > 0:

@@ -167,6 +167,324 @@ def write_probing_binary(arpa_text: str, out_path: str,
         f.write(bytes(out))
 
 
+# ---------------------------------------------------------------------------
+# TRIE format (kenlm model_type 2: unquantized, non-bhiksha — the default
+# `build_binary trie` output).  Layout per kenlm lm/{trie,search_trie,
+# vocab}.hh:
+#
+#   header (same as probing, model_type=2)
+#   SortedVocab   uint64 n_hashes (= counts[0]-1, <unk> excluded) +
+#                 sorted murmur64a hashes; word id = 1 + sorted position
+#   Unigram       (counts[0]+2) x { f32 prob; f32 backoff; u64 next }
+#                 ("+1 in case unknown doesn't appear, +1 for final next"):
+#                 children of word w live at level-2 records
+#                 [uni[w].next, uni[w+1].next); uni[counts[0]].next is the
+#                 final sentinel (= counts[1])
+#   Middle[k]     8-byte DontBhiksha block, then (counts[k-1]+1) records of
+#                 word(RequiredBits(counts[0])) | prob31 | backoff32 |
+#                 next(RequiredBits(counts[k])) bits, LSB-first packed,
+#                 + 8 guard bytes; record counts[k-1] holds the final next
+#   Longest       (counts[order-1]+1) x word | prob31 bits + 8 guard bytes
+#   strings       '\0'-joined words in id order
+#
+# where prob31 = float bits with the (always-set, probs <= 0) sign bit
+# dropped, and the TRIE is REVERSED: the path for n-gram (w1..wn) is
+# [wn, w_{n-1}, .., w1] — unigram level indexes the PREDICTED word and
+# context words extend leftward, exactly kenlm's extend-left layout.
+#
+# The C++ reader (native/ngram_lm.cpp LoadKenlmTrie) is written against the
+# same spec and additionally probes the vocab/bhiksha section sizes
+# defensively (validated against the unigram/final-next invariants), so a
+# real-kenlm layout deviation in those blocks fails loudly instead of
+# mis-scoring.
+# ---------------------------------------------------------------------------
+
+KLOG_ZERO = -99.0
+
+
+def _required_bits(max_value: int) -> int:
+    """kenlm util::RequiredBits: bits to represent max_value itself."""
+    if max_value == 0:
+        return 0
+    ret = 1
+    while max_value >> 1:
+        ret += 1
+        max_value >>= 1
+    return ret
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.bit = 0  # bits used in the last byte
+
+    def write(self, value: int, bits: int) -> None:
+        for _ in range(bits):
+            if self.bit == 0:
+                self.buf.append(0)
+            if value & 1:
+                self.buf[-1] |= 1 << self.bit
+            value >>= 1
+            self.bit = (self.bit + 1) % 8
+
+    def pad_to(self, total_bytes: int) -> bytes:
+        out = bytes(self.buf)
+        return out + b"\x00" * (total_bytes - len(out))
+
+
+def _prob31(prob: float) -> int:
+    """Non-positive float -> 31 bits (sign dropped; kenlm
+    WriteNonPositiveFloat31)."""
+    return struct.unpack("<I", struct.pack("<f", prob))[0] & 0x7FFFFFFF
+
+
+def _f32_bits(x: float) -> int:
+    return struct.unpack("<I", struct.pack("<f", x))[0]
+
+
+def _build_trie(order, counts, grams, vocab):
+    """Reversed-trie node tables.  Returns (levels, new_counts): levels[k]
+    (k=2..order) is a list of (word, prob, backoff, next_begin) in global
+    order; unigram level is (prob, backoff, next_begin) indexed by id.
+    Missing interior nodes (ARPA without suffix closure) are patched in
+    with prob=KLOG_ZERO like kenlm's FixSRIBug."""
+    # children[k][parent_path (reversed, tuple)] = {word: (prob, backoff)}
+    children: Dict[int, Dict[tuple, dict]] = {k: {} for k in range(2, order + 1)}
+    uni_pb = {}
+    for words, prob, backoff in grams[1]:
+        uni_pb[vocab[words[0]]] = (prob, backoff)
+
+    def ensure_path(rev_path):
+        """Make every interior node of rev_path exist (patched if absent)."""
+        for d in range(2, len(rev_path)):
+            parent, w = tuple(rev_path[:d - 1]), rev_path[d - 1]
+            children[d].setdefault(parent, {}).setdefault(
+                w, (KLOG_ZERO, 0.0))
+
+    for n in range(2, order + 1):
+        for words, prob, backoff in grams[n]:
+            ids = [vocab.get(w, 0) for w in words]
+            rev = tuple(reversed(ids))          # [wn, .., w1]
+            ensure_path(rev)
+            children[n].setdefault(rev[:-1], {})[rev[-1]] = (prob, backoff)
+
+    # assign global indices level by level (parents in global order,
+    # children sorted by word id)
+    paths = {1: [(w,) for w in range(counts[0])]}
+    levels: Dict[int, list] = {}
+    new_counts = [counts[0]]
+    for k in range(2, order + 1):
+        rows = []
+        path_list = []
+        for parent in paths[k - 1]:
+            kids = children[k].get(parent, {})
+            for w in sorted(kids):
+                prob, backoff = kids[w]
+                rows.append([w, prob, backoff, 0])
+                path_list.append(parent + (w,))
+        levels[k] = rows
+        paths[k] = path_list
+        new_counts.append(len(rows))
+
+    # next pointers: node i's children occupy a contiguous run in level k+1
+    for k in range(1, order):
+        nxt = levels.get(k + 1, [])
+        # map parent path -> [begin, end) by sweeping nxt in order
+        begin_of = {}
+        for i, path in enumerate(paths[k + 1]):
+            begin_of.setdefault(path[:-1], i)
+        run = 0
+        if k == 1:
+            uni_next = []
+            for w in range(counts[0]):
+                b = begin_of.get((w,), run)
+                uni_next.append(b)
+                kids = children.get(2, {}).get((w,), {})
+                run = b + len(kids)
+            uni_next.append(len(nxt))           # final sentinel
+            levels.setdefault("uni_next", uni_next)
+        else:
+            for i, path in enumerate(paths[k]):
+                b = begin_of.get(path, run)
+                levels[k][i][3] = b
+                kids = children.get(k + 1, {}).get(path, {})
+                run = b + len(kids)
+    return levels, new_counts, uni_pb
+
+
+def write_trie_binary(arpa_text: str, out_path: str) -> None:
+    """ARPA -> kenlm TRIE binary (model_type 2, unquantized, non-bhiksha)."""
+    order, counts, grams = parse_arpa(arpa_text)
+    if [len(grams[n]) for n in range(1, order + 1)] != counts:
+        raise ValueError("ARPA counts header disagrees with section sizes")
+    if order < 2:
+        raise ValueError("TRIE layout needs order >= 2")
+
+    # SortedVocab ids: <unk>=0, then sorted by murmur hash
+    words = {w for ws, _, _ in grams[1] for w in ws}
+    if "<unk>" not in words:
+        raise ValueError("ARPA unigram section must include <unk>")
+    hashed = sorted((murmur64a(w.encode()), w)
+                    for w in words if w != "<unk>")
+    vocab: Dict[str, int] = {"<unk>": 0}
+    for i, (_, w) in enumerate(hashed):
+        vocab[w] = i + 1
+
+    levels, new_counts, uni_pb = _build_trie(order, counts, grams, vocab)
+
+    out = bytearray()
+    out += MAGIC.ljust(56, b"\x00")
+    out += struct.pack("<f4xdQ", 0.0, 1.0, _M64)
+    out += struct.pack("<B3xfi B3xI", order, DEFAULT_MULTIPLIER, 2, 1, 1)
+    for c in new_counts:
+        out += struct.pack("<Q", c)
+    while len(out) % 8:
+        out += b"\x00"
+
+    # SortedVocab: count then sorted hashes (<unk> excluded)
+    out += struct.pack("<Q", len(hashed))
+    for h, _ in hashed:
+        out += struct.pack("<Q", h)
+
+    # unigrams
+    uni_next = levels["uni_next"]
+    for w in range(counts[0]):
+        prob, backoff = uni_pb.get(w, (KLOG_ZERO, 0.0))
+        out += struct.pack("<2fQ", prob, backoff, uni_next[w])
+    out += struct.pack("<2fQ", 0.0, 0.0, uni_next[counts[0]])  # final next
+    out += struct.pack("<2fQ", 0.0, 0.0, 0)                    # spare slot
+
+    word_bits = _required_bits(counts[0])
+    for k in range(2, order + 1):
+        rows = levels[k]
+        longest = k == order
+        if longest:
+            total_bits = word_bits + 31
+        else:
+            next_bits = _required_bits(new_counts[k])
+            total_bits = word_bits + 63 + next_bits
+            out += struct.pack("<Q", 0)         # DontBhiksha block
+        bw = _BitWriter()
+        for w, prob, backoff, nxt in rows:
+            bw.write(w, word_bits)
+            bw.write(_prob31(prob), 31)
+            if not longest:
+                bw.write(_f32_bits(backoff), 32)
+                bw.write(nxt, next_bits)
+        # final record: only the next field is meaningful
+        if longest:
+            bw.write(0, total_bits)
+        else:
+            bw.write(0, word_bits + 63)
+            bw.write(new_counts[k], next_bits)
+        nbytes = ((len(rows) + 1) * total_bits + 7) // 8 + 8  # +guard
+        out += bw.pad_to(nbytes)
+
+    words_by_id = sorted(vocab, key=vocab.get)
+    out += b"\x00".join(w.encode() for w in words_by_id) + b"\x00"
+    with open(out_path, "wb") as f:
+        f.write(bytes(out))
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+
+    def read(self, bit_off: int, bits: int) -> int:
+        byte = bit_off >> 3
+        word = int.from_bytes(self.data[byte:byte + 9], "little")
+        return (word >> (bit_off & 7)) & ((1 << bits) - 1)
+
+
+def read_trie_binary(path: str):
+    """Parse a TRIE binary back to (order, counts, grams, vocab) — the
+    pure-Python mirror of native/ngram_lm.cpp LoadKenlmTrie, used by
+    scripts/convert_lm.py (trie -> ARPA) and as a cross-check in tests."""
+    data = open(path, "rb").read()
+    if data[:8] != b"mmap lm ":
+        raise ValueError("not a kenlm binary")
+    order, mult, model_type, has_vocab, _ = struct.unpack_from(
+        "<B3xfi B3xI", data, 80)
+    if model_type != 2:
+        raise ValueError(f"model_type {model_type} is not TRIE(2)")
+    if not has_vocab:
+        raise ValueError("binary lacks trailing vocabulary strings")
+    counts = list(struct.unpack_from(f"<{order}Q", data, 100))
+    off = 100 + 8 * order
+    off += (-off) % 8
+    n_hashes, = struct.unpack_from("<Q", data, off)
+    off += 8 + 8 * n_hashes
+    uni = []
+    for i in range(counts[0] + 2):
+        uni.append(struct.unpack_from("<2fQ", data, off + 16 * i))
+    off += 16 * (counts[0] + 2)
+
+    word_bits = _required_bits(counts[0])
+    br = _BitReader(data)
+    levels = {}
+    for k in range(2, order + 1):
+        longest = k == order
+        if longest:
+            total_bits = word_bits + 31
+        else:
+            next_bits = _required_bits(counts[k])
+            total_bits = word_bits + 63 + next_bits
+            off += 8                             # DontBhiksha block
+        rows = []
+        base_bit = off * 8
+        for i in range(counts[k - 1]):
+            b = base_bit + i * total_bits
+            w = br.read(b, word_bits)
+            p_bits = br.read(b + word_bits, 31)
+            prob = struct.unpack("<f", struct.pack(
+                "<I", p_bits | 0x80000000))[0]
+            if longest:
+                rows.append((w, prob, 0.0, None))
+            else:
+                bo = struct.unpack("<f", struct.pack(
+                    "<I", br.read(b + word_bits + 31, 32)))[0]
+                nxt = br.read(b + word_bits + 63, next_bits)
+                rows.append((w, prob, bo, nxt))
+        if not longest:
+            fin = br.read(base_bit + counts[k - 1] * total_bits
+                          + word_bits + 63, next_bits)
+            if fin != counts[k]:
+                raise ValueError(
+                    f"level {k} final next {fin} != count {counts[k]}")
+        levels[k] = rows
+        off += ((counts[k - 1] + 1) * total_bits + 7) // 8 + 8
+
+    strings = data[off:].split(b"\x00")
+    vocab_words = [s.decode() for s in strings[:counts[0]]]
+    if len(vocab_words) != counts[0] or vocab_words[0] != "<unk>":
+        raise ValueError("trailing vocabulary truncated or missing <unk>")
+
+    # DFS the reversed trie back into natural-order n-grams
+    grams: Dict[int, list] = {n: [] for n in range(1, order + 1)}
+    for w in range(counts[0]):
+        prob, backoff, _ = uni[w]
+        grams[1].append(([vocab_words[w]], prob, backoff))
+
+    def walk(level, begin, end, rev_path):
+        # rev_path: trie path so far, unigram (predicted word) first; the
+        # natural n-gram order is the path reversed
+        for i in range(begin, end):
+            w, prob, backoff, nxt = levels[level][i]
+            tp = rev_path + [w]
+            natural = [vocab_words[j] for j in tp[::-1]]
+            grams[level].append((natural, prob, backoff))
+            if level < order:
+                if i + 1 < counts[level - 1]:
+                    nxt_end = levels[level][i + 1][3]
+                else:
+                    nxt_end = counts[level]     # final sentinel
+                walk(level + 1, nxt, nxt_end, tp)
+
+    for w in range(counts[0]):
+        walk(2, uni[w][2], uni[w + 1][2], [w])
+    return order, counts, grams, {w: i for i, w in enumerate(vocab_words)}
+
+
 def main() -> None:  # pragma: no cover - thin CLI
     import argparse
 

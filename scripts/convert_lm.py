@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Convert language-model artifacts between the formats the decoder loads.
+
+The reference loads any kenlm artifact pyctcdecode accepts
+(``/root/reference/inference.py:29``); this framework reads ARPA, PROBING
+and unquantized TRIE binaries natively (``native/ngram_lm.cpp``).  This
+tool covers the remaining interchange cases, dependency-free:
+
+    python scripts/convert_lm.py lm.arpa lm.bin --to probing
+    python scripts/convert_lm.py lm.arpa lm.trie --to trie
+    python scripts/convert_lm.py lm.trie lm.arpa --to arpa
+    python scripts/convert_lm.py lm.trie lm.bin  --to probing
+
+PROBING binaries cannot be converted back to ARPA: the probing layout
+stores only 64-bit hashes of the n-gram id sequences, so the n-grams are
+unrecoverable — convert from the original ARPA or a trie binary instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import os
+import struct
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rnntransducer_tpu.utils.kenlm_binary import (  # noqa: E402
+    read_trie_binary, write_probing_binary, write_trie_binary,
+)
+
+
+def _read_text(path: str) -> str:
+    if path.endswith(".gz"):
+        with gzip.open(path, "rt") as f:
+            return f.read()
+    with open(path) as f:
+        return f.read()
+
+
+def _sniff(path: str) -> str:
+    with open(path, "rb") as f:
+        head = f.read(8)
+    if head != b"mmap lm ":
+        return "arpa"
+    with open(path, "rb") as f:
+        f.seek(88)
+        model_type, = struct.unpack("<i", f.read(4))
+    return {0: "probing", 2: "trie"}.get(model_type, f"type{model_type}")
+
+
+def _grams_to_arpa(order, counts, grams) -> str:
+    lines = ["\\data\\"]
+    lines += [f"ngram {n}={counts[n - 1]}" for n in range(1, order + 1)]
+    for n in range(1, order + 1):
+        lines += ["", f"\\{n}-grams:"]
+        for words, prob, backoff in grams[n]:
+            row = f"{prob:.7g}\t{' '.join(words)}"
+            if n < order and backoff != 0.0:
+                row += f"\t{backoff:.7g}"
+            lines.append(row)
+    lines += ["", "\\end\\", ""]
+    return "\n".join(lines)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--to", choices=("arpa", "probing", "trie"),
+                   required=True)
+    args = p.parse_args()
+
+    fmt = _sniff(args.src)
+    if fmt == "arpa":
+        text = _read_text(args.src)
+    elif fmt == "trie":
+        order, counts, grams, _ = read_trie_binary(args.src)
+        text = _grams_to_arpa(order, counts, grams)
+    elif fmt == "probing":
+        sys.exit("probing binaries store only n-gram hashes — the n-grams "
+                 "are unrecoverable; convert from the original ARPA or a "
+                 "trie binary")
+    else:
+        sys.exit(f"unsupported kenlm model type in {args.src} ({fmt}); "
+                 "quantized/array tries must be rebuilt without -q/-a")
+
+    if args.to == "arpa":
+        with open(args.dst, "w") as f:
+            f.write(text)
+    elif args.to == "probing":
+        write_probing_binary(text, args.dst)
+    else:
+        write_trie_binary(text, args.dst)
+    print(f"{args.src} ({fmt}) -> {args.dst} ({args.to})")
+
+
+if __name__ == "__main__":
+    main()

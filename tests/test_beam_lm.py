@@ -255,19 +255,101 @@ def test_kenlm_probing_binary_matches_arpa(lm_path, tmp_path):
     assert lm_b.has_prefix("ca") and not lm_b.has_prefix("zz")
 
 
-def test_kenlm_binary_refuses_trie_with_hint(tmp_path):
+def test_kenlm_trie_binary_matches_arpa(lm_path, tmp_path):
+    """VERDICT r3 item 7: a TRIE-format kenlm binary loads and scores
+    identically to its ARPA twin (fixture written by utils/kenlm_binary.py
+    against the layout spec in native/ngram_lm.cpp LoadKenlmTrie)."""
+    import itertools
+
+    from rnntransducer_tpu.decode.ngram_lm import NGramLM
+    from rnntransducer_tpu.utils.kenlm_binary import write_trie_binary
+
+    trie_path = tmp_path / "test.trie"
+    write_trie_binary(ARPA, str(trie_path))
+    lm_a = NGramLM.load(lm_path, weight=1.0, beta=0.0)
+    lm_t = NGramLM.load(str(trie_path), weight=1.0, beta=0.0)
+    assert lm_t.order == lm_a.order == 2
+    words = ["<s>", "</s>", "the", "cat", "dog", "sat", "<unk>"]
+    for ctx in itertools.chain([()], itertools.product(words, repeat=1)):
+        for w in words:
+            ca = tuple(lm_a.word_id(x) for x in ctx)
+            ct = tuple(lm_t.word_id(x) for x in ctx)
+            np.testing.assert_allclose(
+                lm_t.raw_score(ct, lm_t.word_id(w)),
+                lm_a.raw_score(ca, lm_a.word_id(w)), atol=1e-6,
+                err_msg=f"P({w} | {ctx})")
+    assert lm_t.has_prefix("ca") and not lm_t.has_prefix("zz")
+
+
+def test_kenlm_trie_python_reader_round_trips(tmp_path):
+    """read_trie_binary (the converter's parser) recovers exactly the
+    n-grams the writer put in — cross-checking the C++ reader's spec."""
+    from rnntransducer_tpu.utils.kenlm_binary import (
+        parse_arpa, read_trie_binary, write_trie_binary,
+    )
+
+    trie_path = tmp_path / "t.trie"
+    write_trie_binary(ARPA, str(trie_path))
+    order, counts, grams, vocab = read_trie_binary(str(trie_path))
+    src_order, src_counts, src = parse_arpa(ARPA)
+    assert order == src_order and counts == src_counts
+
+    def norm(g):
+        return sorted((tuple(w), round(p, 4), round(b, 4)) for w, p, b in g)
+
+    for n in range(1, order + 1):
+        assert norm(grams[n]) == norm(src[n])
+
+
+def test_convert_lm_cli_round_trip(lm_path, tmp_path):
+    """scripts/convert_lm.py: arpa -> trie -> arpa -> probing, each loadable
+    and score-identical."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "convert_lm.py")
+    trie = tmp_path / "lm.trie"
+    arpa2 = tmp_path / "lm2.arpa"
+    probing = tmp_path / "lm.bin"
+    for src, dst, to in [(lm_path, trie, "trie"), (trie, arpa2, "arpa"),
+                         (arpa2, probing, "probing")]:
+        r = subprocess.run([sys.executable, script, str(src), str(dst),
+                            "--to", to], capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+
+    from rnntransducer_tpu.decode.ngram_lm import NGramLM
+    lm_a = NGramLM.load(lm_path, weight=1.0, beta=0.0)
+    for p in (trie, arpa2, probing):
+        lm_x = NGramLM.load(str(p), weight=1.0, beta=0.0)
+        for ctx, w in [((), "the"), (("the",), "cat"), (("cat",), "sat")]:
+            ca = tuple(lm_a.word_id(x) for x in ctx)
+            cx = tuple(lm_x.word_id(x) for x in ctx)
+            np.testing.assert_allclose(
+                lm_x.raw_score(cx, lm_x.word_id(w)),
+                lm_a.raw_score(ca, lm_a.word_id(w)), atol=1e-6)
+
+
+def test_kenlm_binary_refuses_quantized_trie_with_hint(tmp_path):
     from rnntransducer_tpu.decode.ngram_lm import NGramLM
     from rnntransducer_tpu.utils.kenlm_binary import write_probing_binary
 
-    bin_path = tmp_path / "trie.bin"
+    bin_path = tmp_path / "qtrie.bin"
     write_probing_binary(ARPA, str(bin_path))
     data = bytearray(bin_path.read_bytes())
-    # flip model_type (offset 88 in FixedWidthParameters) PROBING -> TRIE
+    # flip model_type (offset 88) PROBING -> QUANT_TRIE
     import struct
     assert struct.unpack_from("<i", data, 88)[0] == 0
+    struct.pack_into("<i", data, 88, 3)
+    bin_path.write_bytes(bytes(data))
+    with pytest.raises(FileNotFoundError, match="quantized"):
+        NGramLM.load(str(bin_path))
+
+    # a probing file relabeled TRIE is a layout mismatch: must fail loudly
+    # (the trie parser's invariants reject it), never mis-score
     struct.pack_into("<i", data, 88, 2)
     bin_path.write_bytes(bytes(data))
-    with pytest.raises(FileNotFoundError, match="PROBING"):
+    with pytest.raises(FileNotFoundError):
         NGramLM.load(str(bin_path))
 
 
