@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""The round-4 accuracy LADDER on the hard testbed — a benchmark that can
+say no (VERDICT r3 item 4).
+
+The round-3 testbeds saturated (streaming Conformer at CER 0.000 —
+BASELINE.md), so they stopped ranking systems.  This experiment trains a
+system on ``HardPatternedWaveformDataset`` (additive noise at 5-20 dB SNR,
+per-utterance tempo jitter 0.8-1.25x, speaker frequency warp 0.9-1.12x,
+gain/offset, word-structured transcripts over a closed lexicon) and
+publishes held-out CER/WER for greedy and beam-4, plus word-LM shallow
+fusion (bigram ARPA built from the TRAIN transcripts) on an in-vocabulary
+eval set and on one with 25% OOV words — so LM fusion has a measurable
+upside and a measurable failure surface.
+
+Run (real chip):  python experiments/hard_testbed.py --system uni|bi|conformer
+Each run prints one JSON line per (eval set, decoder) cell.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def build_bigram_arpa(word_texts, sentences, path):
+    """Count-based bigram ARPA (Katz-free: simple add-one backoff weights)
+    over the TRAIN word sequences — the in-image stand-in for a kenlm
+    build (not installable here).  ``sentences``: lists of word indices."""
+    uni = collections.Counter()
+    bi = collections.Counter()
+    for s in sentences:
+        toks = ["<s>"] + [word_texts[w] for w in s] + ["</s>"]
+        for t in toks:
+            uni[t] += 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] += 1
+    uni["<unk>"] = 1
+    total = sum(uni.values())
+    lines = ["\\data\\", f"ngram 1={len(uni)}", f"ngram 2={len(bi)}", "",
+             "\\1-grams:"]
+    for w, c in sorted(uni.items()):
+        logp = math.log10(c / total)
+        lines.append(f"{logp:.6f}\t{w}\t-0.30103")
+    lines += ["", "\\2-grams:"]
+    for (a, b), c in sorted(bi.items()):
+        logp = math.log10(c / uni[a])
+        lines.append(f"{logp:.6f}\t{a} {b}")
+    lines += ["", "\\end\\", ""]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--system", default="uni",
+                    choices=["uni", "bi", "conformer"])
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--train_n", type=int, default=4096)
+    ap.add_argument("--eval_n", type=int, default=96)
+    ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--lm_weight", type=float, default=0.5)
+    ap.add_argument("--skip_lm", action="store_true")
+    args = ap.parse_args()
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    from rnntransducer_tpu.config import (
+        AudioConfig, Config, DataConfig, JointNetConfig, ModelConfig,
+        PredNetConfig, TrainConfig, TransNetConfig,
+    )
+    from rnntransducer_tpu.data.dataset import HardPatternedWaveformDataset
+    from rnntransducer_tpu.eval import evaluate_corpus
+    from rnntransducer_tpu.tokenizer import GraphemeTokenizer
+    from rnntransducer_tpu.train import Trainer, build_model
+
+    acfg = AudioConfig(spec_augment=True, freq_mask_cnt=1, time_mask_cnt=1,
+                       freq_mask_para=12, time_mask_para=16)
+    mk = lambda n, seed, oov: HardPatternedWaveformDataset(
+        n, acfg, seed=seed, oov_fraction=oov)
+    train_ds = mk(args.train_n, 0, 0.0)
+    eval_iv = mk(args.eval_n, 50_000, 0.0)    # held out, in-vocab words
+    eval_oov = mk(args.eval_n, 60_000, 0.25)  # held out, 25% OOV words
+
+    if args.system == "uni":
+        tn = TransNetConfig(input_size=80, hidden_size=384, output_size=256,
+                            num_layers=3, rnn_type="lstm", dropout=0.1,
+                            bidirectional=False)
+    elif args.system == "bi":
+        tn = TransNetConfig(input_size=80, hidden_size=384, output_size=256,
+                            num_layers=3, rnn_type="gru", dropout=0.1,
+                            bidirectional=True)
+    else:
+        tn = TransNetConfig(input_size=80, hidden_size=256, output_size=256,
+                            num_layers=4, rnn_type="lstm", dropout=0.1,
+                            bidirectional=True, arch="conformer",
+                            attention_heads=4, scan_blocks=False)
+    cfg = Config(
+        data=DataConfig(audio=acfg, audio_buckets=(128, 192, 256),
+                        label_buckets=(32,)),
+        model=ModelConfig(
+            transnet=tn,
+            prednet=PredNetConfig(embedding_size=72, hidden_size=256,
+                                  output_size=256, num_layers=1,
+                                  rnn_type="lstm", dropout=0.0),
+            jointnet=JointNetConfig(num_classes=72),
+        ),
+        train=TrainConfig(learning_rate=2e-3, max_steps=args.steps,
+                          per_device_train_batch_size=32, precision="bf16",
+                          log_every_steps=100, val_every_steps=args.steps // 2,
+                          checkpoint_dir=(args.ckpt or
+                                          f"/tmp/hard_testbed_{args.system}"),
+                          warmup_ratio=0.1),
+    )
+    trainer = Trainer(cfg, train_ds, val_dataset=eval_iv)
+    trainer.fit()
+
+    tok = trainer.tokenizer
+    model = build_model(cfg)
+    variables = {"params": trainer.state.params}
+
+    lm = None
+    lm_path = None
+    if not args.skip_lm:
+        word_texts = ["".join(tok.ids_to_tokens[g] for g in w)
+                      for w in train_ds.lexicon]
+        lm_path = os.path.join(cfg.train.checkpoint_dir, "word_bigram.arpa")
+        # the LM sees only IN-VOCAB words (train draws none from the OOV
+        # slice), so eval_oov stresses its failure surface
+        build_bigram_arpa(word_texts,
+                          [train_ds.word_sequences(i)
+                           for i in range(len(train_ds))], lm_path)
+        from rnntransducer_tpu.decode.ngram_lm import NGramLM
+        lm = NGramLM.load(lm_path, weight=args.lm_weight, beta=0.0)
+
+    def run(name, ds, decoder, **kw):
+        items = [dict(feats=ds[i]["feats"], labels=ds[i]["labels"])
+                 for i in range(len(ds))]
+        r = evaluate_corpus(model, variables, tok, acfg, items,
+                            decoder=decoder, beam_width=4,
+                            frame_bucket=256, **kw)
+        s = r.summary()
+        print(json.dumps({"system": args.system, "eval": name,
+                          "decoder": decoder + ("+lm" if kw.get("lm") else ""),
+                          "cer": round(s["cer"], 4),
+                          "wer": round(s["wer"], 4),
+                          "utts": len(items)}))
+
+    run("heldout_iv", eval_iv, "greedy")
+    run("heldout_iv", eval_iv, "beam_batched")
+    if lm is not None:
+        run("heldout_iv", eval_iv, "beam", lm=lm)
+        run("heldout_oov", eval_oov, "greedy")
+        run("heldout_oov", eval_oov, "beam", lm=lm)
+
+
+if __name__ == "__main__":
+    main()

@@ -443,3 +443,169 @@ class PatternedWaveformDataset:
             hit = {"feats": logmel_np(wav, self.cfg), "labels": labels}
             self._cache[i] = hit
         return hit
+
+
+class HardPatternedWaveformDataset:
+    """The round-4 accuracy testbed — built so systems can FAIL.
+
+    The earlier patterned testbeds saturated (several systems at CER
+    0.000, BASELINE.md round 3), at which point they stopped ranking
+    systems.  This one layers the difficulty axes of real speech (the
+    reference's task is 620k real utterances, ``README.md:18-21``) onto
+    the synthetic codebook so a non-trivial CER ladder survives:
+
+    * **additive noise** at a per-utterance SNR drawn from
+      ``snr_db_range`` (dB, uniform);
+    * **tempo jitter**: each utterance stretches every label snippet by a
+      log-uniform factor from ``tempo_range`` (the model never sees a
+      fixed frames-per-label grid);
+    * **speaker variation**: every utterance scales ALL tone frequencies
+      by a log-uniform factor from ``speaker_range`` (formant shift);
+    * **gain / DC offset** (as PatternedWaveformDataset — keeps
+      normalization load-bearing);
+    * **word structure with OOV control**: transcripts are sequences of
+      multi-grapheme WORDS from a closed lexicon, joined by the
+      word-delimiter token over silence gaps.  The lexicon's first
+      ``n_words - n_oov_words`` entries are "in-vocabulary" (an LM built
+      from training transcripts sees them); with ``oov_fraction > 0``
+      a word position instead draws from the held-out OOV slice — so
+      word-LM shallow fusion has both something to gain (in-vocab) and
+      something to break (OOV), and its delta is measurable.
+
+    ``__getitem__`` -> offline-pipeline features + labels;
+    ``waveform(i)`` -> raw PCM (for streaming / on-device frontend);
+    ``word_sequences(i)`` -> the word-id sequence (for LM corpora).
+    """
+
+    def __init__(self, n: int, cfg: AudioConfig, vocab_size: int = 72,
+                 n_words: int = 80, n_oov_words: int = 16,
+                 words_per_utt=(3, 7), word_len=(2, 4),
+                 grapheme_lo: int = 5, delimiter_id: int = 4,
+                 frames_per_label: int = 8,
+                 tempo_range=(0.8, 1.25), speaker_range=(0.9, 1.12),
+                 snr_db_range=(5.0, 20.0), gain_range=(0.25, 4.0),
+                 offset_range=(-0.5, 0.5), oov_fraction: float = 0.0,
+                 tones_per_label: int = 3, seed: int = 0,
+                 pattern_seed: int = 777):
+        self.n = n
+        self.cfg = cfg
+        self.vocab_size = vocab_size
+        self.delimiter_id = delimiter_id
+        self.samples_per_label = frames_per_label * cfg.hop_length
+        self.tempo_range = tempo_range
+        self.speaker_range = speaker_range
+        self.snr_db_range = snr_db_range
+        self.gain_range = gain_range
+        self.offset_range = offset_range
+        self.seed = seed
+
+        prng = np.random.RandomState(pattern_seed)
+        # label -> tone chord (frequencies regenerated per utterance with
+        # the speaker warp, so only freqs/phases are stored)
+        self.freqs = prng.uniform(200.0, cfg.sample_rate * 0.40,
+                                  (vocab_size, tones_per_label))
+        self.phases = prng.uniform(0, 2 * np.pi,
+                                   (vocab_size, tones_per_label))
+        self.tones_per_label = tones_per_label
+        # closed word lexicon over graphemes [grapheme_lo, vocab_size)
+        lex = set()
+        lex_list = []
+        while len(lex_list) < n_words:
+            L = prng.randint(word_len[0], word_len[1] + 1)
+            w = []
+            for _ in range(L):
+                g = prng.randint(grapheme_lo, vocab_size)
+                while w and g == w[-1]:  # greedy dedups consecutive repeats
+                    g = prng.randint(grapheme_lo, vocab_size)
+                w.append(int(g))
+            w = tuple(w)
+            if w not in lex:
+                lex.add(w)
+                lex_list.append(w)
+        self.lexicon = lex_list
+        self.n_in_vocab = n_words - n_oov_words
+
+        # per-utterance draws, precomputed so lengths() is cheap + exact
+        rng = np.random.RandomState(seed)
+        self._word_seqs = []
+        self._tempo = []
+        self._speaker = []
+        self._snr_db = []
+        self._label_seqs = []
+        lo_t, hi_t = tempo_range
+        lo_s, hi_s = speaker_range
+        for _ in range(n):
+            k = rng.randint(words_per_utt[0], words_per_utt[1] + 1)
+            ws = []
+            for _ in range(k):
+                if oov_fraction > 0 and rng.rand() < oov_fraction:
+                    ws.append(int(rng.randint(self.n_in_vocab, n_words)))
+                else:
+                    ws.append(int(rng.randint(0, self.n_in_vocab)))
+            self._word_seqs.append(ws)
+            labels = []
+            for j, w in enumerate(ws):
+                if j:
+                    labels.append(delimiter_id)
+                labels.extend(self.lexicon[w])
+            self._label_seqs.append(np.asarray(labels, np.int32))
+            self._tempo.append(float(np.exp(
+                rng.uniform(np.log(lo_t), np.log(hi_t)))))
+            self._speaker.append(float(np.exp(
+                rng.uniform(np.log(lo_s), np.log(hi_s)))))
+            self._snr_db.append(float(rng.uniform(*snr_db_range)))
+        self._cache: dict = {}
+
+    def __len__(self):
+        return self.n
+
+    def _samples_per_label(self, i: int) -> int:
+        return int(round(self.samples_per_label * self._tempo[i]))
+
+    def lengths(self) -> np.ndarray:
+        return np.asarray([
+            num_frames(len(self._label_seqs[i]) * self._samples_per_label(i),
+                       self.cfg.hop_length)
+            for i in range(self.n)])
+
+    def label_lengths(self) -> np.ndarray:
+        return np.asarray([len(s) for s in self._label_seqs])
+
+    def word_sequences(self, i: int):
+        return list(self._word_seqs[i])
+
+    def waveform(self, i: int):
+        """(wav float32 (S,), labels int32 (U,)) — tempo/speaker/SNR/gain/
+        offset applied."""
+        rng = np.random.RandomState(self.seed + 9000 + int(i))
+        labels = self._label_seqs[i]
+        spl = self._samples_per_label(i)
+        t = np.arange(spl) / self.cfg.sample_rate
+        warp = self._speaker[i]
+        segs = []
+        for l in labels:
+            if l == self.delimiter_id:
+                segs.append(np.zeros(spl, np.float32))  # silence gap
+                continue
+            f = self.freqs[l] * warp
+            seg = np.sum(
+                np.sin(2 * np.pi * f[:, None] * t[None, :]
+                       + self.phases[l][:, None]),
+                axis=0) / np.sqrt(self.tones_per_label)
+            segs.append(seg.astype(np.float32))
+        wav = np.concatenate(segs)
+        rms = float(np.sqrt(np.mean(wav ** 2)) + 1e-8)
+        noise_std = rms * 10.0 ** (-self._snr_db[i] / 20.0)
+        wav = wav + noise_std * rng.randn(len(wav)).astype(np.float32)
+        lo, hi = self.gain_range
+        gain = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+        offset = float(rng.uniform(*self.offset_range))
+        return (gain * wav + offset).astype(np.float32), labels.copy()
+
+    def __getitem__(self, i: int) -> dict:
+        hit = self._cache.get(i)
+        if hit is None:
+            wav, labels = self.waveform(i)
+            hit = {"feats": logmel_np(wav, self.cfg), "labels": labels}
+            self._cache[i] = hit
+        return hit

@@ -381,7 +381,7 @@ def _batch_slices(B: int):
 
 
 def _block_k(rnn_type: str, phase: str, T: int, hidden: int, batch: int,
-             itemsize: int) -> int:
+             itemsize: int, ctx_over: bool = False) -> int:
     """Largest timesteps-per-grid-step that divides T and fits VMEM.
 
     ``RNNT_TPU_RNN_K_FWD`` / ``RNNT_TPU_RNN_K_BWD`` env vars force a k for
@@ -395,6 +395,20 @@ def _block_k(rnn_type: str, phase: str, T: int, hidden: int, batch: int,
             kf //= 2
         return max(kf, 1)
     budget = _vmem_budget_bwd() if phase == "bwd" else _VMEM_BUDGET
+    if ctx_over:
+        # Oversubscribed context: the global batch exceeded
+        # _MAX_KERNEL_BATCH, so several kernel chunks live in ONE HLO.
+        # XLA then places extra operand/result buffers in VMEM and
+        # Mosaic's real scoped allocation inflates several MB past the
+        # stream model (measured v5e, GRU fwd H=1024 T=512 global B=128:
+        # 18.9 MiB real vs 12.5 modeled at k=4 -- the round-3 "B>64
+        # fails to compile" bug, docs/DESIGN.md). Shave the budget so
+        # the chooser steps down one k per phase (bwd k=2 really
+        # allocates 18.9 MiB in this context -> k=1; fwd similarly one
+        # step); validated end-to-end by the B=128 bench row
+        # (BASELINE.md round 4).
+        budget -= (5 * 1024 * 1024 if phase == "bwd"
+                   else 3 * 1024 * 1024)
     if phase == "bwd" and 64 < T < 512:
         # Measured (v5e, flagship H=1024 B=64 bf16): in this T range XLA can
         # additionally place kernel outputs in VMEM (S(1) layouts in the
@@ -417,11 +431,12 @@ def _block_k(rnn_type: str, phase: str, T: int, hidden: int, batch: int,
     return 1
 
 
-def _gru_fwd_call(xw, w_hh, b_hh, h0, lengths, reverse, interpret):
+def _gru_fwd_call(xw, w_hh, b_hh, h0, lengths, reverse, interpret,
+                  ctx_over=False):
     T, B, G3H = xw.shape
     H = h0.shape[-1]
     dt = xw.dtype
-    k = _block_k("gru", "fwd", T, H, B, dt.itemsize)
+    k = _block_k("gru", "fwd", T, H, B, dt.itemsize, ctx_over)
     nb = T // k
     len_col = lengths.astype(jnp.int32).reshape(B, 1)
     return pl.pallas_call(
@@ -461,13 +476,14 @@ def _prev_all(h_all, h0, lengths, reverse):
     return jnp.where(valid, shifted, h0[None].astype(h_all.dtype))
 
 
-def _gru_bwd_call(residuals, cotangents, reverse, interpret):
+def _gru_bwd_call(residuals, cotangents, reverse, interpret,
+                  ctx_over=False):
     xw, h_all, w_hh, b_hh, h0, lengths = residuals
     g_hall, g_hfin = cotangents
     T, B, G3H = xw.shape
     H = h0.shape[-1]
     dt = xw.dtype
-    k = _block_k("gru", "bwd", T, H, B, dt.itemsize)
+    k = _block_k("gru", "bwd", T, H, B, dt.itemsize, ctx_over)
     nb = T // k
     len_col = lengths.astype(jnp.int32).reshape(B, 1)
     # the backward pass walks time in the opposite order of the forward
@@ -519,21 +535,24 @@ def _gru_bwd_call(residuals, cotangents, reverse, interpret):
     return dxw, dw, db, dh0, jnp.zeros_like(lengths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _gru_scan_one(xw, w_hh, b_hh, h0, lengths, reverse=False,
-                  interpret=False):
-    out, _ = _gru_fwd_res(xw, w_hh, b_hh, h0, lengths, reverse, interpret)
+                  interpret=False, ctx_over=False):
+    out, _ = _gru_fwd_res(xw, w_hh, b_hh, h0, lengths, reverse, interpret,
+                          ctx_over)
     return out
 
 
-def _gru_fwd_res(xw, w_hh, b_hh, h0, lengths, reverse, interpret):
+def _gru_fwd_res(xw, w_hh, b_hh, h0, lengths, reverse, interpret,
+                 ctx_over=False):
     h_all, h_fin = _gru_fwd_call(xw, w_hh, b_hh, h0, lengths,
-                                 reverse, interpret)
+                                 reverse, interpret, ctx_over)
     return (h_all, h_fin), (xw, h_all, w_hh, b_hh, h0, lengths)
 
 
-def _gru_bwd(reverse, interpret, residuals, cotangents):
-    return _gru_bwd_call(residuals, cotangents, reverse, interpret)
+def _gru_bwd(reverse, interpret, ctx_over, residuals, cotangents):
+    return _gru_bwd_call(residuals, cotangents, reverse, interpret,
+                         ctx_over)
 
 
 _gru_scan_one.defvjp(_gru_fwd_res, _gru_bwd)
@@ -562,18 +581,19 @@ def gru_scan(xw, w_hh, b_hh, h0, lengths, reverse=False, interpret=False):
     for off, size in slices:
         ha, hf = _gru_scan_one(xw[:, off:off + size], w_hh, b_hh,
                                h0[off:off + size], lengths[off:off + size],
-                               reverse, interpret)
+                               reverse, interpret, True)
         h_alls.append(ha)
         h_fins.append(hf)
     return (jnp.concatenate(h_alls, axis=1),
             jnp.concatenate(h_fins, axis=0))
 
 
-def _lstm_fwd_call(xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret):
+def _lstm_fwd_call(xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret,
+                   ctx_over=False):
     T, B, G4H = xw.shape
     H = h0.shape[-1]
     dt = xw.dtype
-    k = _block_k("lstm", "fwd", T, H, B, dt.itemsize)
+    k = _block_k("lstm", "fwd", T, H, B, dt.itemsize, ctx_over)
     nb = T // k
     len_col = lengths.astype(jnp.int32).reshape(B, 1)
     return pl.pallas_call(
@@ -605,17 +625,18 @@ def _lstm_fwd_call(xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret):
     )(len_col, xw, w_hh, b_hh.reshape(1, G4H), h0, c0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _lstm_scan_one(xw, w_hh, b_hh, h0, c0, lengths, reverse=False,
-                   interpret=False):
+                   interpret=False, ctx_over=False):
     out, _ = _lstm_fwd_res(xw, w_hh, b_hh, h0, c0, lengths, reverse,
-                           interpret)
+                           interpret, ctx_over)
     return out
 
 
-def _lstm_fwd_res(xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret):
+def _lstm_fwd_res(xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret,
+                  ctx_over=False):
     h_all, c_all, h_fin, c_fin = _lstm_fwd_call(
-        xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret)
+        xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret, ctx_over)
     # The forward saves the (T, B, H) cell-state carry instead of the
     # (T, B, 4H) pre-activations: the backward recomputes hw from the
     # predecessor h (W_hh resident, GEMM off the dh chain), so c is the only
@@ -624,13 +645,13 @@ def _lstm_fwd_res(xw, w_hh, b_hh, h0, c0, lengths, reverse, interpret):
             (xw, h_all, c_all, w_hh, b_hh, h0, c0, lengths))
 
 
-def _lstm_bwd(reverse, interpret, residuals, cotangents):
+def _lstm_bwd(reverse, interpret, ctx_over, residuals, cotangents):
     xw, h_all, c_all, w_hh, b_hh, h0, c0, lengths = residuals
     g_hall, g_hfin, g_cfin = cotangents
     T, B, G4H = xw.shape
     H = h0.shape[-1]
     dt = xw.dtype
-    k = _block_k("lstm", "bwd", T, H, B, dt.itemsize)
+    k = _block_k("lstm", "bwd", T, H, B, dt.itemsize, ctx_over)
     nb = T // k
     len_col = lengths.astype(jnp.int32).reshape(B, 1)
 
@@ -693,7 +714,8 @@ def lstm_scan(xw, w_hh, b_hh, h0, c0, lengths, reverse=False,
     for off, size in slices:
         ha, hf, cf = _lstm_scan_one(
             xw[:, off:off + size], w_hh, b_hh, h0[off:off + size],
-            c0[off:off + size], lengths[off:off + size], reverse, interpret)
+            c0[off:off + size], lengths[off:off + size], reverse, interpret,
+            True)
         h_alls.append(ha)
         h_fins.append(hf)
         c_fins.append(cf)

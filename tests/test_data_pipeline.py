@@ -321,3 +321,65 @@ def test_arrow_audio_dataset_get_batch(tmp_path):
         ref = ds[i]
         np.testing.assert_array_equal(g["feats"], ref["feats"])
         np.testing.assert_array_equal(g["labels"], ref["labels"])
+
+
+def test_hard_testbed_dataset_contract():
+    """Round-4 hard testbed (VERDICT r3 item 4): lengths/labels exact,
+    deterministic, word-structured with delimiter, OOV control works."""
+    import numpy as np
+    from rnntransducer_tpu.config import AudioConfig
+    from rnntransducer_tpu.data.dataset import HardPatternedWaveformDataset
+
+    ds = HardPatternedWaveformDataset(10, AudioConfig(), seed=3)
+    for i in range(10):
+        wav, labels = ds.waveform(i)
+        feats = ds[i]["feats"]
+        assert feats.shape[0] == ds.lengths()[i]
+        assert len(labels) == ds.label_lengths()[i]
+        # deterministic
+        wav2, labels2 = ds.waveform(i)
+        np.testing.assert_array_equal(wav, wav2)
+        np.testing.assert_array_equal(labels, labels2)
+        # word structure: delimiter joins words, words from the lexicon
+        words = ds.word_sequences(i)
+        expect = []
+        for j, w in enumerate(words):
+            if j:
+                expect.append(ds.delimiter_id)
+            expect.extend(ds.lexicon[w])
+        np.testing.assert_array_equal(labels, np.asarray(expect))
+        # greedy-decode compatibility: no consecutive repeats
+        assert not np.any(labels[1:] == labels[:-1])
+        # in-vocab only at oov_fraction=0
+        assert all(w < ds.n_in_vocab for w in words)
+
+    oov = HardPatternedWaveformDataset(60, AudioConfig(), seed=4,
+                                       oov_fraction=0.3)
+    flags = [w >= oov.n_in_vocab for i in range(60)
+             for w in oov.word_sequences(i)]
+    frac = sum(flags) / len(flags)
+    assert 0.15 < frac < 0.45, frac
+
+    # difficulty knobs actually vary per utterance
+    assert len({round(t, 4) for t in ds._tempo}) > 3
+    assert len({round(s, 4) for s in ds._speaker}) > 3
+    assert len({round(s, 2) for s in ds._snr_db}) > 3
+
+
+def test_hard_testbed_snr_controls_noise():
+    import numpy as np
+    from rnntransducer_tpu.config import AudioConfig
+    from rnntransducer_tpu.data.dataset import HardPatternedWaveformDataset
+
+    clean = HardPatternedWaveformDataset(
+        4, AudioConfig(), seed=7, snr_db_range=(40.0, 40.0),
+        gain_range=(1.0, 1.0), offset_range=(0.0, 0.0))
+    noisy = HardPatternedWaveformDataset(
+        4, AudioConfig(), seed=7, snr_db_range=(0.0, 0.0),
+        gain_range=(1.0, 1.0), offset_range=(0.0, 0.0))
+    for i in range(4):
+        wc, _ = clean.waveform(i)
+        wn, _ = noisy.waveform(i)
+        # same tones, different noise floor: the residual energy at SNR 0
+        # must dwarf the 40 dB one
+        assert np.std(wn - wc[: len(wn)][: len(wn)]) > 5 * 10 ** (-40 / 20)
