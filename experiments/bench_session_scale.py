@@ -41,6 +41,14 @@ def main():
     ap.add_argument("--lanes", type=int, nargs="*",
                     default=[8, 16, 32, 64])
     ap.add_argument("--utt_sec", type=float, default=8.0)
+    ap.add_argument("--with_lm", action="store_true",
+                    help="host word-LM shallow fusion in every lane "
+                         "(decoder=beam): measures the fused path's tick "
+                         "economics under load — VERDICT r3 item 9")
+    ap.add_argument("--lm_path", type=str, default=None,
+                    help="ARPA/kenlm binary for --with_lm (default: a "
+                         "generated 200-word bigram ARPA)")
+    ap.add_argument("--lm_weight", type=float, default=0.5)
     ap.add_argument("--hidden", type=int, default=1024)
     ap.add_argument("--layers", type=int, default=6)
     args = ap.parse_args()
@@ -68,6 +76,39 @@ def main():
                            jnp.array([8]), jnp.zeros((1, 2), jnp.int32),
                            jnp.array([2]))
 
+    lm = None
+    tok = None
+    if args.with_lm:
+        if args.decoder != "beam":
+            raise SystemExit("--with_lm requires --decoder beam")
+        from rnntransducer_tpu.decode.ngram_lm import NGramLM
+        from rnntransducer_tpu.tokenizer import GraphemeTokenizer
+        tok = GraphemeTokenizer.default(72)
+        lm_path = args.lm_path
+        if lm_path is None:
+            # deterministic 200-word jamo bigram ARPA: the LOAD is what is
+            # measured (the audio is noise); scores just have to be real
+            import itertools
+            import math as _math
+            import tempfile
+            rngw = np.random.RandomState(7)
+            chars = [tok.ids_to_tokens[i] for i in range(5, 40)]
+            words = sorted({"".join(rngw.choice(chars, rngw.randint(2, 5)))
+                            for _ in range(260)})[:200]
+            lines = ["\\data\\", f"ngram 1={len(words)+3}",
+                     f"ngram 2={len(words)}", "", "\\1-grams:",
+                     "-1.5\t<s>\t-0.3", "-1.5\t</s>", "-3.0\t<unk>"]
+            for w in words:
+                lines.append(f"{_math.log10(1.0/len(words)):.4f}\t{w}\t-0.3")
+            lines += ["", "\\2-grams:"]
+            for a, b in zip(words, words[1:] + words[:1]):
+                lines.append(f"-0.8\t{a} {b}")
+            lines += ["", "\\end\\", ""]
+            lm_path = tempfile.mktemp(suffix=".arpa")
+            with open(lm_path, "w") as f:
+                f.write("\n".join(lines))
+        lm = NGramLM.load(lm_path, weight=args.lm_weight, beta=0.0)
+
     sr = acfg.sample_rate
     chunk_samples = sr // 10  # 100 ms
     rng = np.random.RandomState(0)
@@ -75,7 +116,8 @@ def main():
     for lanes in args.lanes:
         runner = BatchedStreamingRunner(
             model, variables, acfg, max_sessions=lanes, chunk_frames=16,
-            decoder=args.decoder, beam_width=args.beam_width)
+            decoder=args.decoder, beam_width=args.beam_width,
+            lm=lm, tokenizer=tok)
         t0 = time.perf_counter()
         runner.warmup()  # tick + reset + fetch compile before any traffic
         warmup_s = time.perf_counter() - t0
@@ -123,7 +165,7 @@ def main():
         fb_ms = sorted(t * 1000 for t in feed_block) or [0.0]
         print(json.dumps({
             "metric": "session_batch_scale",
-            "decoder": args.decoder,
+            "decoder": args.decoder + ("+word_lm" if lm is not None else ""),
             "lanes": lanes,
             "warmup_s": round(warmup_s, 1),
             "tick_ms_p50": round(tick_ms[len(tick_ms) // 2], 1),

@@ -202,8 +202,14 @@ class ConvModule(nn.Module):
     def setup(self):
         self.norm = nn.LayerNorm()
         self.pre = nn.Dense(2 * self.d_model)
-        self.conv = DepthwiseConv1D(features=self.d_model,
-                                    kernel_size=self.kernel_size)
+        # remat: recompute the K shift-multiply-adds in backward instead of
+        # saving buffers across the residual stack — without it the
+        # flagship-scale training step overflowed HBM by ~150 MB (the
+        # grouped-conv formulation it replaces had its own fusion-internal
+        # rematerialization); the recompute is K elementwise passes, noise
+        # against the block's GEMMs
+        self.conv = nn.remat(DepthwiseConv1D)(features=self.d_model,
+                                              kernel_size=self.kernel_size)
         self.post_norm = nn.LayerNorm()
         self.post = nn.Dense(self.d_model)
         if self.dropout > 0:

@@ -350,3 +350,25 @@ def test_batch_slices_shapes():
         assert all(s <= rp._MAX_KERNEL_BATCH for _, s in sl)
         assert [o for o, _ in sl] == [sum(s for _, s in sl[:i])
                                       for i in range(len(sl))]
+
+
+def test_block_k_steps_down_in_oversubscribed_context():
+    """Round-3 'B>64 fails to compile' root cause: at global batches above
+    _MAX_KERNEL_BATCH, Mosaic's real scoped-VMEM allocation inflates past
+    the stream model (measured 18.9 MiB vs 12.5 modeled, GRU bwd H=1024
+    T=512 global B=128 on v5e), so the k chooser must pick a strictly
+    smaller-or-equal k — and for the flagship bwd shape, strictly
+    smaller."""
+    from rnntransducer_tpu.ops import rnn_pallas as rp
+
+    for rnn_type in ("gru", "lstm"):
+        for phase in ("fwd", "bwd"):
+            k_plain = rp._block_k(rnn_type, phase, 512, 1024, 64, 2, False)
+            k_over = rp._block_k(rnn_type, phase, 512, 1024, 64, 2, True)
+            assert k_over <= k_plain, (rnn_type, phase, k_plain, k_over)
+    assert (rp._block_k("gru", "bwd", 512, 1024, 64, 2, True)
+            < rp._block_k("gru", "bwd", 512, 1024, 64, 2, False))
+    # chunked calls really mark the context: the public scan entry points
+    # pass ctx_over=True for every chunk when the global batch splits
+    assert len(rp._batch_slices(128)) == 2
+    assert len(rp._batch_slices(64)) == 1
