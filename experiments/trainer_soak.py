@@ -105,16 +105,19 @@ def prepare_corpus(args):
     import rnntransducer_tpu as rt
 
     audio = rt.base_config().data.audio
-    ds = SyntheticAudioDataset(4096, audio, min_sec=4.9, max_sec=5.1,
+    ds = SyntheticAudioDataset(args.utts, audio, min_sec=4.9, max_sec=5.1,
                                min_labels=40, max_labels=47, seed=0,
                                as_waveform=True)
     val = SyntheticAudioDataset(128, audio, min_sec=4.9, max_sec=5.1,
                                 min_labels=40, max_labels=47, seed=1,
                                 as_waveform=True)
+    # total= streams shard-by-shard: the 100k corpus is ~33 GB of PCM
     save_waveform_dataset((ds[i] for i in range(len(ds))), args.corpus_dir,
-                          "train", hop_length=audio.hop_length, num_shards=8)
+                          "train", hop_length=audio.hop_length,
+                          num_shards=args.shards, total=len(ds))
     save_waveform_dataset((val[i] for i in range(len(val))), args.corpus_dir,
-                          "val", hop_length=audio.hop_length, num_shards=1)
+                          "val", hop_length=audio.hop_length, num_shards=1,
+                          total=len(val))
 
 
 def parse_metrics(log_dir):
@@ -139,6 +142,13 @@ def main():
     ap.add_argument("--sigterm_after_frac", type=float, default=0.35,
                     help="SIGTERM the first launch after this fraction of "
                          "steps have logged")
+    ap.add_argument("--utts", type=int, default=4096,
+                    help="training corpus size (utterances); the round-4 "
+                         "10x soak uses --utts 100000 --steps 10000 "
+                         "(~33 GB of PCM, streamed to 20 Arrow shards; "
+                         "B=64 -> ~1562 steps/epoch -> ~6 epoch "
+                         "boundaries over the run)")
+    ap.add_argument("--shards", type=int, default=8)
     args = ap.parse_args()
     if args.tiny and args.steps == 1000:
         args.steps = 8
@@ -159,6 +169,16 @@ def main():
                 "--corpus_dir", args.corpus_dir] + \
         (["--tiny"] if args.tiny else [])
 
+    def child_rss_mb(pid):
+        try:
+            with open(f"/proc/{pid}/statm") as f:
+                return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") \
+                    / 2**20
+        except (OSError, IndexError, ValueError):
+            return None
+
+    rss_samples = []  # (logged_step, rss_mb) of whichever child is alive
+
     # ---- launch 1: run until ~sigterm_after_frac, then SIGTERM ----------
     t0 = time.time()
     child = subprocess.Popen(base_cmd, cwd=REPO)
@@ -169,6 +189,9 @@ def main():
             rows = parse_metrics(args.ckpt_dir)
         except OSError:
             rows = []
+        r = child_rss_mb(child.pid)
+        if r and rows:
+            rss_samples.append((rows[-1].get("step", 0), r))
         if rows and rows[-1].get("step", 0) >= target:
             print(f"[soak] SIGTERM at step {rows[-1]['step']}", flush=True)
             child.send_signal(signal.SIGTERM)
@@ -181,6 +204,15 @@ def main():
 
     # ---- launch 2: resume to completion ---------------------------------
     child = subprocess.Popen(base_cmd, cwd=REPO)
+    while child.poll() is None:
+        time.sleep(5)
+        r = child_rss_mb(child.pid)
+        if r:
+            try:
+                rows = parse_metrics(args.ckpt_dir)
+                rss_samples.append((rows[-1].get("step", 0) if rows else 0, r))
+            except OSError:
+                pass
     rc2 = child.wait()
     wall = time.time() - t0
     rows = parse_metrics(args.ckpt_dir)
@@ -224,6 +256,34 @@ def main():
         "loss_after_resume": [r["loss"] for r in after],
         "wall_s": round(wall, 1),
     }
+    # host-RSS trajectory of the training process (memory-leak tripwire:
+    # compare early-steady-state vs final) and checkpoint-directory growth
+    # under top-k retention
+    if rss_samples:
+        steady = [r for s_, r in rss_samples if s_ >= max(steps) * 0.1]
+        report["rss_mb_steady_start"] = round(steady[0], 0) if steady else None
+        report["rss_mb_end"] = round(rss_samples[-1][1], 0)
+        report["rss_mb_peak"] = round(max(r for _, r in rss_samples), 0)
+    ckpt_bytes = 0
+    n_ckpts = 0
+    for root, dirs, files in os.walk(args.ckpt_dir):
+        for f in files:
+            try:
+                ckpt_bytes += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    try:
+        from rnntransducer_tpu.train import CheckpointManager
+        mgr = CheckpointManager(args.ckpt_dir, save_top_k=3)
+        n_ckpts = len(list(mgr._mgr.all_steps()))
+        mgr.close()
+    except Exception:
+        pass
+    report["ckpt_dir_gb"] = round(ckpt_bytes / 2**30, 2)
+    report["ckpts_retained"] = n_ckpts
+    # epoch-transition stalls: the worst logged step deltas (epoch
+    # boundaries rebuild the prefetcher; they should hide in p99)
+    report["worst_step_ms_top5"] = [round(x, 1) for x in step_ms[-5:]]
     print(json.dumps(report))
 
 

@@ -236,11 +236,19 @@ class ArrowWaveformDataset(ArrowAudioDataset):
 
 
 def save_waveform_dataset(items, target_root: str, split: str,
-                          hop_length: int, num_shards: int = 1) -> None:
+                          hop_length: int, num_shards: int = 1,
+                          total: Optional[int] = None) -> None:
     """Materialize an iterable of {'wav' float32 (S,), 'labels' int (U,)}
     items as raw-PCM Arrow shards loadable by ArrowWaveformDataset (same
     shard layout / _SUCCESS marker / ledger as prepare_logmel_dataset).
-    'audio_len' stores the FRAME count (bucketing unit of the Trainer)."""
+    'audio_len' stores the FRAME count (bucketing unit of the Trainer).
+
+    Pass ``total`` (the item count) to stream shard-by-shard: only one
+    shard's rows are ever in memory — required for corpora whose PCM
+    exceeds RAM (the 100k-utterance soak corpus is ~33 GB of float32).
+    Without ``total`` the iterable is materialized first (small corpora)."""
+    import itertools
+
     from datasets import Dataset
 
     target = os.path.join(target_root, split)
@@ -248,23 +256,31 @@ def save_waveform_dataset(items, target_root: str, split: str,
     if os.path.exists(marker):
         return
 
-    rows = [{"wav": np.asarray(it["wav"], np.float32),
-             "labels": np.asarray(it["labels"], np.int32)} for it in items]
+    it = iter(items)
+    if total is None:
+        rows = [{"wav": np.asarray(r["wav"], np.float32),
+                 "labels": np.asarray(r["labels"], np.int32)} for r in it]
+        total = len(rows)
+        it = iter(rows)
     write_ledger_entry(target_root, "waveform", split)
-    num_shards = max(1, min(num_shards, len(rows)))
-    per = (len(rows) + num_shards - 1) // num_shards
-    for shard_idx in range(num_shards):
-        chunk = rows[shard_idx * per:(shard_idx + 1) * per]
+    num_shards = max(1, min(num_shards, total))
+    per = (total + num_shards - 1) // num_shards
+    shard_idx = 0
+    while True:
+        chunk = list(itertools.islice(it, per))
         if not chunk:
             break
         shard = Dataset.from_dict({
-            "input_values": [r["wav"] for r in chunk],
-            "input_ids": [r["labels"] for r in chunk],
+            "input_values": [np.asarray(r["wav"], np.float32)
+                             for r in chunk],
+            "input_ids": [np.asarray(r["labels"], np.int32)
+                          for r in chunk],
             "audio_len": [num_frames(len(r["wav"]), hop_length)
                           for r in chunk],
             "label_len": [len(r["labels"]) for r in chunk],
         })
         shard.save_to_disk(os.path.join(target, str(shard_idx)))
+        shard_idx += 1
     with open(marker, "w") as f:
         f.write("ok\n")
 

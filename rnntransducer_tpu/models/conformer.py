@@ -52,6 +52,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -158,18 +159,57 @@ class SelfAttention(nn.Module):
         return o
 
 
+@jax.custom_vjp
+def _dwconv_valid(x, k):
+    """Depthwise VALID 1-D conv as K shifted multiply-adds:
+    out[:, t] = sum_i x[:, t+i] * k[i].  x (B, Tp, D), k (K, D)."""
+    K = k.shape[0]
+    t_out = x.shape[1] - K + 1
+    out = x[:, 0:t_out] * k[0]
+    for i in range(1, K):
+        out = out + x[:, i:i + t_out] * k[i]
+    return out
+
+
+def _dwconv_valid_fwd(x, k):
+    return _dwconv_valid(x, k), (x, k)
+
+
+def _dwconv_valid_bwd(res, g):
+    # Hand-written shift-structured VJP: autodiff's transpose of the K
+    # slice-multiplies emits K pad-accumulate passes over full (B, T, D)
+    # buffers, which measured ~2x the whole encoder backward at flagship
+    # scale.  dx is the full correlation with the reversed kernel (K
+    # slice READS of a padded g — fuses like the forward); dk is K
+    # elementwise reductions.
+    x, k = res
+    K = k.shape[0]
+    t_out = g.shape[1]
+    t_in = x.shape[1]
+    gp = jnp.pad(g, ((0, 0), (K - 1, K - 1), (0, 0)))
+    dx = gp[:, K - 1:K - 1 + t_in] * k[0]
+    for i in range(1, K):
+        dx = dx + gp[:, K - 1 - i:K - 1 - i + t_in] * k[i]
+    dk = jnp.stack([
+        jnp.sum((g * x[:, i:i + t_out]).astype(jnp.float32), axis=(0, 1))
+        for i in range(K)]).astype(k.dtype)
+    return dx, dk
+
+
+_dwconv_valid.defvjp(_dwconv_valid_fwd, _dwconv_valid_bwd)
+
+
 class DepthwiseConv1D(nn.Module):
     """Depthwise 1-D convolution (VALID padding) as K shifted
-    multiply-adds.
+    multiply-adds with a shift-structured custom VJP (``_dwconv_valid``).
 
     The obvious spelling — ``nn.Conv(feature_group_count=d_model)`` —
-    lowers catastrophically on TPU: XLA's grouped-conv path cost 3.4x the
-    macaron FFN's time for 1.4% of its FLOPs (58.7 ms fwd per 16 blocks
-    at B=64, T'=128, d=512, K=15 on v5e — see BASELINE.md round-4
-    Conformer row).  The unrolled shift-add form is pure VPU elementwise
-    work that XLA fuses into a handful of passes.  Param layout matches
-    ``nn.Conv`` exactly (kernel (K, 1, D), bias (D,), same initializer
-    fan-in), so checkpoints are interchangeable between the two."""
+    routes through XLA's grouped-conv path; spelled as K shifts, forward
+    AND backward are pure VPU elementwise passes XLA fuses (the naive
+    shift-add's autodiff transpose was the trap: K pad-accumulates that
+    doubled the encoder backward — hence the custom VJP).  Param layout
+    matches ``nn.Conv`` exactly (kernel (K, 1, D), bias (D,), same
+    initializer fan-in), so checkpoints are interchangeable."""
 
     features: int
     kernel_size: int
@@ -181,11 +221,7 @@ class DepthwiseConv1D(nn.Module):
                             (K, 1, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         k = kernel[:, 0].astype(x.dtype)                     # (K, D)
-        t_out = x.shape[1] - K + 1
-        out = x[:, 0:t_out] * k[0]
-        for i in range(1, K):
-            out = out + x[:, i:i + t_out] * k[i]
-        return out + bias.astype(x.dtype)
+        return _dwconv_valid(x, k) + bias.astype(x.dtype)
 
 
 class ConvModule(nn.Module):
@@ -202,14 +238,8 @@ class ConvModule(nn.Module):
     def setup(self):
         self.norm = nn.LayerNorm()
         self.pre = nn.Dense(2 * self.d_model)
-        # remat: recompute the K shift-multiply-adds in backward instead of
-        # saving buffers across the residual stack — without it the
-        # flagship-scale training step overflowed HBM by ~150 MB (the
-        # grouped-conv formulation it replaces had its own fusion-internal
-        # rematerialization); the recompute is K elementwise passes, noise
-        # against the block's GEMMs
-        self.conv = nn.remat(DepthwiseConv1D)(features=self.d_model,
-                                              kernel_size=self.kernel_size)
+        self.conv = DepthwiseConv1D(features=self.d_model,
+                                    kernel_size=self.kernel_size)
         self.post_norm = nn.LayerNorm()
         self.post = nn.Dense(self.d_model)
         if self.dropout > 0:

@@ -26,7 +26,7 @@ import os
 
 # Default kernel vm.max_map_count is 65530; clear with ample headroom so the
 # largest single compilation (thousands of maps for a big program) still fits.
-DEFAULT_THRESHOLD = 30_000
+DEFAULT_THRESHOLD = 20_000
 
 
 def vm_map_count() -> int:

@@ -451,3 +451,33 @@ def test_scan_blocks_streaming_raises_with_pointer():
     with pytest.raises(ValueError, match="unstack_conformer_block_params"):
         model.apply(v, feats[:, :4], jnp.array([4]), state,
                     method=model.encode)
+
+
+def test_depthwise_conv_custom_vjp_matches_autodiff():
+    """_dwconv_valid's hand-written VJP must equal plain autodiff of the
+    same shift formula (value, dx, dk) — the custom VJP exists purely for
+    TPU backward speed."""
+    from rnntransducer_tpu.models.conformer import _dwconv_valid
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 20, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(5, 8), jnp.float32)
+
+    def ref(x, k):
+        K = k.shape[0]
+        t_out = x.shape[1] - K + 1
+        out = x[:, 0:t_out] * k[0]
+        for i in range(1, K):
+            out = out + x[:, i:i + t_out] * k[i]
+        return out
+
+    np.testing.assert_allclose(np.asarray(_dwconv_valid(x, k)),
+                               np.asarray(ref(x, k)), rtol=1e-6)
+    g = jnp.asarray(rng.randn(2, 16, 8), jnp.float32)
+    loss = lambda f: lambda x, k: jnp.sum(f(x, k) * g)
+    dx_c, dk_c = jax.grad(loss(_dwconv_valid), argnums=(0, 1))(x, k)
+    dx_r, dk_r = jax.grad(loss(ref), argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(dx_c), np.asarray(dx_r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dk_c), np.asarray(dk_r),
+                               rtol=1e-5, atol=1e-5)

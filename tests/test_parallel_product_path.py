@@ -29,6 +29,21 @@ from rnntransducer_tpu.parallel import make_mesh
 from rnntransducer_tpu.train import Trainer
 
 
+@pytest.fixture(autouse=True)
+def _fresh_jax_caches():
+    """These tests compile the suite's LARGEST programs (full train_step
+    through shard_map pipeline/wavefront schedules: one wavefront-dropout
+    Trainer fit alone adds ~3.3k VM maps).  Force-clear jax's executable
+    caches around each test so the process never drifts toward the
+    vm.max_map_count SIGABRT cliff (utils/resource_guard.py) — observed
+    killing the full suite at this file before this fixture."""
+    from rnntransducer_tpu.utils.resource_guard import maybe_clear_jax_caches
+
+    maybe_clear_jax_caches(threshold=1)
+    yield
+    maybe_clear_jax_caches(threshold=1)
+
+
 def _cfg(tmp_path, *, bidirectional=True, num_layers=4, dropout=0.0,
          pipeline_stages=1, sequence_parallel=1, max_steps=3,
          name="ckpt"):
