@@ -83,10 +83,13 @@ def main():
                 num_layers=BLOCKS, attention_heads=HEADS, ff_multiplier=FF,
                 conv_kernel_size=KCONV, time_reduction_stride=STRIDE,
                 time_reduction_layer=0, bidirectional=True,
-                # one compiled block body scanned over the 16 blocks:
-                # ~L-fold faster first compile, same math (RNNT_SCAN=0
-                # reverts to the inlined per-block layout for comparison)
-                scan_blocks=os.environ.get("RNNT_SCAN", "1") == "1")),
+                # default: the UNROLLED per-block layout — XLA fuses the
+                # backward across blocks (57.0 ms/step, MFU 0.463 vs the
+                # scan's 84.1/0.314) at a 247 s cold compile (cached
+                # persistently). RNNT_SCAN=1 flips to scan-over-blocks
+                # (15.7 s compile) for iteration loops.
+                scan_blocks=os.environ.get("RNNT_SCAN", "0") == "1",
+                scan_block_group=int(os.environ.get("RNNT_SCAN_GROUP", "1")))),
         train=TrainConfig(precision="bf16", accumulate_grad_batches=1,
                           max_steps=1000))
 

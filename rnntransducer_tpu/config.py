@@ -66,6 +66,14 @@ class TransNetConfig:
     # decode currently requires the per-block layout (scan_blocks=False);
     # train fast with the scan, convert once at export.
     scan_blocks: bool = False
+    # with scan_blocks: scan over GROUPS of this many unrolled blocks
+    # (length = num_layers / group). Measured at Conformer-L scale on
+    # v5e: grouping does NOT recover the scan's backward-fusion loss
+    # (G=1: 84.1 ms/step, G=2: 88.5, G=4: 98.2 — vs 57.0 fully
+    # unrolled), so leave this at 1; the real trade is scan_blocks
+    # itself (compile 15.7 s/bucket at MFU 0.31) vs unrolled (247 s at
+    # MFU 0.46) — see BASELINE.md round-4 Conformer rows.
+    scan_block_group: int = 1
     # rematerialize each RNN layer in the backward pass (HBM vs recompute)
     remat: bool = False
     # compile one uniform layer body (scan over layers 1..L-1) instead of L

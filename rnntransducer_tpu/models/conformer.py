@@ -331,30 +331,82 @@ class _ScanConformerBlock(ConformerBlock):
                 None)
 
 
-def stack_conformer_block_params(encoder_params, num_layers: int):
+class _ScanConformerGroup(nn.Module):
+    """GROUP of unrolled ConformerBlocks as one nn.scan cell
+    (``scan_block_group > 1``).  The scan iteration boundary blocks XLA's
+    cross-block backward fusion (measured 84.1 -> 54.5 ms/step from
+    scan-of-1 to fully unrolled at Conformer-L scale on v5e); scanning
+    groups of G unrolled blocks recovers most of that at 1/(L/G) of the
+    unrolled compile.  Params: ``blocks/g{j}/...`` each with a leading
+    L/G axis."""
+
+    d_model: int
+    num_heads: int
+    ff_mult: int
+    kernel_size: int
+    dropout: float
+    causal: bool
+    group: int
+
+    def setup(self):
+        self.blocks = [
+            ConformerBlock(self.d_model, self.num_heads, self.ff_mult,
+                           self.kernel_size, self.dropout,
+                           causal=self.causal, name=f"g{j}")
+            for j in range(self.group)]
+
+    def __call__(self, x, valid, mask, deterministic: bool = True):
+        for b in self.blocks:
+            x = b(x, valid, mask, deterministic)
+        return x, None
+
+
+def stack_conformer_block_params(encoder_params, num_layers: int,
+                                 group: int = 1):
     """Convert a per-block ConformerEncoder param subtree (``block_0`` ..
-    ``block_{L-1}``) to the ``scan_blocks=True`` layout (one ``blocks``
-    subtree with a leading L axis).  Inverse of
+    ``block_{L-1}``) to the ``scan_blocks=True`` layout: for ``group=1``
+    one ``blocks`` subtree with a leading L axis; for ``group=G`` a
+    ``blocks`` subtree of ``g{j}`` members (j < G), each stacked over the
+    L/G scan steps (global block s*G + j).  Inverse of
     ``unstack_conformer_block_params``; both operate on the ENCODER
     subtree (``params["encoder"]``)."""
     import jax
 
-    blocks = [encoder_params[f"block_{i}"] for i in range(num_layers)]
     out = {k: v for k, v in encoder_params.items()
            if not k.startswith("block_")}
-    out["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    if group <= 1:
+        blocks = [encoder_params[f"block_{i}"] for i in range(num_layers)]
+        out["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+        return out
+    if num_layers % group:
+        raise ValueError(f"num_layers={num_layers} not divisible by "
+                         f"scan_block_group={group}")
+    steps = num_layers // group
+    out["blocks"] = {
+        f"g{j}": jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[encoder_params[f"block_{s * group + j}"] for s in range(steps)])
+        for j in range(group)}
     return out
 
 
-def unstack_conformer_block_params(encoder_params, num_layers: int):
+def unstack_conformer_block_params(encoder_params, num_layers: int,
+                                   group: int = 1):
     """``scan_blocks=True`` layout -> per-block layout (e.g. to serve a
     scan-trained checkpoint through the streaming per-block path)."""
     import jax
 
     st = encoder_params["blocks"]
     out = {k: v for k, v in encoder_params.items() if k != "blocks"}
-    for i in range(num_layers):
-        out[f"block_{i}"] = jax.tree.map(lambda x, i=i: x[i], st)
+    if group <= 1:
+        for i in range(num_layers):
+            out[f"block_{i}"] = jax.tree.map(lambda x, i=i: x[i], st)
+        return out
+    steps = num_layers // group
+    for s in range(steps):
+        for j in range(group):
+            out[f"block_{s * group + j}"] = jax.tree.map(
+                lambda x, s=s: x[s], st[f"g{j}"])
     return out
 
 
@@ -373,19 +425,31 @@ class ConformerEncoder(nn.Module):
         if cfg.dropout > 0:
             self.in_drop = FastDropout(cfg.dropout)
         if cfg.scan_blocks:
-            cell = _ScanConformerBlock
+            G = max(1, cfg.scan_block_group)
+            if cfg.num_layers % G:
+                raise ValueError(
+                    f"num_layers={cfg.num_layers} not divisible by "
+                    f"scan_block_group={G}")
+            cell = _ScanConformerBlock if G == 1 else _ScanConformerGroup
             if cfg.remat:
                 # static_argnums counts self as 0: (self, x, valid, mask, det)
                 cell = nn.remat(cell, static_argnums=(4,))
-            self.block_stack = nn.scan(
+            scanned = nn.scan(
                 cell,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
-                length=cfg.num_layers)(
+                length=cfg.num_layers // G)
+            if G == 1:
+                self.block_stack = scanned(
                     cfg.hidden_size, cfg.attention_heads, cfg.ff_multiplier,
                     cfg.conv_kernel_size, cfg.dropout,
                     causal=cfg.attention_chunk > 0, name="blocks")
+            else:
+                self.block_stack = scanned(
+                    cfg.hidden_size, cfg.attention_heads, cfg.ff_multiplier,
+                    cfg.conv_kernel_size, cfg.dropout,
+                    causal=cfg.attention_chunk > 0, group=G, name="blocks")
             self.blocks = None
         else:
             block = ConformerBlock

@@ -481,3 +481,34 @@ def test_depthwise_conv_custom_vjp_matches_autodiff():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(dk_c), np.asarray(dk_r),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_scan_block_group_matches_per_block_layout():
+    """scan_block_group=2 (scan over groups of 2 unrolled blocks) equals
+    the per-block layout on the same weights via the group converter."""
+    from rnntransducer_tpu.models.conformer import (
+        stack_conformer_block_params, unstack_conformer_block_params,
+    )
+
+    L, G = 4, 2
+    cfg_loop = _cfg(layers=L)
+    model_loop = RNNTransducer(cfg_loop)
+    v, feats = _init(model_loop, B=2, T=20)
+    lengths = jnp.array([20, 13])
+    enc_loop, _ = model_loop.apply(v, feats, lengths,
+                                   method=model_loop.encode)
+
+    cfg_scan = dataclasses.replace(
+        cfg_loop, transnet=dataclasses.replace(
+            cfg_loop.transnet, scan_blocks=True, scan_block_group=G))
+    model_scan = RNNTransducer(cfg_scan)
+    p = dict(v["params"])
+    p["encoder"] = stack_conformer_block_params(v["params"]["encoder"], L,
+                                                group=G)
+    enc_scan, _ = model_scan.apply({"params": p}, feats, lengths,
+                                   method=model_scan.encode)
+    np.testing.assert_allclose(np.asarray(enc_scan), np.asarray(enc_loop),
+                               rtol=2e-5, atol=2e-5)
+    back = unstack_conformer_block_params(p["encoder"], L, group=G)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), back, dict(v["params"]["encoder"]))

@@ -14,11 +14,53 @@ invoke.
 import dataclasses
 import json
 import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
 
 import jax
+
+
+def _isolated(test_name: str) -> bool:
+    """Run ``test_name`` in a fresh subprocess and return True (the caller
+    then returns immediately); inside the subprocess return False so the
+    real body runs.
+
+    Why: the Trainer-fit tests here execute the suite's largest XLA:CPU
+    programs (shard_map wavefront/pipeline schedules with ppermute inside
+    fori_loop).  They pass standalone every time, but inside the FULL
+    suite the jaxlib in-process CPU runtime intermittently abort()s during
+    their execution (observed twice, both in wavefront programs, at the
+    loss-value fetch — same family as the cross-partition collective
+    ordering races documented in parallel/mesh.py).  Process isolation
+    keeps a runtime bug in one program from killing the whole suite run;
+    the subprocess reuses the persistent compile cache."""
+    if os.environ.get("RNNT_PP_INNER"):
+        return False
+    env = dict(os.environ, RNNT_PP_INNER="1")
+    for attempt in range(3):
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", f"{__file__}::{test_name}",
+             "-q", "-x", "-p", "no:cacheprovider"],
+            env=env, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=1200)
+        if r.returncode == 0:
+            return True
+        if r.returncode >= 0:
+            break  # a real test failure: no point retrying
+        # negative rc = the jaxlib runtime died on a signal (SIGABRT
+        # observed). The same program passes repeatedly when re-run — the
+        # crash probability rises with host load — so retry the crashed
+        # runtime rather than failing the suite on a jaxlib flake; an
+        # actual assertion failure still fails on the first attempt.
+    assert r.returncode == 0, (
+        f"isolated {test_name} failed rc={r.returncode} "
+        f"after {attempt + 1} attempt(s)\n"
+        f"{r.stdout[-3000:]}\n{r.stderr[-1500:]}")
+    return True
 
 from rnntransducer_tpu.config import (
     AudioConfig, Config, DataConfig, JointNetConfig, ModelConfig,
@@ -91,6 +133,8 @@ def test_trainer_fit_pipeline_loss_parity(tmp_path):
     the same per-step losses as the single-schedule DP run — the pp
     encoder is numerically the plain stack, and dp composition does not
     perturb the step."""
+    if _isolated('test_trainer_fit_pipeline_loss_parity'):
+        return
     ref_cfg = _cfg(tmp_path, name="ref")
     tr_ref = Trainer(ref_cfg, _ds(16), val_dataset=None)
     tr_ref.fit()
@@ -111,6 +155,8 @@ def test_trainer_fit_pipeline_loss_parity(tmp_path):
 def test_trainer_fit_wavefront_loss_parity(tmp_path):
     """Trainer.fit with sequence_parallel=4 (mesh data=2 x time=4) on a
     unidirectional encoder matches the plain DP run step for step."""
+    if _isolated('test_trainer_fit_wavefront_loss_parity'):
+        return
     ref_cfg = _cfg(tmp_path, bidirectional=False, num_layers=2, name="ref")
     tr_ref = Trainer(ref_cfg, _ds(16), val_dataset=None)
     tr_ref.fit()
@@ -133,6 +179,8 @@ def test_pipeline_with_dropout_trains(tmp_path):
     """Training-mode inter-layer dropout through the pp schedule: loss
     finite and decreasing-ish over steps, validate() works (deterministic
     eval path through the same schedule)."""
+    if _isolated('test_pipeline_with_dropout_trains'):
+        return
     cfg = _cfg(tmp_path, dropout=0.2, pipeline_stages=4, max_steps=3)
     tr = Trainer(cfg, _ds(16), val_dataset=_ds(4, seed=9))
     state = tr.fit()
@@ -145,6 +193,8 @@ def test_pipeline_with_dropout_trains(tmp_path):
 
 
 def test_wavefront_with_dropout_trains(tmp_path):
+    if _isolated('test_wavefront_with_dropout_trains'):
+        return
     cfg = _cfg(tmp_path, bidirectional=False, num_layers=2, dropout=0.2,
                sequence_parallel=4, max_steps=2)
     tr = Trainer(cfg, _ds(12), val_dataset=None)
