@@ -68,6 +68,14 @@ def main():
     ap.add_argument("--ckpt", type=str, default=None)
     ap.add_argument("--lm_weight", type=float, default=0.5)
     ap.add_argument("--skip_lm", action="store_true")
+    ap.add_argument("--eval_only", action="store_true",
+                    help="skip training; restore the latest checkpoint from "
+                         "--ckpt (default /tmp/hard_testbed_<system>)")
+    ap.add_argument("--lm_eval_n", type=int, default=24,
+                    help="eval subset for the host beam+word-LM rows (the "
+                         "host A/B search decodes one utterance at a time "
+                         "over the tunnel RPC floor — BASELINE.md; greedy "
+                         "and beam_batched rows use the full --eval_n)")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
@@ -119,12 +127,19 @@ def main():
                                           f"/tmp/hard_testbed_{args.system}"),
                           warmup_ratio=0.1),
     )
-    trainer = Trainer(cfg, train_ds, val_dataset=eval_iv)
-    trainer.fit()
-
-    tok = trainer.tokenizer
+    if args.eval_only:
+        from rnntransducer_tpu.tokenizer import load_tokenizer
+        from rnntransducer_tpu.train.checkpoint import load_decode_params
+        tok = load_tokenizer(cfg.vocab_path,
+                             cfg.model.jointnet.num_classes)
+        params, _ = load_decode_params(cfg.train.checkpoint_dir, cfg)
+    else:
+        trainer = Trainer(cfg, train_ds, val_dataset=eval_iv)
+        trainer.fit()
+        tok = trainer.tokenizer
+        params = trainer.state.params
     model = build_model(cfg)
-    variables = {"params": trainer.state.params}
+    variables = {"params": params}
 
     lm = None
     lm_path = None
@@ -140,9 +155,9 @@ def main():
         from rnntransducer_tpu.decode.ngram_lm import NGramLM
         lm = NGramLM.load(lm_path, weight=args.lm_weight, beta=0.0)
 
-    def run(name, ds, decoder, **kw):
+    def run(name, ds, decoder, n=None, **kw):
         items = [dict(feats=ds[i]["feats"], labels=ds[i]["labels"])
-                 for i in range(len(ds))]
+                 for i in range(n or len(ds))]
         r = evaluate_corpus(model, variables, tok, acfg, items,
                             decoder=decoder, beam_width=4,
                             frame_bucket=256, **kw)
@@ -151,14 +166,19 @@ def main():
                           "decoder": decoder + ("+lm" if kw.get("lm") else ""),
                           "cer": round(s["cer"], 4),
                           "wer": round(s["wer"], 4),
-                          "utts": len(items)}))
+                          "utts": len(items)}), flush=True)
 
     run("heldout_iv", eval_iv, "greedy")
     run("heldout_iv", eval_iv, "beam_batched")
     if lm is not None:
-        run("heldout_iv", eval_iv, "beam", lm=lm)
+        # host beam rows: paired with-vs-without LM on the SAME subset so
+        # the fusion delta is the measured quantity (subset size bounds the
+        # one-utterance-at-a-time host search over the tunnel)
+        run("heldout_iv", eval_iv, "beam", n=args.lm_eval_n)
+        run("heldout_iv", eval_iv, "beam", n=args.lm_eval_n, lm=lm)
         run("heldout_oov", eval_oov, "greedy")
-        run("heldout_oov", eval_oov, "beam", lm=lm)
+        run("heldout_oov", eval_oov, "beam", n=args.lm_eval_n)
+        run("heldout_oov", eval_oov, "beam", n=args.lm_eval_n, lm=lm)
 
 
 if __name__ == "__main__":
