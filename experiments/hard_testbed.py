@@ -91,11 +91,17 @@ def main():
 
     acfg = AudioConfig(spec_augment=True, freq_mask_cnt=1, time_mask_cnt=1,
                        freq_mask_para=12, time_mask_para=16)
-    mk = lambda n, seed, oov: HardPatternedWaveformDataset(
-        n, acfg, seed=seed, oov_fraction=oov)
+    mk = lambda n, seed, oov, **kw: HardPatternedWaveformDataset(
+        n, acfg, seed=seed, oov_fraction=oov, **kw)
     train_ds = mk(args.train_n, 0, 0.0)
     eval_iv = mk(args.eval_n, 50_000, 0.0)    # held out, in-vocab words
     eval_oov = mk(args.eval_n, 60_000, 0.25)  # held out, 25% OOV words
+    # mismatched "stress" set: SNR below the training range and wider
+    # tempo/speaker jitter — the condition ladder real ASR evals use when
+    # the matched set saturates (a strong system CAN reach CER 0.000 on
+    # matched; this rung stays non-zero and keeps ranking systems)
+    eval_stress = mk(args.eval_n, 70_000, 0.0, snr_db_range=(0.0, 5.0),
+                     tempo_range=(0.7, 1.4), speaker_range=(0.85, 1.2))
 
     if args.system == "uni":
         tn = TransNetConfig(input_size=80, hidden_size=384, output_size=256,
@@ -170,14 +176,20 @@ def main():
 
     run("heldout_iv", eval_iv, "greedy")
     run("heldout_iv", eval_iv, "beam_batched")
+    run("heldout_stress", eval_stress, "greedy")
+    run("heldout_oov", eval_oov, "greedy")
     if lm is not None:
-        # host beam rows: paired with-vs-without LM on the SAME subset so
-        # the fusion delta is the measured quantity (subset size bounds the
-        # one-utterance-at-a-time host search over the tunnel)
-        run("heldout_iv", eval_iv, "beam", n=args.lm_eval_n)
-        run("heldout_iv", eval_iv, "beam", n=args.lm_eval_n, lm=lm)
-        run("heldout_oov", eval_oov, "greedy")
-        run("heldout_oov", eval_oov, "beam", n=args.lm_eval_n)
+        # LM-fusion delta: the no-LM anchor is the DEVICE batched beam on
+        # the same subset (cheap), the fused row is the host A/B beam with
+        # the word bigram — paired on identical utterances so the delta is
+        # the measured quantity.  Subset size bounds the host search, which
+        # decodes one utterance at a time over the tunnel RPC floor.
+        # Measured on the stress set (where acoustics are ambiguous and an
+        # LM has something to resolve) and the OOV set (its failure
+        # surface: the LM never saw those words).
+        run("heldout_stress", eval_stress, "beam_batched", n=args.lm_eval_n)
+        run("heldout_stress", eval_stress, "beam", n=args.lm_eval_n, lm=lm)
+        run("heldout_oov", eval_oov, "beam_batched", n=args.lm_eval_n)
         run("heldout_oov", eval_oov, "beam", n=args.lm_eval_n, lm=lm)
 
 
