@@ -61,7 +61,7 @@ def build_bigram_arpa(word_texts, sentences, path):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--system", default="uni",
-                    choices=["uni", "bi", "conformer"])
+                    choices=["uni", "bi", "conformer", "streaming"])
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--train_n", type=int, default=4096)
     ap.add_argument("--eval_n", type=int, default=96)
@@ -111,11 +111,24 @@ def main():
         tn = TransNetConfig(input_size=80, hidden_size=384, output_size=256,
                             num_layers=3, rnn_type="gru", dropout=0.1,
                             bidirectional=True)
-    else:
+    elif args.system == "conformer":
         tn = TransNetConfig(input_size=80, hidden_size=256, output_size=256,
                             num_layers=4, rnn_type="lstm", dropout=0.1,
                             bidirectional=True, arch="conformer",
                             attention_heads=4, scan_blocks=False)
+    else:
+        # the STREAMING product stack (VERDICT r4 item 5): chunked-causal
+        # Conformer (80 ms chunks + 2 left chunks of context, causal conv)
+        # + stateless bigram prednet + FastEmit — the configuration the
+        # streaming decode path would actually ship, on the same ladder
+        # and budget as the offline systems
+        tn = TransNetConfig(input_size=80, hidden_size=256, output_size=256,
+                            num_layers=4, rnn_type="lstm", dropout=0.1,
+                            bidirectional=False, arch="conformer",
+                            attention_heads=4, attention_chunk=8,
+                            attention_left_chunks=2, scan_blocks=False)
+    streaming = args.system == "streaming"
+    pn_type = "stateless" if streaming else "lstm"
     cfg = Config(
         data=DataConfig(audio=acfg, audio_buckets=(128, 192, 256),
                         label_buckets=(32,)),
@@ -123,7 +136,7 @@ def main():
             transnet=tn,
             prednet=PredNetConfig(embedding_size=72, hidden_size=256,
                                   output_size=256, num_layers=1,
-                                  rnn_type="lstm", dropout=0.0),
+                                  rnn_type=pn_type, dropout=0.0),
             jointnet=JointNetConfig(num_classes=72),
         ),
         train=TrainConfig(learning_rate=2e-3, max_steps=args.steps,
@@ -131,7 +144,8 @@ def main():
                           log_every_steps=100, val_every_steps=args.steps // 2,
                           checkpoint_dir=(args.ckpt or
                                           f"/tmp/hard_testbed_{args.system}"),
-                          warmup_ratio=0.1),
+                          warmup_ratio=0.1,
+                          fastemit_lambda=0.01 if streaming else 0.0),
     )
     if args.eval_only:
         from rnntransducer_tpu.tokenizer import load_tokenizer
@@ -178,6 +192,45 @@ def main():
     run("heldout_iv", eval_iv, "beam_batched")
     run("heldout_stress", eval_stress, "greedy")
     run("heldout_oov", eval_oov, "greedy")
+
+    if args.system in ("uni", "streaming"):
+        # emission latency (causal systems only — the streaming rung's
+        # second axis, VERDICT r4 item 5): the testbed's alignment is
+        # known per utterance (label u owns input frames
+        # [u*fpl_i, (u+1)*fpl_i), fpl_i tempo-scaled), so each
+        # correctly-decoded token's delay is emitted_frame - u*fpl_i
+        import numpy as np
+        from rnntransducer_tpu.decode.greedy import greedy_decode_with_times
+        items = [eval_iv[i] for i in range(args.eval_n)]
+        tpad = max(it["feats"].shape[0] for it in items)
+        tpad = ((tpad + 127) // 128) * 128
+        fe = np.zeros((len(items), tpad, 80), np.float32)
+        fl = np.zeros((len(items),), np.int32)
+        for r, it in enumerate(items):
+            fe[r, :it["feats"].shape[0]] = it["feats"]
+            fl[r] = it["feats"].shape[0]
+        toks, lens, times = greedy_decode_with_times(
+            model, variables, jax.numpy.asarray(fe), jax.numpy.asarray(fl),
+            max_output_len=64)
+        toks, lens, times = map(np.asarray, (toks, lens, times))
+        stride = cfg.model.transnet.time_reduction_stride
+        delays, exact = [], 0
+        for r in range(len(items)):
+            hyp = list(toks[r, :lens[r]])
+            if hyp != list(items[r]["labels"]):
+                continue
+            exact += 1
+            fpl = eval_iv._samples_per_label(r) / acfg.hop_length
+            tms = times[r, :lens[r]] * stride
+            delays.extend(float(tms[u]) - u * fpl for u in range(lens[r]))
+        print(json.dumps({
+            "system": args.system, "eval": "heldout_iv",
+            "metric": "emission_delay_frames",
+            "mean_delay": (round(float(np.mean(delays)), 2) if delays
+                           else None),
+            "mean_delay_ms": (round(float(np.mean(delays)) * 10, 1)
+                              if delays else None),
+            "exact_utts": exact, "utts": len(items)}), flush=True)
     if lm is not None:
         # LM-fusion delta: the no-LM anchor is the DEVICE batched beam on
         # the same subset (cheap), the fused row is the host A/B beam with

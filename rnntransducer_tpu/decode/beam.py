@@ -145,7 +145,17 @@ class BeamSearchDecoder:
                  state_beam: float = 4.6, expand_beam: float = 2.3,
                  lm=None, hotwords: Optional[Iterable[str]] = None,
                  hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
-                 max_expansions_per_frame: int = 200):
+                 max_expansions_per_frame: int = 200,
+                 length_norm_alpha: Optional[float] = None,
+                 merge_duplicates: bool = False):
+        """``length_norm_alpha`` / ``merge_duplicates`` are the round-5
+        search options (same semantics as ``beam_batched``'s, see that
+        module's docstring): ``alpha`` ranks the final n-best by
+        ``score / max(emitted_len, 1)**alpha`` (seed blank EXCLUDED)
+        instead of the reference's ``score / len(y_star)``
+        (``transducer.py:360``); ``merge_duplicates`` combines
+        identical-token-sequence hypotheses in B with logsumexp at each
+        frame boundary (per-path scoring otherwise, like the reference)."""
         self.model = model
         self.variables = variables
         self.blank_id = blank_id
@@ -154,6 +164,8 @@ class BeamSearchDecoder:
         self.improved = improved
         self.state_beam = state_beam
         self.expand_beam = expand_beam
+        self.length_norm_alpha = length_norm_alpha
+        self.merge_duplicates = merge_duplicates
         self.lm = lm
         self.hotword_scorer = HotwordScorer.build_scorer(hotwords,
                                                          weight=hotword_weight)
@@ -354,10 +366,36 @@ class BeamSearchDecoder:
         if self._use_lm:
             self._score_lm_beams(B_hyps, session.cached_lm,
                                  session.cached_partial, is_eos=True)
-        nbest = sorted(B_hyps, key=lambda h: self._key(h) / len(h.y_star),
+        if self.length_norm_alpha is not None:
+            a = self.length_norm_alpha
+            rank = lambda h: self._key(h) / max(len(h.y_star) - 1, 1) ** a
+        else:  # reference ranking: seed blank counted (transducer.py:360)
+            rank = lambda h: self._key(h) / len(h.y_star)
+        nbest = sorted(B_hyps, key=rank,
                        reverse=True)[:(n_best or self.beam_width)]
         # strip the leading blank seed token
         return [h.y_star[1:] for h in nbest]
+
+    def _merge_B(self, B_hyps: List[_Hyp]) -> List[_Hyp]:
+        """Frame-boundary duplicate merge (``merge_duplicates``): identical
+        token sequences combine with logsumexp; the better path keeps its
+        prednet state.  The LM part of the key is a pure function of
+        ``y_star`` (identical across duplicates), so it transfers to the
+        merged score unchanged."""
+        by_seq: dict = {}
+        for h in B_hyps:
+            key = tuple(h.y_star)
+            ex = by_seq.get(key)
+            if ex is None:
+                by_seq[key] = h
+                continue
+            lm_part = ex.lm_score - ex.asr_score
+            merged = float(np.logaddexp(ex.asr_score, h.asr_score))
+            keep = ex if ex.asr_score >= h.asr_score else h
+            keep.asr_score = merged
+            keep.lm_score = merged + lm_part
+            by_seq[key] = keep
+        return list(by_seq.values())
 
     # ------------------------------------------------------------- decode
     def decode(self, feats, feat_lengths, n_best: Optional[int] = None
@@ -470,5 +508,9 @@ class BeamSearchDecoder:
                 best_next_B = max(self._key(h) for h in B_hyps)
                 if len(B_hyps) >= self.beam_width and best_next_B > best_next_A:
                     break
+            if self.merge_duplicates and len(B_hyps) > 1:
+                # after the frame's expansion loop: every B hyp is
+                # blank-closed, so merging here is alignment-consistent
+                B_hyps = self._merge_B(B_hyps)
 
         session.B_hyps = B_hyps

@@ -20,6 +20,26 @@ per frame, entirely inside one ``lax.scan``:
 With beam_width=1 this reduces exactly to greedy decoding (tested).  The beam
 state is an explicit ``BeamCarry``, so the same compiled frame scan serves
 offline decoding and chunked streaming (decode/streaming.py).
+
+Principled search options (round 5 — the reference ranking is the default,
+but it measurably LOSES to greedy on noisy audio, BASELINE.md round-4
+stress rung; these flags close that):
+
+* ``length_norm_alpha`` — rank by ``score / max(len, 1)**alpha`` over
+  EMITTED tokens (the seed blank excluded, unlike ``transducer.py:360``):
+  ``alpha=0`` ranks by raw path score (greedy-consistent — the beam can
+  then never prefer a hypothesis greedy would reject on likelihood),
+  ``alpha=1`` is per-token average log-prob, fractional values
+  interpolate (GNMT-style).  ``None`` keeps the reference ranking.
+* ``merge_duplicates`` — frame-synchronous RNN-T search reaches the same
+  token prefix along many blank/emit alignments; per-path scoring (the
+  reference's, kept as default) splits that probability mass across beam
+  slots and lets noise-induced alignment ties crowd out distinct
+  hypotheses.  With merging, identical token sequences are combined once
+  per frame with ``logsumexp`` (the better path's prednet state is kept —
+  the states are identical unless a consecutive-duplicate drop diverged
+  them), i.e. scores approximate marginalization over alignments as in
+  Graves 2012 proper.
 """
 
 from __future__ import annotations
@@ -80,11 +100,33 @@ def init_beam_carry(model: RNNTransducer, variables, batch: int,
     )
 
 
-@partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols"))
+def _merge_duplicate_hyps(scores, tokens, lens):
+    """Marginalize identical token sequences: for each group of beam slots
+    holding the same (lens, tokens) sequence, the best-scoring slot gets the
+    group's logsumexp score and the rest drop to NEG.  Token buffers are
+    blank-filled past ``lens`` (init + append discipline), so whole-buffer
+    equality == prefix equality.  O(K^2 L) elementwise — negligible for
+    serving-size K."""
+    B, K = scores.shape
+    same = ((lens[:, :, None] == lens[:, None, :])
+            & jnp.all(tokens[:, :, None, :] == tokens[:, None, :, :],
+                      axis=-1))  # (B, K, K) — an equivalence relation
+    group = jnp.where(same, scores[:, None, :], NEG)  # row i: scores of i's group
+    merged = jax.scipy.special.logsumexp(group, axis=-1)
+    # representative = the group's argmax slot (ties -> lowest index);
+    # every member computes the same best_j, so exactly one slot survives
+    best_j = jnp.argmax(group, axis=-1)  # (B, K)
+    is_rep = best_j == jnp.arange(K)[None, :]
+    return jnp.where(is_rep, merged, NEG)
+
+
+@partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols",
+                                   "merge_duplicates"))
 def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
                        carry: BeamCarry, blank_id: int = 0,
                        max_symbols: int = 3, lm_table=None,
-                       lm_weight=0.0) -> BeamCarry:
+                       lm_weight=0.0,
+                       merge_duplicates: bool = False) -> BeamCarry:
     """(beam width is carry.scores.shape[1] — set by init_beam_carry)
 
     ``lm_table``: optional dense char-LM table, shape (V,) * order
@@ -203,6 +245,10 @@ def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
         # blank-close hypotheses that exhausted the round budget
         logp = joint(enc_bk, dec_out).reshape(B, K, V)
         scores = jnp.where(done, scores, scores + logp[..., blank_id])
+        if merge_duplicates:
+            # all hypotheses are blank-closed at this point, so merging at
+            # the frame boundary is alignment-consistent (module docstring)
+            scores = _merge_duplicate_hyps(scores, tokens, lens)
 
         # skip invalid frames entirely
         fv = frame_valid
@@ -223,13 +269,23 @@ def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
     return carry
 
 
-@partial(jax.jit, static_argnames=("length_norm",))
-def rank_beam(carry: BeamCarry, length_norm: bool = True):
+def _rank_scores(scores, lens, length_norm: bool, alpha):
+    """The ranking key: reference ``score/(len+1)`` when ``alpha`` is None
+    (``transducer.py:360``, seed blank counted), else the round-5 dial
+    ``score / max(len, 1)**alpha`` over emitted tokens (module docstring)."""
+    if alpha is not None:
+        return scores / jnp.maximum(lens, 1).astype(scores.dtype) ** alpha
+    return scores / (lens + 1) if length_norm else scores
+
+
+@partial(jax.jit, static_argnames=("length_norm", "length_norm_alpha"))
+def rank_beam(carry: BeamCarry, length_norm: bool = True,
+              length_norm_alpha=None):
     """Sort hypotheses best-first: (tokens (B,K,L), lens (B,K), scores).
     Jitted: polled per-chunk by streaming partials, where eager dispatch costs
     one tunnel round trip per op (measured ~0.9 s/poll eager vs one call)."""
     scores, tokens, lens = carry.scores, carry.tokens, carry.lens
-    rank = scores / (lens + 1) if length_norm else scores
+    rank = _rank_scores(scores, lens, length_norm, length_norm_alpha)
     order = jnp.argsort(-rank, axis=1)
     scores = jnp.take_along_axis(scores, order, axis=1)
     lens = jnp.take_along_axis(lens, order, axis=1)
@@ -262,18 +318,22 @@ def best_hyp(carry: BeamCarry, length_norm: bool = True):
 
 @partial(jax.jit, static_argnames=("model", "blank_id", "beam_width",
                                    "max_symbols", "max_output_len",
-                                   "length_norm"))
+                                   "length_norm", "length_norm_alpha",
+                                   "merge_duplicates"))
 def batched_beam_decode(model: RNNTransducer, variables, feats, feat_lengths,
                         blank_id: int = 0, beam_width: int = 4,
                         max_symbols: int = 3, max_output_len: int = 256,
-                        length_norm: bool = True, device_lm=None
+                        length_norm: bool = True, device_lm=None,
+                        length_norm_alpha=None, merge_duplicates: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Offline path: encode feats (B, T, n_mels), run the beam frame scan,
     rank. Returns (tokens (B, K, max_output_len), lengths (B, K),
     scores (B, K)) best-first.
 
     ``device_lm``: optional ``decode.device_lm.DeviceCharLM`` — on-device
-    grapheme-level shallow fusion inside the frame scan."""
+    grapheme-level shallow fusion inside the frame scan.
+    ``length_norm_alpha`` / ``merge_duplicates``: the round-5 search
+    options (module docstring); defaults keep reference behavior."""
     feats = match_param_dtype(variables, feats)
     enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
     enc_lengths = model.cfg.transnet.output_lengths(feat_lengths)
@@ -283,5 +343,6 @@ def batched_beam_decode(model: RNNTransducer, variables, feats, feat_lengths,
     carry = beam_decode_frames(
         model, variables, enc, enc_lengths, carry, blank_id, max_symbols,
         lm_table=jnp.asarray(device_lm.table) if device_lm else None,
-        lm_weight=device_lm.weight if device_lm else 0.0)
-    return rank_beam(carry, length_norm)
+        lm_weight=device_lm.weight if device_lm else 0.0,
+        merge_duplicates=merge_duplicates)
+    return rank_beam(carry, length_norm, length_norm_alpha)

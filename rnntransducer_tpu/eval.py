@@ -83,7 +83,9 @@ def evaluate_corpus(model: RNNTransducer, variables, tok: GraphemeTokenizer,
                     max_output_len: int = 256, frame_bucket: int = 128,
                     ids: Optional[Sequence[str]] = None,
                     oracle_nbest: bool = False,
-                    precision: Optional[str] = None) -> EvalResult:
+                    precision: Optional[str] = None,
+                    length_norm_alpha: Optional[float] = None,
+                    merge_duplicates: bool = False) -> EvalResult:
     """Decode every item and score against its reference.
 
     ``items``: iterable of dicts carrying ``labels`` (int grapheme ids, the
@@ -152,7 +154,9 @@ def evaluate_corpus(model: RNNTransducer, variables, tok: GraphemeTokenizer,
             model, variables, blank_id=tok.blank_token_id, tokenizer=tok,
             beam_width=beam_width, improved=improved, state_beam=state_beam,
             expand_beam=expand_beam, lm=lm, hotwords=hotwords,
-            hotword_weight=hotword_weight)
+            hotword_weight=hotword_weight,
+            length_norm_alpha=length_norm_alpha,
+            merge_duplicates=merge_duplicates)
 
     for lo in range(0, len(order), batch_size):
         idxs = order[lo:lo + batch_size]
@@ -193,7 +197,8 @@ def evaluate_corpus(model: RNNTransducer, variables, tok: GraphemeTokenizer,
                 model, variables, feats, feat_lengths,
                 blank_id=tok.blank_token_id, beam_width=beam_width,
                 max_symbols=max_symbols, max_output_len=max_output_len,
-                device_lm=device_lm)
+                device_lm=device_lm, length_norm_alpha=length_norm_alpha,
+                merge_duplicates=merge_duplicates)
             toks, lens = np.asarray(toks), np.asarray(lens)
             rows = [list(toks[r, 0, :lens[r, 0]]) for r in range(b)]
             if oracle_nbest:

@@ -204,3 +204,142 @@ def test_batched_beam_matches_numpy_oracle():
     for b in range(2):
         got = list(toks[b, 0, :lens[b, 0]])
         assert got == want[b], (b, got, want[b])
+
+
+# ------------------------- round-5 search options (VERDICT r4 item 2) ----
+
+def test_merge_duplicates_single_frame_exact():
+    """T=1: merging happens once, after the only frame's expansion rounds,
+    so the merged run must equal the unmerged run's slots grouped by token
+    sequence with logsumexp — an exact invariant (no trajectory divergence
+    before the merge point)."""
+    from scipy.special import logsumexp
+
+    model, variables = _make_model(seed=11, V=6)
+    rng = np.random.RandomState(7)
+    feats = jnp.asarray(rng.randn(1, 1, 6).astype(np.float32) * 2)
+    lengths = jnp.array([1], jnp.int32)
+    tu, lu, su = batched_beam_decode(model, variables, feats, lengths,
+                                     beam_width=8, max_symbols=3,
+                                     max_output_len=8, length_norm=False)
+    tm, lm_, sm = batched_beam_decode(model, variables, feats, lengths,
+                                      beam_width=8, max_symbols=3,
+                                      max_output_len=8, length_norm=False,
+                                      merge_duplicates=True)
+    tu, lu, su = np.asarray(tu), np.asarray(lu), np.asarray(su)
+    tm, lm_, sm = np.asarray(tm), np.asarray(lm_), np.asarray(sm)
+    groups = {}
+    for k in range(8):
+        if su[0, k] < -1e29:
+            continue
+        groups.setdefault(tuple(tu[0, k, :lu[0, k]]), []).append(su[0, k])
+    want = {seq: float(logsumexp(np.array(ss))) for seq, ss in groups.items()}
+    got = {tuple(tm[0, k, :lm_[0, k]]): float(sm[0, k])
+           for k in range(8) if sm[0, k] > -1e29}
+    # every surviving merged slot holds a distinct sequence at the group's
+    # logsumexp score
+    assert len(got) == len(want), (got, want)
+    for seq, sc in got.items():
+        np.testing.assert_allclose(sc, want[seq], atol=1e-4)
+
+
+def test_merge_duplicates_distinct_and_mass_monotone():
+    """With merging, surviving slots hold pairwise-distinct sequences and
+    the top raw score can only gain mass vs per-path scoring."""
+    model, variables = _make_model(seed=5)
+    rng = np.random.RandomState(1)
+    feats = jnp.asarray(rng.randn(2, 9, 6).astype(np.float32) * 2)
+    lengths = jnp.array([9, 7], jnp.int32)
+    _, _, su = batched_beam_decode(model, variables, feats, lengths,
+                                   beam_width=8, length_norm=False)
+    tm, lm_, sm = batched_beam_decode(model, variables, feats, lengths,
+                                      beam_width=8, length_norm=False,
+                                      merge_duplicates=True)
+    tm, lm_, sm = np.asarray(tm), np.asarray(lm_), np.asarray(sm)
+    for b in range(2):
+        seqs = [tuple(tm[b, k, :lm_[b, k]]) for k in range(8)
+                if sm[b, k] > -1e29]
+        assert len(seqs) == len(set(seqs)), seqs
+        assert float(sm[b, 0]) >= float(np.asarray(su)[b, 0]) - 1e-5
+
+
+def test_length_norm_alpha_zero_is_raw_score_ranking():
+    """alpha=0 divides by len**0 == 1: identical ranking to raw scores."""
+    model, variables = _make_model(seed=7)
+    rng = np.random.RandomState(2)
+    feats = jnp.asarray(rng.randn(2, 9, 6).astype(np.float32) * 2)
+    lengths = jnp.array([9, 9], jnp.int32)
+    t0, l0, s0 = batched_beam_decode(model, variables, feats, lengths,
+                                     beam_width=4, length_norm=False)
+    ta, la, sa = batched_beam_decode(model, variables, feats, lengths,
+                                     beam_width=4, length_norm_alpha=0.0)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(ta))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(la))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(sa), atol=1e-6)
+
+
+def test_length_norm_alpha_dial_changes_ranking_key_only():
+    """The alpha dial reorders the SAME hypothesis set (scores and token
+    buffers agree as sets across alphas; only the order differs)."""
+    model, variables = _make_model(seed=9)
+    feats = jnp.asarray(np.random.RandomState(3).randn(1, 8, 6)
+                        .astype(np.float32) * 2)
+    lengths = jnp.array([8], jnp.int32)
+    outs = {}
+    for alpha in (0.0, 0.5, 1.0):
+        t, l, s = batched_beam_decode(model, variables, feats, lengths,
+                                      beam_width=4,
+                                      length_norm_alpha=alpha)
+        outs[alpha] = sorted(round(float(x), 5) for x in np.asarray(s)[0])
+    assert outs[0.0] == outs[0.5] == outs[1.0]
+
+
+def test_host_beam_merge_and_alpha():
+    """Host A/B beam: merging yields pairwise-distinct n-best sequences;
+    the alpha dial runs and returns a non-empty n-best."""
+    from rnntransducer_tpu.decode.beam import BeamSearchDecoder
+
+    model, variables = _make_model(seed=3, V=6)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(1, 5, 6).astype(np.float32) * 2)
+    lengths = jnp.array([5], jnp.int32)
+    plain = BeamSearchDecoder(model, variables, blank_id=0, beam_width=6,
+                              improved=False)
+    merged = BeamSearchDecoder(model, variables, blank_id=0, beam_width=6,
+                               improved=False, merge_duplicates=True,
+                               length_norm_alpha=0.0)
+    nb_p = plain.decode(feats, lengths)
+    nb_m = merged.decode(feats, lengths)
+    assert nb_p and nb_m
+    seqs = [tuple(y) for y in nb_m]
+    assert len(seqs) == len(set(seqs)), seqs
+
+
+def test_host_beam_merge_single_frame_exact():
+    """Host analogue of the T=1 exactness: merged B equals the unmerged B
+    grouped by sequence with logsumexp on asr_score."""
+    from scipy.special import logsumexp
+
+    from rnntransducer_tpu.decode.beam import BeamSearchDecoder
+
+    model, variables = _make_model(seed=13, V=6)
+    rng = np.random.RandomState(5)
+    feats = jnp.asarray(rng.randn(1, 1, 6).astype(np.float32) * 2)
+    enc = np.asarray(model.apply(variables, feats, jnp.array([1]),
+                                 method=model.encode)[0][0])
+    plain = BeamSearchDecoder(model, variables, blank_id=0, beam_width=6,
+                              improved=False)
+    merged = BeamSearchDecoder(model, variables, blank_id=0, beam_width=6,
+                               improved=False, merge_duplicates=True)
+    sp = plain.open_session()
+    plain.decode_frames(sp, enc)
+    sm = merged.open_session()
+    merged.decode_frames(sm, enc)
+    groups = {}
+    for h in sp.B_hyps:
+        groups.setdefault(tuple(h.y_star), []).append(h.asr_score)
+    want = {seq: float(logsumexp(np.array(ss))) for seq, ss in groups.items()}
+    got = {tuple(h.y_star): h.asr_score for h in sm.B_hyps}
+    assert set(got) == set(want)
+    for seq in got:
+        np.testing.assert_allclose(got[seq], want[seq], atol=1e-9)
