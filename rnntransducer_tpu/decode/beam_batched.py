@@ -62,7 +62,9 @@ class BeamCarry(NamedTuple):
     (B, K); tokens (B, K, L); dec_out (B*K, Dd); state: prednet RNNState
     over batch B*K; ctx (B, K, order-1) last-emitted-grapheme history for
     device-resident char-LM fusion (None — no pytree leaf — when unused,
-    so LM-free carries are unchanged from earlier rounds)."""
+    so LM-free carries are unchanged from earlier rounds); wlm_state /
+    wlm_node (B, K) word-LM state + lexicon-trie node for device
+    word-boundary fusion (``device_word_lm.py``; None when unused)."""
     scores: jnp.ndarray
     tokens: jnp.ndarray
     lens: jnp.ndarray
@@ -70,17 +72,25 @@ class BeamCarry(NamedTuple):
     dec_out: jnp.ndarray
     state: RNNState
     ctx: Optional[jnp.ndarray] = None
+    wlm_state: Optional[jnp.ndarray] = None
+    wlm_node: Optional[jnp.ndarray] = None
 
 
 @partial(jax.jit, static_argnames=("model", "batch", "beam_width", "blank_id",
-                                   "max_output_len", "lm_context"))
+                                   "max_output_len", "lm_context",
+                                   "word_lm_start"))
 def init_beam_carry(model: RNNTransducer, variables, batch: int,
                     beam_width: int, blank_id: int = 0,
                     max_output_len: int = 256,
-                    lm_context: int = 0) -> BeamCarry:
+                    lm_context: int = 0,
+                    word_lm_start: int = -1) -> BeamCarry:
     """``lm_context > 0`` adds a (B, K, lm_context) emitted-grapheme history
     for device char-LM fusion (``decode/device_lm.py``); pass the LM's
-    ``.context`` (order - 1). Blank-filled = no history yet."""
+    ``.context`` (order - 1). Blank-filled = no history yet.
+
+    ``word_lm_start >= 0`` adds the word-boundary fusion state
+    (``decode/device_word_lm.py``): every hypothesis starts in LM state
+    ``word_lm_start`` (the LM's ``<s>`` row) at the lexicon-trie root."""
     B, K = batch, beam_width
     blank_flat = jnp.full((B * K,), blank_id, jnp.int32)
     dec_out0, state0 = model.apply(variables, blank_flat, None,
@@ -97,6 +107,10 @@ def init_beam_carry(model: RNNTransducer, variables, batch: int,
         state=state0,
         ctx=(jnp.full((B, K, lm_context), blank_id, jnp.int32)
              if lm_context > 0 else None),
+        wlm_state=(jnp.full((B, K), word_lm_start, jnp.int32)
+                   if word_lm_start >= 0 else None),
+        wlm_node=(jnp.zeros((B, K), jnp.int32)
+                  if word_lm_start >= 0 else None),
     )
 
 
@@ -126,14 +140,21 @@ def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
                        carry: BeamCarry, blank_id: int = 0,
                        max_symbols: int = 3, lm_table=None,
                        lm_weight=0.0,
-                       merge_duplicates: bool = False) -> BeamCarry:
+                       merge_duplicates: bool = False,
+                       word_lm=None) -> BeamCarry:
     """(beam width is carry.scores.shape[1] — set by init_beam_carry)
 
     ``lm_table``: optional dense char-LM table, shape (V,) * order
     (``decode/device_lm.py``) — every non-blank extension gains
     ``lm_weight * ln p(tok | ctx)`` gathered from it on-device; requires
     the carry to hold a ctx of order-1 tokens (init_beam_carry
-    ``lm_context``)."""
+    ``lm_context``).
+
+    ``word_lm``: optional ``decode.device_word_lm.DeviceWordLM`` —
+    word-boundary fusion inside the scan: a delimiter extension gains the
+    just-completed word's fused n-gram score from the HBM tables (that
+    module's docstring); requires the carry's wlm fields
+    (init_beam_carry ``word_lm_start``)."""
     # Advance the beam over encoder frames enc (B, T, De), valid up to
     # enc_lengths (B,). Compiled once per (B, T) shape.
     B, K = carry.scores.shape
@@ -145,6 +166,10 @@ def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
             raise ValueError(
                 f"carry ctx holds {carry.ctx.shape[2]} tokens of history "
                 f"but the LM table is order {lm_table.ndim}")
+    if word_lm is not None and carry.wlm_state is None:
+        raise ValueError("word_lm given but the beam carry has no word-LM "
+                         "state — init_beam_carry(word_lm_start=...)")
+    wlm_delim = word_lm.delimiter_id if word_lm is not None else -1
     V = model.cfg.jointnet.num_classes
     max_output_len = carry.tokens.shape[2]
     enc_t = jnp.swapaxes(enc, 0, 1)  # (T, B, De)
@@ -174,14 +199,17 @@ def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
 
     def frame_step(c: BeamCarry, inp):
         enc_i, t = inp
-        scores, tokens, lens, last, dec_out, state, ctx = c
+        (scores, tokens, lens, last, dec_out, state, ctx,
+         wlm_s, wlm_n) = c
         frame_valid = (t < enc_lengths.astype(jnp.int32))  # (B,)
         done = jnp.zeros((B, K), bool)
         enc_bk = jnp.repeat(enc_i, K, axis=0)
 
-        new = (scores, tokens, lens, last, dec_out, state, ctx)
+        new = (scores, tokens, lens, last, dec_out, state, ctx,
+               wlm_s, wlm_n)
         for _ in range(max_symbols):
-            scores, tokens, lens, last, dec_out, state, ctx = new
+            (scores, tokens, lens, last, dec_out, state, ctx,
+             wlm_s, wlm_n) = new
             logp = joint(enc_bk, dec_out).reshape(B, K, V)
             stay = jnp.where(done, scores, scores + logp[..., blank_id])
             ext = scores[..., None] + logp
@@ -191,6 +219,16 @@ def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
                 rows = lm_table[tuple(ctx[..., i]
                                       for i in range(ctx.shape[2]))]
                 ext = ext + lm_weight * rows
+            if word_lm is not None:
+                # word-boundary fusion: the delimiter extension closes the
+                # in-progress word — its fused n-gram score (alpha/beta
+                # baked in the table) joins the candidate BEFORE top-K, so
+                # the LM steers the search, not just the final ranking.
+                # An empty current word (trie root) scores nothing.
+                completed = word_lm.node_word[wlm_n]        # (B, K)
+                bonus = word_lm.rows[wlm_s, completed]
+                bonus = jnp.where(wlm_n == 0, 0.0, bonus)
+                ext = ext.at[..., wlm_delim].add(bonus)
             ext = ext.at[..., blank_id].set(NEG)
             ext = jnp.where(done[..., None], NEG, ext)
             pool = jnp.concatenate([stay, ext.reshape(B, K * V)], axis=1)
@@ -216,6 +254,25 @@ def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
                 ctx_n = jnp.where(append[..., None], shifted, ctx_g)
             else:
                 ctx_n = None
+            if word_lm is not None:
+                # word-LM bookkeeping follows the token buffer exactly:
+                # an appended delimiter commits the completed word (OOV /
+                # un-LM'd words keep the previous state, host semantics)
+                # and resets the trie walk; an appended grapheme advances
+                # the trie; duplicate-drops and stays change nothing
+                wlm_s_g = jnp.take_along_axis(wlm_s, parent, axis=1)
+                wlm_n_g = jnp.take_along_axis(wlm_n, parent, axis=1)
+                is_delim = tok == wlm_delim
+                completed_g = word_lm.node_word[wlm_n_g]
+                ns_cand = word_lm.next_state[completed_g]
+                committed = jnp.where(ns_cand >= 0, ns_cand, wlm_s_g)
+                wlm_s_n = jnp.where(append & is_delim & (wlm_n_g != 0),
+                                    committed, wlm_s_g)
+                walk = word_lm.trie_next[wlm_n_g, tok]
+                wlm_n_n = jnp.where(append,
+                                    jnp.where(is_delim, 0, walk), wlm_n_g)
+            else:
+                wlm_s_n = wlm_n_n = None
             idx = jnp.minimum(lens_g, max_output_len - 1)
             cur = jnp.take_along_axis(tokens_g, idx[..., None], axis=2)[..., 0]
             tokens_n = jnp.where(
@@ -239,9 +296,11 @@ def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
 
             state_n = jax.tree.map(mix, state_g, nst)
             done = is_stay
-            new = (top_sc, tokens_n, lens_n, last_n, dec_n, state_n, ctx_n)
+            new = (top_sc, tokens_n, lens_n, last_n, dec_n, state_n, ctx_n,
+                   wlm_s_n, wlm_n_n)
 
-        scores, tokens, lens, last, dec_out, state, ctx = new
+        (scores, tokens, lens, last, dec_out, state, ctx,
+         wlm_s, wlm_n) = new
         # blank-close hypotheses that exhausted the round budget
         logp = joint(enc_bk, dec_out).reshape(B, K, V)
         scores = jnp.where(done, scores, scores + logp[..., blank_id])
@@ -261,12 +320,36 @@ def beam_decode_frames(model: RNNTransducer, variables, enc, enc_lengths,
                         pick(lens, c.lens), pick(last, c.last),
                         jnp.where(fv.repeat(K)[:, None], dec_out, c.dec_out),
                         pick_state(state, c.state),
-                        pick(ctx, c.ctx) if ctx is not None else None)
+                        pick(ctx, c.ctx) if ctx is not None else None,
+                        pick(wlm_s, c.wlm_state) if wlm_s is not None
+                        else None,
+                        pick(wlm_n, c.wlm_node) if wlm_n is not None
+                        else None)
         return out, None
 
     ts = jnp.arange(enc_t.shape[0], dtype=jnp.int32)
     carry, _ = jax.lax.scan(frame_step, carry, (enc_t, ts))
     return carry
+
+
+@jax.jit
+def settle_word_lm(carry: BeamCarry, word_lm) -> BeamCarry:
+    """End-of-stream word-LM settling (the host path's ``is_last_word``
+    semantics, ngram_lm.py ``score``): the in-progress word — trie node
+    not at root — is scored from the current LM state, then ``</s>`` from
+    the resulting state.  Returns a carry with adjusted scores (wlm fields
+    untouched); call ONCE before the final ranking.  Streaming partial
+    polls rank the unsettled carry — mid-stream there is no EOS event."""
+    completed = word_lm.node_word[carry.wlm_node]
+    at_root = carry.wlm_node == 0
+    word_bonus = jnp.where(at_root, 0.0,
+                           word_lm.rows[carry.wlm_state, completed])
+    ns_cand = word_lm.next_state[completed]
+    final_state = jnp.where(
+        at_root, carry.wlm_state,
+        jnp.where(ns_cand >= 0, ns_cand, carry.wlm_state))
+    eos_bonus = word_lm.eos_col[final_state]
+    return carry._replace(scores=carry.scores + word_bonus + eos_bonus)
 
 
 def _rank_scores(scores, lens, length_norm: bool, alpha):
@@ -324,7 +407,8 @@ def batched_beam_decode(model: RNNTransducer, variables, feats, feat_lengths,
                         blank_id: int = 0, beam_width: int = 4,
                         max_symbols: int = 3, max_output_len: int = 256,
                         length_norm: bool = True, device_lm=None,
-                        length_norm_alpha=None, merge_duplicates: bool = False
+                        length_norm_alpha=None, merge_duplicates: bool = False,
+                        word_lm=None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Offline path: encode feats (B, T, n_mels), run the beam frame scan,
     rank. Returns (tokens (B, K, max_output_len), lengths (B, K),
@@ -332,17 +416,24 @@ def batched_beam_decode(model: RNNTransducer, variables, feats, feat_lengths,
 
     ``device_lm``: optional ``decode.device_lm.DeviceCharLM`` — on-device
     grapheme-level shallow fusion inside the frame scan.
+    ``word_lm``: optional ``decode.device_word_lm.DeviceWordLM`` —
+    on-device word-boundary fusion inside the scan + EOS settling before
+    the ranking (that module's docstring).
     ``length_norm_alpha`` / ``merge_duplicates``: the round-5 search
     options (module docstring); defaults keep reference behavior."""
     feats = match_param_dtype(variables, feats)
     enc, _ = model.apply(variables, feats, feat_lengths, method=model.encode)
     enc_lengths = model.cfg.transnet.output_lengths(feat_lengths)
-    carry = init_beam_carry(model, variables, feats.shape[0], beam_width,
-                            blank_id, max_output_len,
-                            lm_context=device_lm.context if device_lm else 0)
+    carry = init_beam_carry(
+        model, variables, feats.shape[0], beam_width, blank_id,
+        max_output_len,
+        lm_context=device_lm.context if device_lm else 0,
+        word_lm_start=word_lm.start_state if word_lm is not None else -1)
     carry = beam_decode_frames(
         model, variables, enc, enc_lengths, carry, blank_id, max_symbols,
         lm_table=jnp.asarray(device_lm.table) if device_lm else None,
         lm_weight=device_lm.weight if device_lm else 0.0,
-        merge_duplicates=merge_duplicates)
+        merge_duplicates=merge_duplicates, word_lm=word_lm)
+    if word_lm is not None:
+        carry = settle_word_lm(carry, word_lm)
     return rank_beam(carry, length_norm, length_norm_alpha)

@@ -53,6 +53,7 @@ import jax.numpy as jnp
 from rnntransducer_tpu.config import AudioConfig
 from rnntransducer_tpu.decode.beam_batched import (
     BeamCarry, beam_decode_frames, best_hyp_all, init_beam_carry,
+    settle_word_lm,
 )
 from rnntransducer_tpu.decode.greedy import (
     GreedyCarry, greedy_decode_frames, init_greedy_carry,
@@ -84,14 +85,16 @@ def _batched_chunk_step(model: RNNTransducer, variables, feats, n_valid,
 @partial(jax.jit, static_argnames=("model", "blank_id", "max_symbols"))
 def _batched_chunk_step_beam(model: RNNTransducer, variables, feats, n_valid,
                              enc_state, carry: BeamCarry, blank_id: int,
-                             max_symbols: int, lm_table=None, lm_weight=0.0):
+                             max_symbols: int, lm_table=None, lm_weight=0.0,
+                             word_lm=None):
     feats = match_param_dtype(variables, feats)
     enc, new_enc_state = model.apply(variables, feats, n_valid,
                                      enc_state, method=model.encode)
     n_enc = model.cfg.transnet.output_lengths(n_valid)
     new_carry = beam_decode_frames(model, variables, enc, n_enc, carry,
                                    blank_id, max_symbols,
-                                   lm_table=lm_table, lm_weight=lm_weight)
+                                   lm_table=lm_table, lm_weight=lm_weight,
+                                   word_lm=word_lm)
     return new_enc_state, new_carry
 
 
@@ -116,9 +119,10 @@ def _reset_enc_slot(enc_state, slot):
     return RNNState(h, c)
 
 
-@partial(jax.jit, static_argnames=("model", "beam_width"))
+@partial(jax.jit, static_argnames=("model", "beam_width", "word_lm_start"))
 def _reset_slot_beam(model: RNNTransducer, variables, enc_state,
-                     carry: BeamCarry, slot, blank_id, beam_width: int):
+                     carry: BeamCarry, slot, blank_id, beam_width: int,
+                     word_lm_start: int = -1):
     """Re-initialize one beam lane: B-dims at row ``slot``, flat (B*K)
     dims at rows [slot*K, (slot+1)*K)."""
     K = beam_width
@@ -152,7 +156,13 @@ def _reset_slot_beam(model: RNNTransducer, variables, enc_state,
             else put_flat(carry.state.c, state0.c)),
         # device char-LM history (when carried): blank = no history yet
         ctx=(None if carry.ctx is None
-             else carry.ctx.at[slot].set(blank_id)))
+             else carry.ctx.at[slot].set(blank_id)),
+        # device word-LM bookkeeping (when carried): fresh lanes restart
+        # at the LM's <s> state and the lexicon-trie root
+        wlm_state=(None if carry.wlm_state is None
+                   else carry.wlm_state.at[slot].set(word_lm_start)),
+        wlm_node=(None if carry.wlm_node is None
+                  else carry.wlm_node.at[slot].set(0)))
     return RNNState(h, c), new_carry
 
 
@@ -255,7 +265,13 @@ class BatchedSession:
                 self._feat_buf = np.concatenate([self._feat_buf, feats])
         self._runner.drain(final_session=self)
         if self._runner.decoder == "beam":
-            out = self.tokens  # final ranked best
+            if self._runner._word_lm is not None:
+                # word-LM lanes: the final ranked best is EOS-settled (the
+                # in-progress word + </s> scored) — one extra device call
+                # per flush, never per tick
+                out = self._runner.settled_slot_tokens(self.slot)
+            else:
+                out = self.tokens  # final ranked best
         else:
             out = self._new_tokens()
             self._final_times = self.timestamps  # before the slot is reused
@@ -304,7 +320,7 @@ class BatchedStreamingRunner:
                  lm=None, hotwords=None, hotword_weight=None, tokenizer=None,
                  improved: bool = True, state_beam: float = 4.6,
                  expand_beam: float = 2.3, device_lm=None,
-                 precision: Optional[str] = None):
+                 precision: Optional[str] = None, word_lm=None):
         """mesh: optional 1-D jax.sharding Mesh ("data" axis) — session
         lanes shard across its devices (params replicated), scaling serve
         capacity with chip count; lanes are independent, so the tick
@@ -325,7 +341,18 @@ class BatchedStreamingRunner:
         the dense LM table lives in HBM and every lane's extensions gain
         ``weight * ln p(c|ctx)`` with zero host round trips, so fusion adds
         nothing to the tick's host path.  Mutually exclusive with the host
-        ``lm``/``hotwords`` fused mode."""
+        ``lm``/``hotwords`` fused mode.
+
+        ``word_lm`` (decode/device_word_lm.DeviceWordLM, ``decoder="beam"``
+        only): WORD-boundary n-gram fusion inside the batched beam tick —
+        the round-5 answer to the measured failure of host word-LM fusion
+        under streaming load (BASELINE.md round 4: per-expansion host ARPA
+        scoring serializes all lanes; with-LM sweeps never completed).
+        The lexicon trie + word-bigram tables live in HBM; each lane's
+        delimiter extensions gain the completed word's fused score with
+        zero host round trips.  ``flush()`` serves the EOS-settled ranked
+        best.  Composable with ``device_lm``; mutually exclusive with the
+        host fused mode."""
         if model.cfg.transnet.bidirectional:
             raise ValueError("streaming requires a unidirectional encoder")
         stride = model.cfg.transnet.time_reduction_stride
@@ -351,6 +378,13 @@ class BatchedStreamingRunner:
             if self.fused:
                 raise ValueError(
                     "device_lm (on-device char fusion) and lm/hotwords "
+                    "(host word-level fusion) are mutually exclusive")
+        if word_lm is not None:
+            if decoder != "beam":
+                raise ValueError("word_lm requires decoder='beam'")
+            if self.fused:
+                raise ValueError(
+                    "word_lm (on-device word fusion) and lm/hotwords "
                     "(host word-level fusion) are mutually exclusive")
         if self.fused and mesh is not None:
             raise ValueError(
@@ -407,13 +441,16 @@ class BatchedStreamingRunner:
             self._carry = init_beam_carry(
                 model, variables, max_sessions, beam_width, blank_id,
                 max_output_len,
-                lm_context=device_lm.context if device_lm is not None else 0)
+                lm_context=device_lm.context if device_lm is not None else 0,
+                word_lm_start=(word_lm.start_state if word_lm is not None
+                               else -1))
         else:
             self._carry = init_greedy_carry(model, variables, max_sessions,
                                             blank_id, max_output_len)
         self._lm_table = (jnp.asarray(device_lm.table)
                           if device_lm is not None else None)
         self._lm_weight = device_lm.weight if device_lm is not None else 0.0
+        self._word_lm = word_lm
         if mesh is not None:
             # lanes shard over the mesh: the session/batch axis of every
             # persistent leaf splits (recurrent states carry it at axis 2,
@@ -426,6 +463,9 @@ class BatchedStreamingRunner:
                 # the LM table is read-only lookup state — replicate like
                 # params so every shard gathers locally
                 self._lm_table = replicate(mesh, self._lm_table)
+            if self._word_lm is not None:
+                # DeviceWordLM is a registered pytree of read-only tables
+                self._word_lm = replicate(mesh, self._word_lm)
             self._enc_state = jax.tree.map(
                 lambda a: jax.device_put(a, self._lane_sharding(a)),
                 self._enc_state)
@@ -471,7 +511,9 @@ class BatchedStreamingRunner:
             elif self.decoder == "beam":
                 self._enc_state, self._carry = _reset_slot_beam(
                     self.model, self.variables, self._enc_state, self._carry,
-                    slot, self.blank_id, self.beam_width)
+                    slot, self.blank_id, self.beam_width,
+                    word_lm_start=(self._word_lm.start_state
+                                   if self._word_lm is not None else -1))
             else:
                 self._enc_state, self._carry = _reset_slot(
                     self.model, self.variables, self._enc_state, self._carry,
@@ -492,6 +534,15 @@ class BatchedStreamingRunner:
             self._live.pop(sess.slot, None)
             self._host_sessions.pop(sess.slot, None)
             self._free.append(sess.slot)
+
+    def settled_slot_tokens(self, slot: int) -> List[int]:
+        """One lane's best hypothesis under EOS word-LM settling
+        (settle_word_lm): used by flush(); the carry itself is untouched,
+        so other lanes' mid-stream ranking is unaffected."""
+        with self._tick_lock:
+            t, l = jax.device_get(best_hyp_all(
+                settle_word_lm(self._carry, self._word_lm)))
+        return [int(x) for x in t[slot][:int(l[slot])]]
 
     def slot_tokens(self, slot: int):
         with self._state_lock:
@@ -548,7 +599,7 @@ class BatchedStreamingRunner:
                     self.model, self.variables, feats, n_valid,
                     self._enc_state, self._carry, self.blank_id,
                     self.max_symbols, lm_table=self._lm_table,
-                    lm_weight=self._lm_weight)
+                    lm_weight=self._lm_weight, word_lm=self._word_lm)
             else:
                 enc_state, carry = _batched_chunk_step(
                     self.model, self.variables, feats, n_valid,
@@ -557,7 +608,14 @@ class BatchedStreamingRunner:
             if self.decoder == "beam":
                 jax.device_get(best_hyp_all(carry))
                 _reset_slot_beam(self.model, self.variables, enc_state,
-                                 carry, 0, self.blank_id, self.beam_width)
+                                 carry, 0, self.blank_id, self.beam_width,
+                                 word_lm_start=(self._word_lm.start_state
+                                                if self._word_lm is not None
+                                                else -1))
+                if self._word_lm is not None:
+                    # flush()'s settled final ranking compiles here too
+                    jax.device_get(best_hyp_all(
+                        settle_word_lm(carry, self._word_lm)))
             else:
                 jax.device_get((carry.tokens, carry.lengths))
                 _reset_slot(self.model, self.variables, enc_state, carry,
@@ -600,7 +658,7 @@ class BatchedStreamingRunner:
                         self.model, self.variables, feats, n_valid,
                         self._enc_state, self._carry, self.blank_id,
                         self.max_symbols, lm_table=self._lm_table,
-                        lm_weight=self._lm_weight)
+                        lm_weight=self._lm_weight, word_lm=self._word_lm)
                 else:
                     self._enc_state, self._carry = _batched_chunk_step(
                         self.model, self.variables, feats, n_valid,
