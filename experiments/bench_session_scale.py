@@ -45,6 +45,12 @@ def main():
                     help="host word-LM shallow fusion in every lane "
                          "(decoder=beam): measures the fused path's tick "
                          "economics under load — VERDICT r3 item 9")
+    ap.add_argument("--device_word_lm", action="store_true",
+                    help="DEVICE word-boundary LM fusion in every lane "
+                         "(decoder=beam): the round-5 answer to --with_lm "
+                         "being host-CPU-bound — the lexicon trie + bigram "
+                         "tables ride the compiled tick with zero host "
+                         "round trips (decode/device_word_lm.py)")
     ap.add_argument("--lm_path", type=str, default=None,
                     help="ARPA/kenlm binary for --with_lm (default: a "
                          "generated 200-word bigram ARPA)")
@@ -76,19 +82,23 @@ def main():
                            jnp.array([8]), jnp.zeros((1, 2), jnp.int32),
                            jnp.array([2]))
 
+    if args.with_lm and args.device_word_lm:
+        raise SystemExit("--with_lm (host fusion) and --device_word_lm "
+                         "are mutually exclusive")
     lm = None
     tok = None
-    if args.with_lm:
+    word_lm = None
+    if args.with_lm or args.device_word_lm:
         if args.decoder != "beam":
-            raise SystemExit("--with_lm requires --decoder beam")
+            raise SystemExit("LM fusion requires --decoder beam")
         from rnntransducer_tpu.decode.ngram_lm import NGramLM
         from rnntransducer_tpu.tokenizer import GraphemeTokenizer
         tok = GraphemeTokenizer.default(72)
         lm_path = args.lm_path
+        words = None
         if lm_path is None:
             # deterministic 200-word jamo bigram ARPA: the LOAD is what is
             # measured (the audio is noise); scores just have to be real
-            import itertools
             import math as _math
             import tempfile
             rngw = np.random.RandomState(7)
@@ -104,10 +114,22 @@ def main():
             for a, b in zip(words, words[1:] + words[:1]):
                 lines.append(f"-0.8\t{a} {b}")
             lines += ["", "\\end\\", ""]
-            lm_path = tempfile.mktemp(suffix=".arpa")
-            with open(lm_path, "w") as f:
+            fd, lm_path = tempfile.mkstemp(suffix=".arpa")
+            with os.fdopen(fd, "w") as f:
                 f.write("\n".join(lines))
-        lm = NGramLM.load(lm_path, weight=args.lm_weight, beta=0.0)
+        ngram = NGramLM.load(lm_path, weight=args.lm_weight, beta=0.0)
+        if words is not None and lm_path != args.lm_path:
+            os.unlink(lm_path)  # loaded into the native scorer; done with it
+        if args.device_word_lm:
+            from rnntransducer_tpu.decode.device_word_lm import (
+                build_device_word_lm,
+            )
+            if words is None:
+                raise SystemExit("--device_word_lm needs the generated "
+                                 "lexicon; omit --lm_path")
+            word_lm = build_device_word_lm(ngram, tok, words)
+        else:
+            lm = ngram
 
     sr = acfg.sample_rate
     chunk_samples = sr // 10  # 100 ms
@@ -117,7 +139,7 @@ def main():
         runner = BatchedStreamingRunner(
             model, variables, acfg, max_sessions=lanes, chunk_frames=16,
             decoder=args.decoder, beam_width=args.beam_width,
-            lm=lm, tokenizer=tok)
+            lm=lm, tokenizer=tok, word_lm=word_lm)
         t0 = time.perf_counter()
         runner.warmup()  # tick + reset + fetch compile before any traffic
         warmup_s = time.perf_counter() - t0
@@ -165,7 +187,8 @@ def main():
         fb_ms = sorted(t * 1000 for t in feed_block) or [0.0]
         print(json.dumps({
             "metric": "session_batch_scale",
-            "decoder": args.decoder + ("+word_lm" if lm is not None else ""),
+            "decoder": args.decoder + ("+word_lm" if lm is not None else "")
+            + ("+device_word_lm" if word_lm is not None else ""),
             "lanes": lanes,
             "warmup_s": round(warmup_s, 1),
             "tick_ms_p50": round(tick_ms[len(tick_ms) // 2], 1),

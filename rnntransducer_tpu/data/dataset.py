@@ -266,10 +266,12 @@ def save_waveform_dataset(items, target_root: str, split: str,
     num_shards = max(1, min(num_shards, total))
     per = (total + num_shards - 1) // num_shards
     shard_idx = 0
+    consumed = 0
     while True:
         chunk = list(itertools.islice(it, per))
         if not chunk:
             break
+        consumed += len(chunk)
         shard = Dataset.from_dict({
             "input_values": [np.asarray(r["wav"], np.float32)
                              for r in chunk],
@@ -281,6 +283,14 @@ def save_waveform_dataset(items, target_root: str, split: str,
         })
         shard.save_to_disk(os.path.join(target, str(shard_idx)))
         shard_idx += 1
+    if consumed != total:
+        # a wrong caller-supplied `total` either over-shards (extra dirs
+        # beyond num_shards) or marks a short corpus complete — refuse to
+        # write the completion marker over a miscounted corpus
+        raise ValueError(
+            f"save_waveform_dataset: iterable yielded {consumed} items but "
+            f"total={total}; no _SUCCESS marker written (partial shards "
+            f"remain under {target})")
     with open(marker, "w") as f:
         f.write("ok\n")
 
@@ -590,11 +600,20 @@ class HardPatternedWaveformDataset:
     def word_sequences(self, i: int):
         return list(self._word_seqs[i])
 
+    def _render_labels(self, i: int) -> np.ndarray:
+        """Grapheme sequence the AUDIO is rendered from — the transcript by
+        default.  ConfusableWaveformDataset overrides this to render
+        homophone words with their twin's graphemes (identical acoustics,
+        different transcript), so acoustics underdetermine the text and LM
+        fusion has something real to resolve."""
+        return self._label_seqs[i]
+
     def waveform(self, i: int):
         """(wav float32 (S,), labels int32 (U,)) — tempo/speaker/SNR/gain/
-        offset applied."""
+        offset applied.  Audio renders from ``_render_labels``; the returned
+        labels are always the TRANSCRIPT (``_label_seqs``)."""
         rng = np.random.RandomState(self.seed + 9000 + int(i))
-        labels = self._label_seqs[i]
+        labels = self._render_labels(i)
         spl = self._samples_per_label(i)
         t = np.arange(spl) / self.cfg.sample_rate
         warp = self._speaker[i]
@@ -616,7 +635,8 @@ class HardPatternedWaveformDataset:
         lo, hi = self.gain_range
         gain = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
         offset = float(rng.uniform(*self.offset_range))
-        return (gain * wav + offset).astype(np.float32), labels.copy()
+        return ((gain * wav + offset).astype(np.float32),
+                self._label_seqs[i].copy())
 
     def __getitem__(self, i: int) -> dict:
         hit = self._cache.get(i)
@@ -625,3 +645,128 @@ class HardPatternedWaveformDataset:
             hit = {"feats": logmel_np(wav, self.cfg), "labels": labels}
             self._cache[i] = hit
         return hit
+
+
+class ConfusableWaveformDataset(HardPatternedWaveformDataset):
+    """The round-5 LM-fusion testbed: HOMOPHONES + predictive context.
+
+    Round 4 proved the hard testbed measures only LM fusion's failure
+    surface — its graphemes are acoustically distinct, so a word LM has no
+    confusability to resolve and fusion is monotonically harmful
+    (BASELINE.md LM-weight sweep).  Real Korean ASR integrates KenLM
+    because real speech underdetermines text
+    (``/root/reference/inference.py:29``).  This dataset builds that
+    property synthetically:
+
+    * ``n_homophone_pairs`` same-length word pairs (a, b) are TRUE
+      homophones: b's audio renders with a's graphemes (``_render_labels``
+      override) while its transcript keeps b's spelling — acoustics
+      cannot tell them apart even at infinite SNR;
+    * word sequences follow a TRIGGER grammar: a pair-slot emits
+      ``trigger_a a`` or ``trigger_b b`` (the matching homophone with
+      probability ``trigger_coupling``, the twin otherwise), interleaved
+      with uniform filler words.  A bigram LM trained on the TRAIN
+      transcripts learns p(a | trigger_a) == coupling and can resolve
+      what the audio cannot;
+    * with a context-free prediction network (the stateless bigram
+      prednet sees one grapheme of history), the acoustic model provably
+      cannot learn the disambiguation — the LM's upside is structural,
+      not an artifact of an undertrained AM.
+
+    ``homophone_slots(i)`` -> word-sequence positions holding a homophone,
+    so evals can report accuracy ON the confusable decisions separately
+    from overall CER/WER.
+    """
+
+    def __init__(self, n: int, cfg: AudioConfig,
+                 n_homophone_pairs: int = 8,
+                 trigger_coupling: float = 0.95,
+                 pair_fraction: float = 0.6,
+                 words_per_utt=(3, 7), seed: int = 0, **kw):
+        super().__init__(n, cfg, words_per_utt=words_per_utt, seed=seed,
+                         oov_fraction=0.0, **kw)
+        prng = np.random.RandomState(self.seed + 4242)
+        # pick same-length in-vocab pairs + two trigger words per pair
+        by_len: dict = {}
+        for wi in range(self.n_in_vocab):
+            by_len.setdefault(len(self.lexicon[wi]), []).append(wi)
+        pool = [g for g in by_len.values() if len(g) >= 2]
+        pairs = []
+        used = set()
+        for group in pool:
+            g = list(group)
+            prng.shuffle(g)
+            while len(g) >= 2 and len(pairs) < n_homophone_pairs:
+                a, b = g.pop(), g.pop()
+                pairs.append((a, b))
+                used.update((a, b))
+        if len(pairs) < n_homophone_pairs:
+            raise ValueError(
+                f"lexicon only admits {len(pairs)} same-length homophone "
+                f"pairs (< {n_homophone_pairs}); widen word_len or n_words")
+        rest = [wi for wi in range(self.n_in_vocab) if wi not in used]
+        if len(rest) < 2 * len(pairs) + 1:
+            raise ValueError("not enough non-homophone words for triggers "
+                             "and fillers")
+        triggers = [(rest[2 * j], rest[2 * j + 1])
+                    for j in range(len(pairs))]
+        trig_used = {w for t in triggers for w in t}
+        fillers = [w for w in rest if w not in trig_used]
+        self.pairs = pairs
+        self.triggers = triggers
+        self.trigger_coupling = float(trigger_coupling)
+        # render twin: b sounds exactly like a
+        self._twin = {b: a for a, b in pairs}
+
+        # re-draw every utterance under the trigger grammar (the parent's
+        # uniform draws carry no context for an LM to exploit)
+        rng = np.random.RandomState(seed)
+        lo_t, hi_t = self.tempo_range
+        lo_s, hi_s = self.speaker_range
+        self._word_seqs, self._label_seqs = [], []
+        self._tempo, self._speaker, self._snr_db = [], [], []
+        self._homophone_slots = []
+        for _ in range(n):
+            k = rng.randint(words_per_utt[0], words_per_utt[1] + 1)
+            ws, slots = [], []
+            while len(ws) < k:
+                if len(ws) + 2 <= k and rng.rand() < pair_fraction:
+                    j = rng.randint(len(pairs))
+                    side = rng.rand() < 0.5
+                    a, b = pairs[j]
+                    t_a, t_b = triggers[j]
+                    ws.append(t_a if side else t_b)
+                    want = (a if side else b)
+                    twin = (b if side else a)
+                    slots.append(len(ws))
+                    ws.append(want if rng.rand() < trigger_coupling
+                              else twin)
+                else:
+                    ws.append(int(fillers[rng.randint(len(fillers))]))
+            self._word_seqs.append(ws)
+            self._homophone_slots.append(slots)
+            labels = []
+            for j, w in enumerate(ws):
+                if j:
+                    labels.append(self.delimiter_id)
+                labels.extend(self.lexicon[w])
+            self._label_seqs.append(np.asarray(labels, np.int32))
+            self._tempo.append(float(np.exp(
+                rng.uniform(np.log(lo_t), np.log(hi_t)))))
+            self._speaker.append(float(np.exp(
+                rng.uniform(np.log(lo_s), np.log(hi_s)))))
+            self._snr_db.append(float(rng.uniform(*self.snr_db_range)))
+        self._cache = {}
+
+    def homophone_slots(self, i: int):
+        """Word positions (into ``word_sequences(i)``) that hold a
+        homophone — the confusable decisions an eval should score."""
+        return list(self._homophone_slots[i])
+
+    def _render_labels(self, i: int) -> np.ndarray:
+        out = []
+        for j, w in enumerate(self._word_seqs[i]):
+            if j:
+                out.append(self.delimiter_id)
+            out.extend(self.lexicon[self._twin.get(w, w)])
+        return np.asarray(out, np.int32)

@@ -85,7 +85,8 @@ def evaluate_corpus(model: RNNTransducer, variables, tok: GraphemeTokenizer,
                     oracle_nbest: bool = False,
                     precision: Optional[str] = None,
                     length_norm_alpha: Optional[float] = None,
-                    merge_duplicates: bool = False) -> EvalResult:
+                    merge_duplicates: bool = False,
+                    word_lm=None) -> EvalResult:
     """Decode every item and score against its reference.
 
     ``items``: iterable of dicts carrying ``labels`` (int grapheme ids, the
@@ -124,6 +125,10 @@ def evaluate_corpus(model: RNNTransducer, variables, tok: GraphemeTokenizer,
     if device_lm is not None and decoder != "beam_batched":
         raise ValueError("device_lm fuses inside the device beam — use "
                          "decoder='beam_batched' (word LM/hotwords: 'beam')")
+    if word_lm is not None and decoder != "beam_batched":
+        raise ValueError("word_lm (device word-boundary fusion) rides the "
+                         "device beam — use decoder='beam_batched' (host "
+                         "word fusion: 'beam' with lm=...)")
     if (lm is not None or hotwords) and decoder != "beam":
         raise ValueError("lm/hotwords fuse in the host beam — use "
                          "decoder='beam' (device char LM: 'beam_batched')")
@@ -198,7 +203,7 @@ def evaluate_corpus(model: RNNTransducer, variables, tok: GraphemeTokenizer,
                 blank_id=tok.blank_token_id, beam_width=beam_width,
                 max_symbols=max_symbols, max_output_len=max_output_len,
                 device_lm=device_lm, length_norm_alpha=length_norm_alpha,
-                merge_duplicates=merge_duplicates)
+                merge_duplicates=merge_duplicates, word_lm=word_lm)
             toks, lens = np.asarray(toks), np.asarray(lens)
             rows = [list(toks[r, 0, :lens[r, 0]]) for r in range(b)]
             if oracle_nbest:

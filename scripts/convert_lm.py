@@ -46,19 +46,34 @@ def _sniff(path: str) -> str:
         return "arpa"
     with open(path, "rb") as f:
         f.seek(88)
-        model_type, = struct.unpack("<i", f.read(4))
+        raw = f.read(4)
+    if len(raw) < 4:
+        sys.exit(f"{path}: truncated/corrupt kenlm binary (header shorter "
+                 "than 92 bytes)")
+    model_type, = struct.unpack("<i", raw)
     return {0: "probing", 2: "trie"}.get(model_type, f"type{model_type}")
 
 
+# interior trie nodes that never appeared in the source ARPA are patched in
+# with prob ~KLOG_ZERO (-99) by the trie writer; a faithful ARPA round trip
+# must drop them again (a real kenlm would otherwise treat them as genuine
+# n-grams) — advisor round-4 finding
+_PATCHED_PROB_CEILING = -98.0
+
+
 def _grams_to_arpa(order, counts, grams) -> str:
+    kept = {n: [(w, p, b) for (w, p, b) in grams[n]
+                if p > _PATCHED_PROB_CEILING]
+            for n in range(1, order + 1)}
     lines = ["\\data\\"]
-    lines += [f"ngram {n}={counts[n - 1]}" for n in range(1, order + 1)]
+    lines += [f"ngram {n}={len(kept[n])}" for n in range(1, order + 1)]
     for n in range(1, order + 1):
         lines += ["", f"\\{n}-grams:"]
-        for words, prob, backoff in grams[n]:
-            row = f"{prob:.7g}\t{' '.join(words)}"
+        for words, prob, backoff in kept[n]:
+            # %.9g is float32-round-trip exact (the binary stores f32)
+            row = f"{prob:.9g}\t{' '.join(words)}"
             if n < order and backoff != 0.0:
-                row += f"\t{backoff:.7g}"
+                row += f"\t{backoff:.9g}"
             lines.append(row)
     lines += ["", "\\end\\", ""]
     return "\n".join(lines)
