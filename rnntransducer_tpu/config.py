@@ -384,6 +384,14 @@ class TrainConfig:
     # noise added to every float param for each microbatch's forward;
     # grads are taken at the noisy point (straight-through). 0 = off.
     weight_noise_std: float = 0.0
+    # shard-parallel feed (round 5): Arrow row fetches for upcoming batches
+    # run on this many reader threads ahead of collate, overlapping cold
+    # mmap page-fault IO waits that otherwise serialize the prefetch thread
+    # at 100k-utterance scale (BASELINE.md soak; data/prefetch.py
+    # ordered_readahead). <=1 = the serial pre-round-5 feed.
+    feed_reader_threads: int = 2
+    # max batches fetched ahead of the collate stage (bounds host RAM)
+    feed_read_ahead: int = 4
 
 
 @dataclass(frozen=True)

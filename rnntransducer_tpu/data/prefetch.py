@@ -8,11 +8,55 @@ the current step runs, double/triple-buffering HBM (SURVEY.md §2.2 N8).
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
-from typing import Callable, Iterator, Optional
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, Iterator, Optional
 
 import jax
+
+
+def ordered_readahead(thunks: Iterable[Callable], workers: int = 2,
+                      depth: int = 4) -> Iterator:
+    """Execute ``thunks`` (zero-arg callables) on a small thread pool with
+    at most ``depth`` in flight, yielding results IN ORDER.
+
+    The shard-parallel feed stage (round-5, VERDICT r4 item 4): at
+    100k-utterance scale each batch's Arrow fetch touches cold
+    memory-mapped pages and the single prefetch thread serializes those
+    page-fault IO waits with collate + device_put (BASELINE.md "Scaled
+    Trainer soak": p50 333.7 ms vs 256.5 hot).  Arrow reads release the
+    GIL and cold reads are IO-wait-bound, so even the 1-core host overlaps
+    several batches' faults.  Results are yielded strictly in submission
+    order, so downstream consumers (collate, the deterministic resume
+    schedule) are unaffected; ``depth`` bounds host RAM to that many
+    fetched batches.  A thunk's exception surfaces at ITS yield position,
+    preserving the serial path's error semantics.
+
+    ``workers <= 1`` degrades to plain serial iteration (no pool, no
+    threads) — the pre-round-5 behavior.
+    """
+    if workers <= 1:
+        for t in thunks:
+            yield t()
+        return
+    it = iter(thunks)
+    pool = ThreadPoolExecutor(max_workers=workers,
+                              thread_name_prefix="readahead")
+    try:
+        pending: collections.deque = collections.deque()
+        for t in it:
+            pending.append(pool.submit(t))
+            if len(pending) >= depth:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+    finally:
+        # cancel anything still queued; running fetches finish harmlessly
+        for f in pending:
+            f.cancel()
+        pool.shutdown(wait=False)
 
 
 

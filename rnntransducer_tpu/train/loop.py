@@ -207,10 +207,23 @@ class Trainer:
         # numpy conversion per batch instead of B python row reads — ~7x
         # cheaper host CPU on this image's single core; see docs/TUNING.md)
         get_batch = getattr(dataset, "get_batch", None)
-        for b_idx, idxs, n_valid in batches:
+
+        def fetch_thunk(idxs):
             local = idxs[pi::pc] if pc > 1 else idxs
-            items = (get_batch(local) if get_batch is not None
-                     else [dataset[i] for i in local])
+            if get_batch is not None:
+                return lambda: get_batch(local)
+            return lambda: [dataset[i] for i in local]
+
+        # shard-parallel feed: upcoming batches' Arrow fetches overlap on
+        # reader threads (cold mmap page faults are IO waits, not CPU);
+        # results arrive strictly in schedule order, so bucketing, the
+        # collate below, and mid-epoch resume skip counts are unchanged
+        from rnntransducer_tpu.data.prefetch import ordered_readahead
+        fetched = ordered_readahead(
+            (fetch_thunk(idxs) for _, idxs, _ in batches),
+            workers=self.cfg.train.feed_reader_threads,
+            depth=self.cfg.train.feed_read_ahead)
+        for (b_idx, idxs, n_valid), items in zip(batches, fetched):
             # label bucket must come from the FULL batch so every process
             # picks the same static shape (local max would diverge)
             if label_lens is not None:

@@ -444,3 +444,74 @@ def test_fit_raw_pcm_int16_transfer(tmp_path):
     assert int(state.step) == 2
     out = trainer.validate(max_batches=1)
     assert np.isfinite(out["val_loss"])
+
+
+# ------------------- round-5 shard-parallel feed (VERDICT r4 item 4) ----
+
+def test_ordered_readahead_preserves_order_and_errors():
+    import time as _time
+
+    from rnntransducer_tpu.data.prefetch import ordered_readahead
+
+    def thunk(i):
+        def go():
+            _time.sleep(0.002 * ((7 * i) % 5))  # jittered completion order
+            if i == 13:
+                raise RuntimeError("boom13")
+            return i * i
+        return go
+
+    # order preserved despite out-of-order completion
+    got = list(ordered_readahead((thunk(i) for i in range(13)), workers=4,
+                                 depth=6))
+    assert got == [i * i for i in range(13)]
+    # serial degradation
+    got1 = list(ordered_readahead((thunk(i) for i in range(13)), workers=1))
+    assert got1 == got
+    # an error surfaces at ITS position: results before it still arrive
+    out = []
+    with pytest.raises(RuntimeError, match="boom13"):
+        for r in ordered_readahead((thunk(i) for i in range(20)), workers=4,
+                                   depth=4):
+            out.append(r)
+    assert out == [i * i for i in range(13)]
+
+
+def test_parallel_feed_batches_identical_to_serial(tmp_path):
+    """feed_reader_threads must change timing only: the batch stream (all
+    arrays, all shapes, the full epoch order) is bit-identical to the
+    serial feed."""
+    import jax
+
+    ds = _ds(14, seed=3)
+    cfg_s = _cfg(tmp_path / "s", max_steps=4)
+    cfg_p = dataclasses.replace(
+        cfg_s, train=dataclasses.replace(cfg_s.train, feed_reader_threads=3,
+                                         feed_read_ahead=3,
+                                         checkpoint_dir=str(tmp_path / "p")))
+    assert cfg_s.train.feed_reader_threads == 2  # default is parallel
+    tr_s = Trainer(dataclasses.replace(
+        cfg_s, train=dataclasses.replace(cfg_s.train,
+                                         feed_reader_threads=1)), ds)
+    tr_p = Trainer(cfg_p, ds)
+    a = list(tr_s._host_batches(ds, epoch=0, batch_size=2,
+                                with_counts=True))
+    b = list(tr_p._host_batches(ds, epoch=0, batch_size=2,
+                                with_counts=True))
+    assert len(a) == len(b) > 0
+    for (ba, na), (bb, nb) in zip(a, b):
+        assert na == nb
+        assert jax.tree.structure(ba) == jax.tree.structure(bb)
+        for xa, xb in zip(jax.tree.leaves(ba), jax.tree.leaves(bb)):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_fit_with_parallel_feed(tmp_path):
+    """End-to-end fit under the parallel feed (threads exercise the real
+    Trainer path, including prefetch-thread nesting)."""
+    cfg = _cfg(tmp_path, max_steps=3)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, feed_reader_threads=3))
+    trainer = Trainer(cfg, _ds(10), val_dataset=None)
+    trainer.fit()
+    assert int(trainer.state.step) == 3
