@@ -42,12 +42,13 @@ from experiments.hard_testbed import build_bigram_arpa
 
 def homophone_accuracy(ds, per_utt, n):
     """Fraction of homophone word slots transcribed exactly (hyp word at
-    the same position == ref word); also the same count for greedy-style
-    position misalignment tolerance (slot beyond hyp length = wrong)."""
+    the same position == ref word; a slot beyond the hyp's word count is
+    wrong).  The delimiter token renders as whitespace in decoded text, so
+    words split on whitespace — same convention as the WER metric."""
     ok = tot = 0
     for i in range(n):
-        ref_words = per_utt[i]["ref"].split("|")
-        hyp_words = per_utt[i]["hyp"].split("|")
+        ref_words = per_utt[i]["ref"].split()
+        hyp_words = per_utt[i]["hyp"].split()
         for s in ds.homophone_slots(i):
             tot += 1
             if s < len(hyp_words) and s < len(ref_words) \
@@ -59,7 +60,11 @@ def homophone_accuracy(ds, per_utt, n):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
-    ap.add_argument("--train_n", type=int, default=4096)
+    # 4x the hard-testbed corpus: homophone slots cannot be fit honestly,
+    # so a small corpus lets the encoder buy loss by memorizing noise
+    # (measured: 4096 utts -> train loss 0.29 / val 21.5 at 3000 steps)
+    ap.add_argument("--train_n", type=int, default=16384)
+    ap.add_argument("--beam_width", type=int, default=4)
     ap.add_argument("--eval_n", type=int, default=96)
     ap.add_argument("--weights", type=float, nargs="+",
                     default=[0.3, 0.6, 1.0, 1.5])
@@ -107,7 +112,7 @@ def main():
         train=TrainConfig(learning_rate=2e-3, max_steps=args.steps,
                           per_device_train_batch_size=32, precision="bf16",
                           log_every_steps=100,
-                          val_every_steps=args.steps // 2,
+                          val_every_steps=min(500, args.steps // 2),
                           checkpoint_dir=args.ckpt, warmup_ratio=0.1),
     )
     if args.eval_only:
@@ -119,7 +124,13 @@ def main():
         trainer = Trainer(cfg, train_ds, val_dataset=heldout)
         trainer.fit()
         tok = trainer.tokenizer
-        params = trainer.state.params
+        # BEST-val checkpoint, not the final step: homophone slots cannot
+        # be fit honestly, so late training buys loss only by memorizing
+        # per-utterance noise — the top-k-by-val_cer retention exists for
+        # exactly this
+        from rnntransducer_tpu.train.checkpoint import load_decode_params
+        params, desc = load_decode_params(cfg.train.checkpoint_dir, cfg)
+        print(f"# decoding with {desc}", flush=True)
     model = build_model(cfg)
     variables = {"params": params}
 
@@ -135,7 +146,8 @@ def main():
 
     def run(label, **kw):
         r = evaluate_corpus(model, variables, tok, acfg, items,
-                            beam_width=4, frame_bucket=256, **kw)
+                            beam_width=args.beam_width, frame_bucket=256,
+                            **kw)
         s = r.summary()
         hacc, htot = homophone_accuracy(heldout, r.per_utt, args.eval_n)
         row = {"testbed": "confusable", "variant": label,
@@ -161,8 +173,8 @@ def main():
     lm_w = NGramLM.load(lm_path, weight=w, beta=0.0)
     sub = items[:args.host_check_n]
     r_host = evaluate_corpus(model, variables, tok, acfg, sub,
-                             decoder="beam", beam_width=4, frame_bucket=256,
-                             lm=lm_w)
+                             decoder="beam", beam_width=args.beam_width,
+                             frame_bucket=256, lm=lm_w)
     dev_sub = dev_results[w].per_utt[:args.host_check_n]
     agree = sum(dev_sub[i]["hyp"] == r_host.per_utt[i]["hyp"]
                 for i in range(args.host_check_n))

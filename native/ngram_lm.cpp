@@ -3,8 +3,9 @@
 // networks/transducer.py:22-24,168-213 and loaded at inference.py:29).
 //
 // Loads standard ARPA files AND kenlm "format version 5" binaries in both
-// PROBING (the default `build_binary` output) and unquantized TRIE
-// (`build_binary trie`) layouts, with trailing vocabulary strings;
+// PROBING (the default `build_binary` output), unquantized TRIE
+// (`build_binary trie`), and quantized TRIE (`build_binary -q N -b M
+// trie`) layouts, with trailing vocabulary strings;
 // scoring follows the usual backoff recursion
 //   P(w | ctx) = P(ctx+w)                     if the full n-gram exists
 //              = backoff(ctx) + P(w | ctx[1:]) otherwise
@@ -252,15 +253,16 @@ NGramLM* LoadKenlmProbing(const char* path) {
     g_kenlm_error = 3;
     return nullptr;
   }
-  if (model_type == 2) {  // TRIE: slurp + hand off to the trie reader
+  if (model_type == 2 || model_type == 3) {
+    // TRIE / QUANT_TRIE: slurp + hand off to the trie reader
     if (!has_vocab) { g_kenlm_error = 5; return nullptr; }
     in.seekg(0, std::ios::beg);
     std::vector<uint8_t> data((std::istreambuf_iterator<char>(in)),
                               std::istreambuf_iterator<char>());
     return LoadKenlmTrie(data);
   }
-  if (model_type == 3 || model_type == 4 || model_type == 5) {
-    g_kenlm_error = 7;  // quantized / array trie: unsupported variants
+  if (model_type == 4 || model_type == 5) {
+    g_kenlm_error = 7;  // bhiksha-array tries: unsupported variants
     return nullptr;
   }
   if (model_type != 0) { g_kenlm_error = 4; return nullptr; }
@@ -377,8 +379,11 @@ NGramLM* LoadKenlmProbing(const char* path) {
 }
 
 // --------------------------------------------------------------------------
-// kenlm TRIE binary (model_type 2: unquantized, non-bhiksha — the default
-// `build_binary trie` output).  Layout per lm/{trie,search_trie,vocab}.hh
+// kenlm TRIE binaries, non-bhiksha: model_type 2 (unquantized, the
+// default `build_binary trie` output) and model_type 3 (QUANT_TRIE,
+// `build_binary -q N -b M trie` — SeparatelyQuantize bin tables between
+// the vocab hashes and the unigram; middle/longest probs+backoffs store
+// bin indices).  Layout per lm/{trie,search_trie,vocab,quantize}.hh
 // (spec mirrored by the writer in rnntransducer_tpu/utils/kenlm_binary.py):
 //
 //   header (as probing, model_type=2)
@@ -440,6 +445,9 @@ bool PlausibleLogProb(float p) {
 NGramLM* LoadKenlmTrie(const std::vector<uint8_t>& data) {
   if (data.size() < 120) { g_kenlm_error = 3; return nullptr; }
   int order = data[80];
+  int32_t model_type;
+  std::memcpy(&model_type, data.data() + 88, 4);
+  const bool quantized = model_type == 3;
   uint64_t file_size = data.size();
   if (order < 2 || order > 12) { g_kenlm_error = 3; return nullptr; }
   std::vector<uint64_t> counts(order);
@@ -455,13 +463,33 @@ NGramLM* LoadKenlmTrie(const std::vector<uint8_t>& data) {
 
   // probe the SortedVocab section size: validate the unigram block that
   // must follow it (monotone next pointers ending exactly at counts[1],
-  // plausible log-probs)
+  // plausible log-probs).  QUANT_TRIE interposes its quantization tables
+  // { version, prob_bits, backoff_bits, 5 pad } + per-order float tables
+  // between the hashes and the unigram; the bit widths are read from the
+  // probed position and validated the same way, so a layout deviation
+  // fails loudly (error 6) instead of mis-scoring.
   const uint64_t cand[] = {8 + 8 * (c0 - 1), 8 + 8 * c0, 8 * c0,
                            8 * (c0 + 1), 8 * (c0 - 1)};
-  uint64_t uni_off = 0;
+  uint64_t uni_off = 0, quant_off = 0;
+  uint8_t q_prob_bits = 0, q_backoff_bits = 0;
   bool found = false;
   for (uint64_t vs : cand) {
     uint64_t off = header + vs;
+    uint64_t qoff = 0;
+    uint8_t pbits = 0, bbits = 0;
+    if (quantized) {
+      qoff = off;
+      if (qoff + 8 > file_size) continue;
+      uint8_t ver = data[qoff];
+      pbits = data[qoff + 1];
+      bbits = data[qoff + 2];
+      if (ver != 2 || pbits < 1 || pbits > 25 || bbits < 2 || bbits > 25)
+        continue;
+      uint64_t tables = (static_cast<uint64_t>(order) - 2) *
+                            ((1ull << pbits) + (1ull << bbits)) +
+                        (1ull << pbits);
+      off = qoff + 8 + 4 * tables;
+    }
     if (off + (c0 + 2) * 16 > file_size) continue;
     bool ok = true;
     uint64_t prev = 0;
@@ -477,9 +505,34 @@ NGramLM* LoadKenlmTrie(const std::vector<uint8_t>& data) {
     }
     uint64_t fin;
     std::memcpy(&fin, data.data() + off + 16 * c0 + 8, 8);
-    if (ok && fin == counts[1]) { uni_off = off; found = true; break; }
+    if (ok && fin == counts[1]) {
+      uni_off = off;
+      quant_off = qoff;
+      q_prob_bits = pbits;
+      q_backoff_bits = bbits;
+      found = true;
+      break;
+    }
   }
-  if (!found) { g_kenlm_error = 6; return nullptr; }
+  if (!found) { g_kenlm_error = quantized ? 8 : 6; return nullptr; }
+
+  // quantization bin tables: per middle order a prob table (2^pb floats)
+  // + backoff table (2^bb), then the longest order's prob table
+  std::vector<std::vector<float>> q_prob(order + 1), q_backoff(order + 1);
+  if (quantized) {
+    uint64_t t = quant_off + 8;
+    for (int k = 2; k <= order; ++k) {
+      q_prob[k].resize(1ull << q_prob_bits);
+      std::memcpy(q_prob[k].data(), data.data() + t, 4 * q_prob[k].size());
+      t += 4 * q_prob[k].size();
+      if (k < order) {
+        q_backoff[k].resize(1ull << q_backoff_bits);
+        std::memcpy(q_backoff[k].data(), data.data() + t,
+                    4 * q_backoff[k].size());
+        t += 4 * q_backoff[k].size();
+      }
+    }
+  }
 
   auto lm = new NGramLM();
   lm->order = order;
@@ -504,8 +557,15 @@ NGramLM* LoadKenlmTrie(const std::vector<uint8_t>& data) {
     bool longest = (k == order);
     uint64_t entries = counts[k - 1];
     uint8_t next_bits = longest ? 0 : RequiredBits(counts[k]);
-    uint8_t total_bits = longest ? word_bits + 31
-                                 : word_bits + 63 + next_bits;
+    // quantized middle record: word | backoff_idx | prob_idx | next
+    // (backoff in the LOW bits of the quant field); longest: word |
+    // prob_idx.  Unquantized: word | prob31 | backoff32 | next.
+    uint8_t prob_field = quantized ? q_prob_bits : 31;
+    uint8_t backoff_field = longest ? 0 : (quantized ? q_backoff_bits : 32);
+    uint8_t total_bits = longest
+                             ? word_bits + prob_field
+                             : word_bits + backoff_field + prob_field +
+                                   next_bits;
     uint64_t rec_bytes = ((entries + 1) * total_bits + 7) / 8 + 8;
     uint64_t level_off = 0;
     bool ok = false;
@@ -520,16 +580,16 @@ NGramLM* LoadKenlmTrie(const std::vector<uint8_t>& data) {
       for (uint64_t skip : {8ull, 0ull}) {
         uint64_t o = off + skip;
         if (o + rec_bytes > file_size) continue;
-        uint64_t fin = ReadBitsLE(data.data() + o,
-                                  entries * total_bits + word_bits + 63,
-                                  next_bits);
+        uint64_t fin = ReadBitsLE(
+            data.data() + o,
+            entries * total_bits + total_bits - next_bits, next_bits);
         if (fin != counts[k]) continue;
         level_off = o;
         ok = true;
         break;
       }
     }
-    if (!ok) { g_kenlm_error = 6; delete lm; return nullptr; }
+    if (!ok) { g_kenlm_error = quantized ? 8 : 6; delete lm; return nullptr; }
     TrieLevel& L = levels[k];
     L.word.resize(entries);
     L.prob.resize(entries);
@@ -543,12 +603,27 @@ NGramLM* LoadKenlmTrie(const std::vector<uint8_t>& data) {
       uint64_t w = ReadBitsLE(base, b, word_bits);
       if (w >= c0) { g_kenlm_error = 6; delete lm; return nullptr; }
       L.word[i] = static_cast<uint32_t>(w);
-      L.prob[i] = Prob31ToFloat(
-          static_cast<uint32_t>(ReadBitsLE(base, b + word_bits, 31)));
-      if (!longest) {
-        L.backoff[i] = Bits32ToFloat(
-            static_cast<uint32_t>(ReadBitsLE(base, b + word_bits + 31, 32)));
-        L.next[i] = ReadBitsLE(base, b + word_bits + 63, next_bits);
+      if (quantized) {
+        if (longest) {
+          L.prob[i] = q_prob[k][ReadBitsLE(base, b + word_bits,
+                                           q_prob_bits)];
+        } else {
+          L.backoff[i] = q_backoff[k][ReadBitsLE(base, b + word_bits,
+                                                 q_backoff_bits)];
+          L.prob[i] = q_prob[k][ReadBitsLE(
+              base, b + word_bits + q_backoff_bits, q_prob_bits)];
+          L.next[i] = ReadBitsLE(
+              base, b + word_bits + q_backoff_bits + q_prob_bits,
+              next_bits);
+        }
+      } else {
+        L.prob[i] = Prob31ToFloat(
+            static_cast<uint32_t>(ReadBitsLE(base, b + word_bits, 31)));
+        if (!longest) {
+          L.backoff[i] = Bits32ToFloat(static_cast<uint32_t>(
+              ReadBitsLE(base, b + word_bits + 31, 32)));
+          L.next[i] = ReadBitsLE(base, b + word_bits + 63, next_bits);
+        }
       }
     }
     off = level_off + rec_bytes;

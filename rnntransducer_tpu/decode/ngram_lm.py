@@ -122,9 +122,12 @@ _KENLM_ERRORS = {
        "suppression, or pass the .arpa directly)",
     6: "table layout drift detected (entry counts / prob ranges implausible "
        "for this kenlm version — pass the .arpa directly)",
-    7: "quantized/array-compressed trie binaries are unsupported (rebuild "
-       "without -q/-a: `build_binary trie lm.arpa lm.bin`, or pass the "
+    7: "bhiksha-array trie binaries (-a) are unsupported (rebuild without "
+       "-a: `build_binary [-q N -b M] trie lm.arpa lm.bin`, or pass the "
        ".arpa directly)",
+    8: "quantized-trie layout drift detected (quant header / table sizes "
+       "implausible for this kenlm version — rebuild unquantized or pass "
+       "the .arpa directly)",
 }
 
 
@@ -136,9 +139,9 @@ class NGramLM:
 
     * a text ARPA file (optionally gzip-compressed ``.arpa.gz``),
     * a kenlm ``format version 5`` PROBING or TRIE binary
-      (``.bin``/``.binary``; unquantized trie — the default
-      ``build_binary trie`` output; quantized/array variants are refused
-      with a rebuild hint),
+      (``.bin``/``.binary``; unquantized AND quantized (``-q``) tries —
+      the ``build_binary [-q N -b M] trie`` outputs; bhiksha-array
+      (``-a``) variants are refused with a rebuild hint),
     * a pyctcdecode ``save_to_dir`` directory — ``attrs.json`` (alpha/beta/
       unk_score_offset) + ``unigrams.txt`` + the kenlm/arpa file inside.
     """

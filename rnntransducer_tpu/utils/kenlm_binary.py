@@ -168,7 +168,8 @@ def write_probing_binary(arpa_text: str, out_path: str,
 
 
 # ---------------------------------------------------------------------------
-# TRIE format (kenlm model_type 2: unquantized, non-bhiksha — the default
+# TRIE format (kenlm model_type 2 unquantized / 3 quantized, non-bhiksha
+# — the `build_binary [-q N -b M] trie` outputs; model_type 2 is the default
 # `build_binary trie` output).  Layout per kenlm lm/{trie,search_trie,
 # vocab}.hh:
 #
@@ -312,13 +313,68 @@ def _build_trie(order, counts, grams, vocab):
     return levels, new_counts, uni_pb
 
 
-def write_trie_binary(arpa_text: str, out_path: str) -> None:
-    """ARPA -> kenlm TRIE binary (model_type 2, unquantized, non-bhiksha)."""
+# --------------------------- quantization (model_type 3: QUANT_TRIE) ----
+# kenlm SeparatelyQuantize (lm/quantize.hh): middle/longest probs and
+# backoffs store BIN INDICES into per-order float tables; the unigram
+# stays full f32.  Section layout (between the vocab hashes and the
+# unigram): 8 bytes { version=2, prob_bits, backoff_bits, 5 pad }, then
+# per middle order a prob table (2^pb f32) + backoff table (2^bb f32),
+# then the longest order's prob table.  Backoff table slots 0/1 are
+# reserved (-0.0 "no extension" / 0.0 "extension"); trained bins start at
+# index 2.  Middle records become word | backoff_idx | prob_idx | next
+# (backoff in the LOW bits, kenlm MiddlePointer::Write); longest records
+# word | prob_idx.  Bins are trained equal-frequency per order.
+
+QUANT_VERSION = 2
+
+
+def _train_bins(values, n_bins: int) -> List[float]:
+    """Equal-frequency bin centers (kenlm MakeBins style): sorted values
+    split into n_bins runs, center = run mean.  Distinct values <= n_bins
+    => every value is its own center (lossless)."""
+    vals = sorted(values)
+    if not vals:
+        return [0.0] * n_bins
+    uniq = sorted(set(vals))
+    if len(uniq) <= n_bins:
+        return uniq + [uniq[-1]] * (n_bins - len(uniq))
+    centers = []
+    n = len(vals)
+    for i in range(n_bins):
+        lo, hi = n * i // n_bins, n * (i + 1) // n_bins
+        run = vals[lo:max(hi, lo + 1)]
+        centers.append(sum(run) / len(run))
+    return centers
+
+
+def _encode_to_bins(value: float, centers: List[float], lo: int = 0) -> int:
+    """Index of the nearest center (>= lo)."""
+    import bisect
+    i = bisect.bisect_left(centers, value, lo)
+    best, best_d = lo, float("inf")
+    for j in (i - 1, i, i + 1):
+        if lo <= j < len(centers):
+            d = abs(centers[j] - value)
+            if d < best_d:
+                best, best_d = j, d
+    return best
+
+
+def write_trie_binary(arpa_text: str, out_path: str,
+                      quant_bits=None) -> None:
+    """ARPA -> kenlm TRIE binary.  ``quant_bits=None``: model_type 2
+    (unquantized, non-bhiksha, the default `build_binary trie` output);
+    ``quant_bits=(prob_bits, backoff_bits)``: model_type 3 (QUANT_TRIE,
+    `build_binary -q P -b B trie`) per the section spec above."""
     order, counts, grams = parse_arpa(arpa_text)
     if [len(grams[n]) for n in range(1, order + 1)] != counts:
         raise ValueError("ARPA counts header disagrees with section sizes")
     if order < 2:
         raise ValueError("TRIE layout needs order >= 2")
+    if quant_bits is not None:
+        pb, bb = quant_bits
+        if not (1 <= pb <= 25 and 2 <= bb <= 25):
+            raise ValueError("quant bits must be 1<=prob<=25, 2<=backoff<=25")
 
     # SortedVocab ids: <unk>=0, then sorted by murmur hash
     words = {w for ws, _, _ in grams[1] for w in ws}
@@ -332,10 +388,12 @@ def write_trie_binary(arpa_text: str, out_path: str) -> None:
 
     levels, new_counts, uni_pb = _build_trie(order, counts, grams, vocab)
 
+    model_type = 2 if quant_bits is None else 3
     out = bytearray()
     out += MAGIC.ljust(56, b"\x00")
     out += struct.pack("<f4xdQ", 0.0, 1.0, _M64)
-    out += struct.pack("<B3xfi B3xI", order, DEFAULT_MULTIPLIER, 2, 1, 1)
+    out += struct.pack("<B3xfi B3xI", order, DEFAULT_MULTIPLIER,
+                       model_type, 1, 1)
     for c in new_counts:
         out += struct.pack("<Q", c)
     while len(out) % 8:
@@ -345,6 +403,29 @@ def write_trie_binary(arpa_text: str, out_path: str) -> None:
     out += struct.pack("<Q", len(hashed))
     for h, _ in hashed:
         out += struct.pack("<Q", h)
+
+    # quantization tables (QUANT_TRIE only; spec above)
+    quant_tables = {}
+    if quant_bits is not None:
+        pb, bb = quant_bits
+        out += struct.pack("<3B5x", QUANT_VERSION, pb, bb)
+        for k in range(2, order + 1):
+            probs = [row[1] for row in levels[k]]
+            pt = _train_bins(probs, 1 << pb)
+            if any(p <= KLOG_ZERO + 1 for p in probs):
+                # patched interior nodes must stay below the scorer's
+                # skip threshold: pin the lowest center to KLOG_ZERO
+                pt[0] = KLOG_ZERO
+            bt = None
+            if k < order:
+                nz = [row[2] for row in levels[k] if row[2] != 0.0]
+                bt = [-0.0, 0.0] + _train_bins(nz, (1 << bb) - 2)
+            quant_tables[k] = (pt, bt)
+            for v in pt:
+                out += struct.pack("<f", v)
+            if bt is not None:
+                for v in bt:
+                    out += struct.pack("<f", v)
 
     # unigrams
     uni_next = levels["uni_next"]
@@ -358,24 +439,43 @@ def write_trie_binary(arpa_text: str, out_path: str) -> None:
     for k in range(2, order + 1):
         rows = levels[k]
         longest = k == order
+        if quant_bits is not None:
+            pb, bb = quant_bits
+            prob_field = pb
+            backoff_field = 0 if longest else bb
+            pt, bt = quant_tables[k]
+        else:
+            prob_field = 31
+            backoff_field = 0 if longest else 32
         if longest:
-            total_bits = word_bits + 31
+            total_bits = word_bits + prob_field
         else:
             next_bits = _required_bits(new_counts[k])
-            total_bits = word_bits + 63 + next_bits
+            total_bits = word_bits + backoff_field + prob_field + next_bits
             out += struct.pack("<Q", 0)         # DontBhiksha block
         bw = _BitWriter()
         for w, prob, backoff, nxt in rows:
             bw.write(w, word_bits)
-            bw.write(_prob31(prob), 31)
+            if quant_bits is not None:
+                if not longest:
+                    # backoff index sits in the LOW bits of the combined
+                    # quant field (kenlm MiddlePointer::Write)
+                    if backoff == 0.0:
+                        bw.write(1, bb)         # reserved "extension" slot
+                    else:
+                        bw.write(_encode_to_bins(backoff, bt, 2), bb)
+                bw.write(_encode_to_bins(prob, pt), pb)
+            else:
+                bw.write(_prob31(prob), 31)
+                if not longest:
+                    bw.write(_f32_bits(backoff), 32)
             if not longest:
-                bw.write(_f32_bits(backoff), 32)
                 bw.write(nxt, next_bits)
         # final record: only the next field is meaningful
         if longest:
             bw.write(0, total_bits)
         else:
-            bw.write(0, word_bits + 63)
+            bw.write(0, total_bits - next_bits)
             bw.write(new_counts[k], next_bits)
         nbytes = ((len(rows) + 1) * total_bits + 7) // 8 + 8  # +guard
         out += bw.pad_to(nbytes)
@@ -405,8 +505,9 @@ def read_trie_binary(path: str):
         raise ValueError("not a kenlm binary")
     order, mult, model_type, has_vocab, _ = struct.unpack_from(
         "<B3xfi B3xI", data, 80)
-    if model_type != 2:
-        raise ValueError(f"model_type {model_type} is not TRIE(2)")
+    if model_type not in (2, 3):
+        raise ValueError(f"model_type {model_type} is not TRIE(2) or "
+                         "QUANT_TRIE(3)")
     if not has_vocab:
         raise ValueError("binary lacks trailing vocabulary strings")
     counts = list(struct.unpack_from(f"<{order}Q", data, 100))
@@ -414,6 +515,25 @@ def read_trie_binary(path: str):
     off += (-off) % 8
     n_hashes, = struct.unpack_from("<Q", data, off)
     off += 8 + 8 * n_hashes
+
+    quant_tables = None
+    if model_type == 3:
+        ver, pb, bb = struct.unpack_from("<3B", data, off)
+        if ver != QUANT_VERSION or not (1 <= pb <= 25 and 2 <= bb <= 25):
+            raise ValueError(
+                f"unsupported quantization header (version {ver}, "
+                f"prob_bits {pb}, backoff_bits {bb})")
+        off += 8
+        quant_tables = {}
+        for k in range(2, order + 1):
+            pt = list(struct.unpack_from(f"<{1 << pb}f", data, off))
+            off += 4 * (1 << pb)
+            bt = None
+            if k < order:
+                bt = list(struct.unpack_from(f"<{1 << bb}f", data, off))
+                off += 4 * (1 << bb)
+            quant_tables[k] = (pt, bt)
+
     uni = []
     for i in range(counts[0] + 2):
         uni.append(struct.unpack_from("<2fQ", data, off + 16 * i))
@@ -424,30 +544,50 @@ def read_trie_binary(path: str):
     levels = {}
     for k in range(2, order + 1):
         longest = k == order
+        if quant_tables is not None:
+            pt, bt = quant_tables[k]
+            prob_field = pb
+            backoff_field = 0 if longest else bb
+        else:
+            prob_field = 31
+            backoff_field = 0 if longest else 32
         if longest:
-            total_bits = word_bits + 31
+            total_bits = word_bits + prob_field
         else:
             next_bits = _required_bits(counts[k])
-            total_bits = word_bits + 63 + next_bits
+            total_bits = (word_bits + backoff_field + prob_field
+                          + next_bits)
             off += 8                             # DontBhiksha block
         rows = []
         base_bit = off * 8
         for i in range(counts[k - 1]):
             b = base_bit + i * total_bits
             w = br.read(b, word_bits)
-            p_bits = br.read(b + word_bits, 31)
-            prob = struct.unpack("<f", struct.pack(
-                "<I", p_bits | 0x80000000))[0]
-            if longest:
-                rows.append((w, prob, 0.0, None))
+            if quant_tables is not None:
+                # quantized middle record: word | backoff_idx | prob_idx
+                # | next (backoff in the low bits, spec above)
+                if longest:
+                    prob = pt[br.read(b + word_bits, pb)]
+                    rows.append((w, prob, 0.0, None))
+                else:
+                    bo = bt[br.read(b + word_bits, bb)]
+                    prob = pt[br.read(b + word_bits + bb, pb)]
+                    nxt = br.read(b + word_bits + bb + pb, next_bits)
+                    rows.append((w, prob, bo, nxt))
             else:
-                bo = struct.unpack("<f", struct.pack(
-                    "<I", br.read(b + word_bits + 31, 32)))[0]
-                nxt = br.read(b + word_bits + 63, next_bits)
-                rows.append((w, prob, bo, nxt))
+                p_bits = br.read(b + word_bits, 31)
+                prob = struct.unpack("<f", struct.pack(
+                    "<I", p_bits | 0x80000000))[0]
+                if longest:
+                    rows.append((w, prob, 0.0, None))
+                else:
+                    bo = struct.unpack("<f", struct.pack(
+                        "<I", br.read(b + word_bits + 31, 32)))[0]
+                    nxt = br.read(b + word_bits + 63, next_bits)
+                    rows.append((w, prob, bo, nxt))
         if not longest:
             fin = br.read(base_bit + counts[k - 1] * total_bits
-                          + word_bits + 63, next_bits)
+                          + total_bits - next_bits, next_bits)
             if fin != counts[k]:
                 raise ValueError(
                     f"level {k} final next {fin} != count {counts[k]}")

@@ -3,7 +3,7 @@
 
 The reference loads any kenlm artifact pyctcdecode accepts
 (``/root/reference/inference.py:29``); this framework reads ARPA, PROBING
-and unquantized TRIE binaries natively (``native/ngram_lm.cpp``).  This
+and TRIE binaries (unquantized and quantized -q) natively (``native/ngram_lm.cpp``).  This
 tool covers the remaining interchange cases, dependency-free:
 
     python scripts/convert_lm.py lm.arpa lm.bin --to probing
@@ -85,12 +85,20 @@ def main() -> None:
     p.add_argument("dst")
     p.add_argument("--to", choices=("arpa", "probing", "trie"),
                    required=True)
+    p.add_argument("--quant", nargs=2, type=int, metavar=("PROB_BITS",
+                                                          "BACKOFF_BITS"),
+                   help="with --to trie: write a QUANT_TRIE (model_type 3, "
+                        "kenlm `build_binary -q P -b B trie` equivalent); "
+                        "e.g. --quant 8 8")
     args = p.parse_args()
+    if args.quant and args.to != "trie":
+        sys.exit("--quant only applies to --to trie")
 
     fmt = _sniff(args.src)
     if fmt == "arpa":
         text = _read_text(args.src)
-    elif fmt == "trie":
+    elif fmt in ("trie", "type3"):
+        # model_type 3 = QUANT_TRIE: same reader, bins decoded to floats
         order, counts, grams, _ = read_trie_binary(args.src)
         text = _grams_to_arpa(order, counts, grams)
     elif fmt == "probing":
@@ -99,7 +107,7 @@ def main() -> None:
                  "trie binary")
     else:
         sys.exit(f"unsupported kenlm model type in {args.src} ({fmt}); "
-                 "quantized/array tries must be rebuilt without -q/-a")
+                 "bhiksha-array tries must be rebuilt without -a")
 
     if args.to == "arpa":
         with open(args.dst, "w") as f:
@@ -107,8 +115,12 @@ def main() -> None:
     elif args.to == "probing":
         write_probing_binary(text, args.dst)
     else:
-        write_trie_binary(text, args.dst)
-    print(f"{args.src} ({fmt}) -> {args.dst} ({args.to})")
+        write_trie_binary(text, args.dst,
+                          quant_bits=tuple(args.quant) if args.quant
+                          else None)
+    print(f"{args.src} ({fmt}) -> {args.dst} ({args.to}"
+          + (f" -q {args.quant[0]} -b {args.quant[1]}" if args.quant
+             else "") + ")")
 
 
 if __name__ == "__main__":
