@@ -59,7 +59,11 @@ def homophone_accuracy(ds, per_utt, n):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--beta", type=float, default=0.5,
+                    help="word-insertion bonus (pyctcdecode beta): offsets "
+                         "the OOV deletion pressure fusion otherwise exerts "
+                         "on imperfect hypotheses")
     # 4x the hard-testbed corpus: homophone slots cannot be fit honestly,
     # so a small corpus lets the encoder buy loss by memorizing noise
     # (measured: 4096 utts -> train loss 0.29 / val 21.5 at 3000 steps)
@@ -90,7 +94,15 @@ def main():
 
     acfg = AudioConfig(spec_augment=True, freq_mask_cnt=1, time_mask_cnt=1,
                        freq_mask_para=12, time_mask_para=16)
-    mk = lambda n, seed: ConfusableWaveformDataset(n, acfg, seed=seed)
+    # GENTLER non-homophone axes than the hard testbed: this experiment
+    # isolates the LM's upside, so the only thing the acoustics should
+    # underdetermine is the homophone choice.  (With hard-testbed noise
+    # the AM's base error dominates, every near-miss word walks the
+    # lexicon trie to OOV, and fusion can only add deletion pressure —
+    # measured in the first round-5 run: w=0.3 CER 0.378 vs 0.336 no-LM.)
+    mk = lambda n, seed: ConfusableWaveformDataset(
+        n, acfg, seed=seed, snr_db_range=(15.0, 30.0),
+        tempo_range=(0.92, 1.08), speaker_range=(0.96, 1.06))
     train_ds = mk(args.train_n, 0)
     heldout = mk(args.eval_n, 50_000)
 
@@ -163,14 +175,14 @@ def main():
     run("beam4", decoder="beam_batched", oracle_nbest=True)
     dev_results = {}
     for w in args.weights:
-        lm_w = NGramLM.load(lm_path, weight=w, beta=0.0)
+        lm_w = NGramLM.load(lm_path, weight=w, beta=args.beta)
         wlm = build_device_word_lm(lm_w, tok, word_texts)
         dev_results[w] = run(f"beam4+device_word_lm w={w}",
                              decoder="beam_batched", word_lm=wlm)
 
     # host-fusion cross-check on a subset: same weight, host A/B beam
     w = args.weights[len(args.weights) // 2]
-    lm_w = NGramLM.load(lm_path, weight=w, beta=0.0)
+    lm_w = NGramLM.load(lm_path, weight=w, beta=args.beta)
     sub = items[:args.host_check_n]
     r_host = evaluate_corpus(model, variables, tok, acfg, sub,
                              decoder="beam", beam_width=args.beam_width,

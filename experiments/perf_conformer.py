@@ -82,7 +82,17 @@ def main():
                 cfg.model.transnet, arch="conformer", hidden_size=D_MODEL,
                 num_layers=BLOCKS, attention_heads=HEADS, ff_multiplier=FF,
                 conv_kernel_size=KCONV, time_reduction_stride=STRIDE,
-                time_reduction_layer=0, bidirectional=True,
+                time_reduction_layer=0,
+                # RNNT_STREAMING=1: the chunked-causal (serving) variant —
+                # block-causal attention mask + causal conv, the training
+                # counterpart of the streaming decode path (VERDICT r4
+                # item 5: its training throughput was never measured).
+                # The attention still executes the full T'xT' einsum with
+                # a mask, so executed FLOPs match the offline row.
+                bidirectional=os.environ.get("RNNT_STREAMING", "0") != "1",
+                attention_chunk=(8 if os.environ.get("RNNT_STREAMING", "0")
+                                 == "1" else 0),
+                attention_left_chunks=2,
                 # default: the UNROLLED per-block layout — XLA fuses the
                 # backward across blocks (57.0 ms/step, MFU 0.463 vs the
                 # scan's 84.1/0.314) at a 247 s cold compile (cached
@@ -121,10 +131,14 @@ def main():
     dts = sorted(timed(ITERS) / ITERS for _ in range(2))
     dt = dts[0]
     mfu = conformer_step_flops(cfg, B, T, U) / dt / _device_peak_flops()
+    streaming = os.environ.get("RNNT_STREAMING", "0") == "1"
     print(json.dumps({
-        "metric": "conformer_train_utterances_per_sec_per_chip",
+        "metric": ("conformer_streaming_train_utterances_per_sec_per_chip"
+                   if streaming else
+                   "conformer_train_utterances_per_sec_per_chip"),
         "value": round(B / dt, 2),
-        "unit": (f"utt/s/chip (Conformer {BLOCKS}x d={D_MODEL}, "
+        "unit": (f"utt/s/chip ({'chunked-causal ' if streaming else ''}"
+                 f"Conformer {BLOCKS}x d={D_MODEL}, "
                  f"{n_params/1e6:.0f}M total model params "
                  f"({n_enc/1e6:.0f}M encoder), B={B}, T={T}->{T//STRIDE}, "
                  f"U={U}, bf16, incl. loss)"),
