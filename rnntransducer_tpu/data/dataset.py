@@ -682,10 +682,15 @@ class ConfusableWaveformDataset(HardPatternedWaveformDataset):
                  n_homophone_pairs: int = 8,
                  trigger_coupling: float = 0.95,
                  pair_fraction: float = 0.6,
-                 words_per_utt=(3, 7), seed: int = 0, **kw):
+                 words_per_utt=(3, 7), seed: int = 0,
+                 pattern_seed: int = 777, **kw):
         super().__init__(n, cfg, words_per_utt=words_per_utt, seed=seed,
-                         oov_fraction=0.0, **kw)
-        prng = np.random.RandomState(self.seed + 4242)
+                         oov_fraction=0.0, pattern_seed=pattern_seed, **kw)
+        # pairs/triggers derive from PATTERN_seed, like the lexicon: train
+        # and held-out splits (different `seed`) must share the homophone
+        # structure, or eval renders twins the AM never saw as twins and
+        # the LM's trigger statistics don't transfer
+        prng = np.random.RandomState(pattern_seed + 4242)
         # pick same-length in-vocab pairs + two trigger words per pair
         by_len: dict = {}
         for wi in range(self.n_in_vocab):

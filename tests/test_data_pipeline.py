@@ -383,3 +383,57 @@ def test_hard_testbed_snr_controls_noise():
         # same tones, different noise floor: the residual energy at SNR 0
         # must dwarf the 40 dB one
         assert np.std(wn - wc[: len(wn)][: len(wn)]) > 5 * 10 ** (-40 / 20)
+
+
+def test_confusable_dataset_structure():
+    """ConfusableWaveformDataset (round-5 LM-fusion testbed): homophone
+    pairs/triggers/twin map derive from pattern_seed and are IDENTICAL
+    across split seeds (train/heldout must share the confusable structure
+    — regression for the round-5 bug where they didn't); twins are
+    same-length; a twin's audio renders with its partner's graphemes while
+    labels keep its own; trigger coupling holds empirically."""
+    import numpy as np
+
+    from rnntransducer_tpu.config import AudioConfig
+    from rnntransducer_tpu.data.dataset import ConfusableWaveformDataset
+
+    acfg = AudioConfig(spec_augment=False)
+    tr = ConfusableWaveformDataset(256, acfg, seed=0)
+    ev = ConfusableWaveformDataset(32, acfg, seed=50_000)
+    assert tr.pairs == ev.pairs
+    assert tr.triggers == ev.triggers
+    assert tr._twin == ev._twin
+    for a, b in tr.pairs:
+        assert len(tr.lexicon[a]) == len(tr.lexicon[b])
+    # render/label divergence exactly at twin words
+    saw_twin = False
+    for i in range(16):
+        ws = tr.word_sequences(i)
+        render = tr._render_labels(i)
+        labels = tr._label_seqs[i]
+        assert len(render) == len(labels)
+        if any(w in tr._twin for w in ws):
+            saw_twin = True
+            assert not np.array_equal(render, labels)
+        else:
+            np.testing.assert_array_equal(render, labels)
+        # homophone slots point at pair members
+        pair_words = {w for p in tr.pairs for w in p}
+        for s in tr.homophone_slots(i):
+            assert ws[s] in pair_words
+    assert saw_twin
+    # trigger coupling: given trigger_a, the next word is its pair's 'a'
+    # side ~coupling of the time
+    hits = tot = 0
+    trig_side = {}
+    for j, (ta, tb) in enumerate(tr.triggers):
+        trig_side[ta] = tr.pairs[j][0]
+        trig_side[tb] = tr.pairs[j][1]
+    for i in range(256):
+        ws = tr.word_sequences(i)
+        for a, b in zip(ws, ws[1:]):
+            if a in trig_side:
+                tot += 1
+                hits += b == trig_side[a]
+    assert tot > 100
+    assert 0.88 < hits / tot < 1.0, (hits, tot)
