@@ -100,22 +100,35 @@ def main():
     # the AM's base error dominates, every near-miss word walks the
     # lexicon trie to OOV, and fusion can only add deletion pressure —
     # measured in the first round-5 run: w=0.3 CER 0.378 vs 0.336 no-LM.)
+    #
+    # gap_segments=6 (480 ms of silence per word boundary) puts the
+    # trigger word's AUDIO beyond the encoder's total receptive field
+    # (2 blocks x (one 80 ms left attention chunk + 60 ms causal conv)
+    # ~= 280 ms): measured at the default 80 ms gap, the encoder relays
+    # trigger acoustics across blocks and resolves homophones itself
+    # (0.92 accuracy, no LM) — at which point its residual errors are not
+    # in the beam and fusion can only hurt.  With the gap, NO component
+    # of the AM can reach the trigger; only the word LM can.
     mk = lambda n, seed: ConfusableWaveformDataset(
         n, acfg, seed=seed, snr_db_range=(15.0, 30.0),
-        tempo_range=(0.92, 1.08), speaker_range=(0.96, 1.06))
+        tempo_range=(0.92, 1.08), speaker_range=(0.96, 1.06),
+        gap_segments=6, words_per_utt=(3, 5))
     train_ds = mk(args.train_n, 0)
     heldout = mk(args.eval_n, 50_000)
 
     cfg = Config(
-        data=DataConfig(audio=acfg, audio_buckets=(128, 192, 256),
+        data=DataConfig(audio=acfg, audio_buckets=(256, 320, 384),
                         label_buckets=(32,)),
         model=ModelConfig(
+            # short-reach streaming encoder (see the gap_segments note):
+            # graphemes are locally realized, so the small window costs
+            # nothing on non-homophone words
             transnet=TransNetConfig(
                 input_size=80, hidden_size=256, output_size=256,
-                num_layers=4, rnn_type="lstm", dropout=0.1,
+                num_layers=2, rnn_type="lstm", dropout=0.1,
                 bidirectional=False, arch="conformer", attention_heads=4,
-                attention_chunk=8, attention_left_chunks=2,
-                scan_blocks=False),
+                attention_chunk=8, attention_left_chunks=1,
+                conv_kernel_size=7, scan_blocks=False),
             prednet=PredNetConfig(embedding_size=72, hidden_size=256,
                                   output_size=256, num_layers=1,
                                   rnn_type="stateless", dropout=0.0),

@@ -51,6 +51,11 @@ def timed(fn, sync, iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--conformer", action="store_true",
+                    help="break down the Conformer-L perf config "
+                         "(perf_conformer.py's model) instead of the "
+                         "flagship bi-GRU — the roofline accounting for "
+                         "VERDICT r4 item 6")
     args = ap.parse_args()
     iters = 4 if args.quick else 12
 
@@ -63,6 +68,14 @@ def main():
     from __graft_entry__ import _example_batch
 
     cfg = rt.base_config()
+    if args.conformer:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, transnet=dataclasses.replace(
+                cfg.model.transnet, arch="conformer", hidden_size=512,
+                num_layers=16, attention_heads=8, ff_multiplier=4,
+                conv_kernel_size=15, time_reduction_stride=4,
+                time_reduction_layer=0, bidirectional=True,
+                scan_blocks=False)))
     cfg = dataclasses.replace(cfg, train=TrainConfig(
         precision="bf16", accumulate_grad_batches=1, max_steps=1000))
     model = build_model(cfg)
@@ -129,8 +142,12 @@ def main():
         iters)
 
     # ---- joint + loss fwd+bwd on fixed enc/dec outputs ------------------
+    # at the ENCODER OUTPUT rate: time reduction (e.g. the Conformer's 4x
+    # subsampling) shrinks the lattice the joint/loss actually see
     rng = jax.random.PRNGKey(0)
-    enc_out = jax.random.normal(rng, (B, T, cfg.model.transnet.output_size),
+    Tp = cfg.model.transnet.output_frames(T)
+    enc_lens = cfg.model.transnet.output_lengths(batch["feat_lengths"])
+    enc_out = jax.random.normal(rng, (B, Tp, cfg.model.transnet.output_size),
                                 jnp.bfloat16)
     dec_out = jax.random.normal(rng, (B, U + 1,
                                       cfg.model.prednet.output_size),
@@ -145,7 +162,7 @@ def main():
 
         return jnp.mean(rnnt_loss_fused(
             apply_joint, enc_out, dec_out, batch["targets"],
-            batch["feat_lengths"], batch["target_lengths"],
+            enc_lens, batch["target_lengths"],
             chunk_frames=cfg.train.joint_chunk_frames))
 
     jl_bwd = jax.jit(jax.grad(joint_loss))
@@ -165,7 +182,7 @@ def main():
         A, C = model.apply({"params": p}, enc_out, dec_out,
                            method=model.joint_factors)
         return jnp.mean(rnnt_loss_factored(
-            A, C, batch["targets"], batch["feat_lengths"],
+            A, C, batch["targets"], enc_lens,
             batch["target_lengths"]))
 
     jf_bwd = jax.jit(jax.grad(joint_loss_factored))

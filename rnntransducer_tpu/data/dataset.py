@@ -683,7 +683,17 @@ class ConfusableWaveformDataset(HardPatternedWaveformDataset):
                  trigger_coupling: float = 0.95,
                  pair_fraction: float = 0.6,
                  words_per_utt=(3, 7), seed: int = 0,
-                 pattern_seed: int = 777, **kw):
+                 pattern_seed: int = 777, gap_segments: int = 1, **kw):
+        # gap_segments: silence segments rendered per word boundary (the
+        # TRANSCRIPT keeps one delimiter token).  Raise it past the
+        # acoustic model's context window (e.g. a chunked-causal encoder's
+        # attention_left_chunks reach) so the trigger word's AUDIO is out
+        # of reach at the homophone — then no AM component can resolve the
+        # twin and the LM's upside is structural, not a training artifact
+        # (measured round 5: at the default 80 ms gap the streaming
+        # Conformer's 160 ms left context resolves triggers acoustically,
+        # homophone accuracy 0.92 with no LM).
+        self.gap_segments = int(gap_segments)
         super().__init__(n, cfg, words_per_utt=words_per_utt, seed=seed,
                          oov_fraction=0.0, pattern_seed=pattern_seed, **kw)
         # pairs/triggers derive from PATTERN_seed, like the lexicon: train
@@ -772,6 +782,14 @@ class ConfusableWaveformDataset(HardPatternedWaveformDataset):
         out = []
         for j, w in enumerate(self._word_seqs[i]):
             if j:
-                out.append(self.delimiter_id)
+                out.extend([self.delimiter_id] * self.gap_segments)
             out.extend(self.lexicon[self._twin.get(w, w)])
         return np.asarray(out, np.int32)
+
+    def lengths(self) -> np.ndarray:
+        # audio length follows the RENDER sequence (gap_segments widens
+        # the silence), not the transcript
+        return np.asarray([
+            num_frames(len(self._render_labels(i))
+                       * self._samples_per_label(i), self.cfg.hop_length)
+            for i in range(self.n)])

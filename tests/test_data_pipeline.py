@@ -437,3 +437,26 @@ def test_confusable_dataset_structure():
                 hits += b == trig_side[a]
     assert tot > 100
     assert 0.88 < hits / tot < 1.0, (hits, tot)
+
+
+def test_confusable_gap_segments():
+    """gap_segments widens the rendered silence per word boundary while the
+    transcript keeps ONE delimiter; lengths() follows the render."""
+    import math
+
+    import numpy as np
+
+    from rnntransducer_tpu.config import AudioConfig
+    from rnntransducer_tpu.data.dataset import ConfusableWaveformDataset
+
+    acfg = AudioConfig(spec_augment=False)
+    ds1 = ConfusableWaveformDataset(4, acfg, seed=0, gap_segments=1)
+    ds6 = ConfusableWaveformDataset(4, acfg, seed=0, gap_segments=6)
+    for i in range(4):
+        np.testing.assert_array_equal(ds1._label_seqs[i], ds6._label_seqs[i])
+        n_words = len(ds6.word_sequences(i))
+        r1, r6 = ds1._render_labels(i), ds6._render_labels(i)
+        assert len(r6) - len(r1) == (n_words - 1) * 5  # +5 segments/boundary
+        w6, lab6 = ds6.waveform(i)
+        assert math.ceil(len(w6) / acfg.hop_length) == ds6.lengths()[i]
+        np.testing.assert_array_equal(lab6, ds6._label_seqs[i])
