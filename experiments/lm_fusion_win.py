@@ -60,10 +60,14 @@ def homophone_accuracy(ds, per_utt, n):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4000)
-    ap.add_argument("--beta", type=float, default=0.5,
-                    help="word-insertion bonus (pyctcdecode beta): offsets "
-                         "the OOV deletion pressure fusion otherwise exerts "
-                         "on imperfect hypotheses")
+    ap.add_argument("--beta", type=float, default=1.5,
+                    help="word-insertion bonus (pyctcdecode's default): "
+                         "offsets the deletion pressure fusion otherwise "
+                         "exerts — every word boundary pays an LM cost that "
+                         "a silent hypothesis never does")
+    ap.add_argument("--lr", type=float, default=1e-3,
+                    help="2e-3 destabilized the 2-block model on this "
+                         "corpus (val CER 0.32 -> 0.66 after step 1000)")
     # 4x the hard-testbed corpus: homophone slots cannot be fit honestly,
     # so a small corpus lets the encoder buy loss by memorizing noise
     # (measured: 4096 utts -> train loss 0.29 / val 21.5 at 3000 steps)
@@ -134,7 +138,7 @@ def main():
                                   rnn_type="stateless", dropout=0.0),
             jointnet=JointNetConfig(num_classes=72),
         ),
-        train=TrainConfig(learning_rate=2e-3, max_steps=args.steps,
+        train=TrainConfig(learning_rate=args.lr, max_steps=args.steps,
                           per_device_train_batch_size=32, precision="bf16",
                           log_every_steps=100,
                           val_every_steps=min(500, args.steps // 2),
