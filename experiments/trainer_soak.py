@@ -77,7 +77,11 @@ def run_child(args):
             checkpoint_dir=args.ckpt_dir,
             # ship raw PCM as peak-scaled int16 + per-utterance scale —
             # half the host->device bytes (data/collate.py)
-            wav_transfer_dtype="int16")
+            wav_transfer_dtype="int16",
+            # round-5 shard-parallel feed (data/prefetch.ordered_readahead):
+            # overlaps cold Arrow page-fault waits — the measured 100k-scale
+            # feed ceiling (BASELINE.md); 1 = the serial pre-round-5 feed
+            feed_reader_threads=args.feed_readers)
         # ~5.1 s utterances, ~48 graphemes: the bench.py flagship shape.
         # The corpus is materialized ONCE to Arrow shards (the parent does
         # it before launch 1) and read back through ArrowWaveformDataset —
@@ -149,6 +153,7 @@ def main():
                          "B=64 -> ~1562 steps/epoch -> ~6 epoch "
                          "boundaries over the run)")
     ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--feed_readers", type=int, default=2)
     args = ap.parse_args()
     if args.tiny and args.steps == 1000:
         args.steps = 8

@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -506,7 +506,8 @@ class HardPatternedWaveformDataset:
     def __init__(self, n: int, cfg: AudioConfig, vocab_size: int = 72,
                  n_words: int = 80, n_oov_words: int = 16,
                  words_per_utt=(3, 7), word_len=(2, 4),
-                 grapheme_lo: int = 5, delimiter_id: int = 4,
+                 grapheme_lo: int = 5, grapheme_hi: Optional[int] = None,
+                 delimiter_id: int = 4,
                  frames_per_label: int = 8,
                  tempo_range=(0.8, 1.25), speaker_range=(0.9, 1.12),
                  snr_db_range=(5.0, 20.0), gain_range=(0.25, 4.0),
@@ -533,16 +534,25 @@ class HardPatternedWaveformDataset:
         self.phases = prng.uniform(0, 2 * np.pi,
                                    (vocab_size, tones_per_label))
         self.tones_per_label = tones_per_label
-        # closed word lexicon over graphemes [grapheme_lo, vocab_size)
+        # closed word lexicon over graphemes [grapheme_lo, grapheme_hi).
+        # grapheme_hi=None keeps the historical [grapheme_lo, vocab_size)
+        # draw.  NOTE (round 5): with the reference 72-entry vocab, ids
+        # 56-71 are <extra_*> SPECIAL tokens — decode drops them, so any
+        # text surface (LM word strings, CER refs/hyps) silently loses
+        # those graphemes.  Testbeds whose words must round-trip through
+        # TEXT (LM fusion) should pass grapheme_hi=56 (the Confusable
+        # dataset's default); the id-level decode paths are unaffected.
+        if grapheme_hi is None:
+            grapheme_hi = vocab_size
         lex = set()
         lex_list = []
         while len(lex_list) < n_words:
             L = prng.randint(word_len[0], word_len[1] + 1)
             w = []
             for _ in range(L):
-                g = prng.randint(grapheme_lo, vocab_size)
+                g = prng.randint(grapheme_lo, grapheme_hi)
                 while w and g == w[-1]:  # greedy dedups consecutive repeats
-                    g = prng.randint(grapheme_lo, vocab_size)
+                    g = prng.randint(grapheme_lo, grapheme_hi)
                 w.append(int(g))
             w = tuple(w)
             if w not in lex:
@@ -683,7 +693,8 @@ class ConfusableWaveformDataset(HardPatternedWaveformDataset):
                  trigger_coupling: float = 0.95,
                  pair_fraction: float = 0.6,
                  words_per_utt=(3, 7), seed: int = 0,
-                 pattern_seed: int = 777, gap_segments: int = 1, **kw):
+                 pattern_seed: int = 777, gap_segments: int = 1,
+                 grapheme_hi: Optional[int] = 56, **kw):
         # gap_segments: silence segments rendered per word boundary (the
         # TRANSCRIPT keeps one delimiter token).  Raise it past the
         # acoustic model's context window (e.g. a chunked-causal encoder's
@@ -695,7 +706,8 @@ class ConfusableWaveformDataset(HardPatternedWaveformDataset):
         # homophone accuracy 0.92 with no LM).
         self.gap_segments = int(gap_segments)
         super().__init__(n, cfg, words_per_utt=words_per_utt, seed=seed,
-                         oov_fraction=0.0, pattern_seed=pattern_seed, **kw)
+                         oov_fraction=0.0, pattern_seed=pattern_seed,
+                         grapheme_hi=grapheme_hi, **kw)
         # pairs/triggers derive from PATTERN_seed, like the lexicon: train
         # and held-out splits (different `seed`) must share the homophone
         # structure, or eval renders twins the AM never saw as twins and

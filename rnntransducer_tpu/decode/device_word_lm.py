@@ -142,12 +142,25 @@ def build_device_word_lm(lm, tokenizer, words: Sequence[str],
         raise ValueError("empty lexicon")
 
     # ---- lexicon trie over grapheme ids (root 0, DEAD absorbing) ----
+    # words may be grapheme STRINGS (encoded via the tokenizer) or
+    # grapheme-ID sequences (used directly — the only safe form when a
+    # vocab has multi-character token names like <extra_*>, whose strings
+    # do not round-trip through encode())
     seqs: List[List[int]] = []
     for w in words:
-        ids = tokenizer.encode(w)
-        if not ids or any(i == delimiter_id for i in ids):
-            raise ValueError(f"lexicon word {w!r} does not encode to "
-                             "delimiter-free graphemes")
+        if isinstance(w, str):
+            ids = tokenizer.encode(w)
+            if (not ids or any(i == delimiter_id for i in ids)
+                    or tokenizer.decode(ids, group_tokens=False) != w):
+                raise ValueError(
+                    f"lexicon word {w!r} does not round-trip through the "
+                    "tokenizer (special/multi-char token names?) — pass "
+                    "grapheme-id sequences instead")
+        else:
+            ids = [int(g) for g in w]
+            if not ids or any(i == delimiter_id for i in ids):
+                raise ValueError(f"lexicon id-sequence {w!r} is empty or "
+                                 "contains the delimiter")
         seqs.append(ids)
     children: List[dict] = [{}]  # node -> {grapheme: node}
     node_of_word = {}
@@ -172,7 +185,11 @@ def build_device_word_lm(lm, tokenizer, words: Sequence[str],
         node_word[n] = wi
 
     # ---- fused score rows per LM state (host formula, ngram_lm.py) ----
-    wids = [lm.word_id(w) for w in words]
+    # id-sequence words look up the LM by their joined token names — the
+    # same convention an ARPA built from this lexicon uses
+    wids = [lm.word_id(w if isinstance(w, str) else
+                       "".join(tokenizer.ids_to_tokens[g] for g in w))
+            for w in words]
     alpha, beta = lm.alpha, lm.beta
     unk_fused = alpha * lm.unk_offset + beta
     bos = lm.word_id("<s>")
